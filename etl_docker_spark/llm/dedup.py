@@ -1,0 +1,165 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design:
+- Exact dedup is a hash-groupBy — one shuffle on the digest, map-side partial
+  aggregation, no text comparison beyond the digest.
+- MinHash+LSH avoids the O(N^2) pair space: signatures are computed per row
+  (narrow), candidate pairs come from a self-equi-join on (band, band_key) —
+  a shuffle whose cost tracks the number of NEAR-duplicates, not N^2. Only
+  candidates pay the exact-Jaccard verification join.
+- Hash function: first 8 hex digits of md5(seed ':' shingle) as an unsigned
+  32-bit int. Deliberately engine-portable (md5 is standard everywhere) so
+  the DuckDB oracle reproduces signatures bit-for-bit; xxhash64 would be
+  faster but unverifiable cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash32(seed: int, s: Column) -> Column:
+    """Portable 32-bit hash: int(md5(f'{seed}:{s}')[:8], 16) as BIGINT."""
+    digest = F.md5(F.concat(F.lit(str(seed)), F.lit(":"), s).cast("binary"))
+    return F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup groups: digest -> canonical (min id) + copy count.
+
+    Grouping on the md5 digest instead of the raw text keeps shuffle rows
+    narrow (16 bytes vs document bytes) — the difference between a working
+    and an impossible shuffle at 100 TB.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingles_of(tokens: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingles of a token array (short docs yield one)."""
+    count = F.greatest(F.size(tokens) - (n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> list[Column]:
+    """MinHash signature: per seed j, min over shingles of hash32(j, s)."""
+    return [
+        F.array_min(F.transform(shingles, lambda s, j=j: _hash32(j, s))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int = 16, bands: int = 4,
+                      shingle_n: int = 3) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, verified by exact shingle Jaccard.
+
+    Returns (doc_a, doc_b, inter_n, union_n) for candidate pairs with
+    Jaccard >= 0.5 (2*inter >= union — integer compare, no float epsilon).
+    Pipeline: shingle -> 16 minhashes -> 4 banded keys -> band-key self-join
+    (candidates) -> exact verification on the shingle sets.
+    """
+    rows = num_hashes // bands
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        shingles_of(toks, shingle_n).alias("sh"),
+    )
+    sig = base.select("doc", "sh", *minhash_signature(F.col("sh"), num_hashes))
+
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws("-", *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias("key"),
+        )
+        for b in range(bands)
+    ])
+    banded = (
+        sig.select("doc", F.explode(band_structs).alias("bk"))
+        .select("doc", F.col("bk.band_idx").alias("band_idx"), F.col("bk.key").alias("key"))
+    )
+
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band_idx", "key"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+    sets = base.select(F.col("doc"), F.col("sh"))
+    verified = (
+        cand.join(sets.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sets.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("inter_n"),
+            (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b")))
+            .cast("long").alias("union_n"),
+        )
+    )
+    return verified.filter(F.lit(2) * F.col("inter_n") >= F.col("union_n"))
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash of a token array (portable md5-based bit source).
+
+    Per token, two 32-bit hashes (seeds 0,1) give 64 bits; each bit
+    contributes +1/-1 to its lane; the sign of each lane's sum is the
+    fingerprint bit. Returned as BIGINT (bit 63 in the high position).
+
+    Implemented as a per-row fold over a 64-lane int array — no shuffle,
+    no UDF; near-dup candidates then group on hamming bands of the result.
+    """
+    lane_counts = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            _token_bits(t),
+            lambda a, b: a + b,
+        ),
+    )
+    # sign -> bit; lane weights are disjoint powers of two, so plain addition
+    # assembles the word. Bit 63's weight is MIN_LONG (its signed value) —
+    # adding it keeps the arithmetic in range under ANSI mode.
+    terms = [
+        F.when(F.get(lane_counts, i) > 0,
+               F.lit(-(2 ** 63) if i == 63 else (1 << i)).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    out = terms[0]
+    for term in terms[1:]:
+        out = out + term
+    return out
+
+
+def _token_bits(t: Column) -> Column:
+    """64-element array of +1/-1 from two portable 32-bit hashes of t."""
+    h0 = _hash32(0, t)
+    h1 = _hash32(1, t)
+
+    def bits(h: Column) -> list[Column]:
+        return [
+            F.when(h.bitwiseAND(F.lit(1 << i)) != 0, F.lit(1).cast("long"))
+            .otherwise(F.lit(-1).cast("long"))
+            for i in range(32)
+        ]
+
+    return F.array(*bits(h0), *bits(h1))
+
+
+def ngram_jaccard_pair_cols(sh_a: Column, sh_b: Column) -> Column:
+    """Exact Jaccard similarity of two shingle-set columns (double)."""
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("long")
+    union = (F.size(sh_a) + F.size(sh_b)).cast("long") - inter
+    return inter / union

@@ -1,0 +1,100 @@
+"""Similarity search over embedding columns (array<float>).
+
+- `brute_force_knn`: exact top-k by cosine — the correctness baseline. The
+  query side is broadcast (queries are small by construction); candidates
+  stream through a single narrow projection, so the cost is one pass over
+  the corpus per batch of queries, no shuffle of the corpus itself.
+- `bucketed_near_dup_pairs`: IVF-style coarse quantization — floor-bucket a
+  few leading dimensions, self-join within buckets. Trades recall for a
+  candidate set that scales with bucket occupancy instead of N^2. At real
+  scale the bucketer would be a trained coarse quantizer; the floor-grid
+  keeps it deterministic and oracle-checkable.
+
+Dot products fold left-to-right in DOUBLE (`zip_with` + `aggregate`) so the
+result is bit-identical to any engine that folds the same way — which makes
+cosine scores themselves hashable by the correctness harness, not just ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm2_expr(a: Column) -> Column:
+    return dot_expr(a, a)
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / F.sqrt(norm2_expr(a) * norm2_expr(b))
+
+
+def brute_force_knn(corpus: DataFrame, queries: DataFrame, k: int,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors per query (self-matches excluded).
+
+    Output: (query_id, neighbor_id, cosine, rank), rank 1..k, ties broken by
+    neighbor id so results are total-ordered and reproducible.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 8).alias("cosine"), "rank")
+    )
+
+
+def bucket_expr(vec: Column, dim: int, scale: float = 4.0) -> Column:
+    """Coarse-quantization bucket for 1-based dimension `dim`: floor(v*scale).
+
+    floor (not round) — no round-half tie semantics to disagree on.
+    """
+    return F.floor(F.element_at(vec, dim).cast("double") * scale).cast("long")
+
+
+def bucketed_near_dup_pairs(corpus: DataFrame, threshold: float,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            dims: tuple[int, int] = (1, 2), scale: float = 4.0) -> DataFrame:
+    """IVF-bucketed near-duplicate pairs with cosine >= threshold.
+
+    Pairs are only compared within the same coarse bucket (recall<1 by
+    design — the documented ANN trade). Output: (id_a, id_b, cosine).
+    """
+    e = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        bucket_expr(F.col(vec_col), dims[0], scale).alias("b1"),
+        bucket_expr(F.col(vec_col), dims[1], scale).alias("b2"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, on=[F.col("a.b1") == F.col("b.b1"),
+                      F.col("a.b2") == F.col("b.b2"),
+                      F.col("a.id") < F.col("b.id")])
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+    )
+    return (
+        pairs.filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 8).alias("cosine"))
+    )

@@ -1,0 +1,77 @@
+"""Merge/upsert operator (SURVEY.md K2-K4, J8 — the staging+stored-proc idiom).
+
+The reference's load contract (CotyData_IPN.py:207-214 and ~20 siblings) is:
+append a batch into a CARGA_* staging table, then a server-side procedure
+merges it into the final table so the final table reflects latest-state-by-PK.
+Row-by-row cancellation UPDATEs (K3, :1186-1204) are the same contract with a
+one-column payload.
+
+Here the lakehouse is the primary store, so MERGE is: new-snapshot =
+(target ANTI-JOIN updates on key) UNION updates — one shuffle-free broadcast
+anti join when updates are small, idempotent on replay (re-merging the same
+batch is a no-op), which is exactly the staging/proc guarantee. On Delta this
+would be `MERGE INTO`; the DataFrame-level semantics are identical.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_docker_spark.operators.dedup import dedup_first
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, keys: Sequence[str],
+                 order_by: Sequence[Column | str] | None = None) -> DataFrame:
+    """Latest-state-by-PK merge: rows from `updates` replace target rows with
+    the same key; unmatched target rows survive; unmatched updates insert.
+
+    If `updates` may carry several versions of one key, pass `order_by`
+    (descending recency first) to pick the winner deterministically (A4).
+    """
+    ups = dedup_first(updates, keys, order_by) if order_by else updates
+    ups = ups.select(*target.columns)  # align column order for union
+    kept = target.join(F.broadcast(ups.select(*keys).distinct()),
+                       on=list(keys), how="left_anti")
+    return kept.unionByName(ups)
+
+
+def merge_upsert_path(spark: SparkSession, path: str, updates: DataFrame,
+                      keys: Sequence[str],
+                      order_by: Sequence[Column | str] | None = None) -> None:
+    """Path-based upsert into a parquet table (creates it on first write).
+
+    Rewrites the snapshot (parquet has no row-level ops). On a real deployment
+    the table would be date/company-partitioned and only affected partitions
+    rewritten (dynamic partition overwrite); with Delta this becomes MERGE INTO.
+    """
+    if not os.path.exists(path):
+        updates_final = (dedup_first(updates, keys, order_by) if order_by else updates)
+        updates_final.write.mode("overwrite").parquet(path)
+        return
+    target = spark.read.parquet(path)
+    merged = merge_upsert(target, updates, keys, order_by)
+    tmp = f"{path}__tmp_merge"
+    merged.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(path)
+    # best-effort cleanup of the staging snapshot
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def apply_updates(target: DataFrame, updates: DataFrame, keys: Sequence[str],
+                  set_cols: dict[str, Column]) -> DataFrame:
+    """K3: the row-by-row UPDATE loops (flag cancellations, enable/disable) as
+    one set-based merge: rows matching `updates` keys get `set_cols` applied.
+    """
+    marked = updates.select(*keys).distinct().withColumn("__upd", F.lit(True))
+    joined = target.join(F.broadcast(marked), on=list(keys), how="left")
+    out = joined
+    for name, expr in set_cols.items():
+        out = out.withColumn(name, F.when(F.col("__upd"), expr).otherwise(F.col(name)))
+    return out.drop("__upd")

@@ -1,0 +1,43 @@
+"""Shared helpers for the query surface.
+
+Cross-engine determinism rules used throughout:
+- Money/quantity aggregates run over DECIMAL(18,4) and cast the RESULT to
+  DOUBLE: decimal arithmetic is exact, so the sum is independent of
+  partitioning/order and the final double is bit-identical in any engine.
+- Averages are written sum/count on identical operands (never engine AVG,
+  whose internal accumulation differs).
+- Integer-valued outputs are pinned to BIGINT on both sides (Spark `size`
+  is INT, DuckDB `len` is BIGINT — casting removes the schema skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_docker_spark.catalog import load_table
+
+# Precision discipline: DECIMAL(12,4) money × DECIMAL(6,4) rate × DECIMAL(6,4)
+# rate = scale-12 result under 38 digits in BOTH Spark ((26,12)) and DuckDB
+# ((24,12)) — no engine-specific precision-loss rounding ever kicks in.
+DEC = "decimal(12,4)"
+RATE = "decimal(6,4)"
+
+
+def dec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC)
+
+
+def rate(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(RATE)
+
+
+def dsum(col: Column | str) -> Column:
+    """Order-insensitive exact sum, surfaced as DOUBLE."""
+    return F.sum(dec(col)).cast("double")
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)

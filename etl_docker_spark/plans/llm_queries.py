@@ -1,0 +1,265 @@
+"""Training-data-pipeline query surface (dedup / similarity / text analysis).
+
+These run on the `documents` and `embeddings` tables and exercise the
+etl_docker_spark.llm operator library. Each has a DuckDB oracle built from
+the same portable primitives (md5-based hashes, left-fold arithmetic), so
+even MinHash-LSH candidate generation is verified bit-for-bit cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_docker_spark.llm import (
+    brute_force_knn,
+    bucketed_near_dup_pairs,
+    exact_dup_groups,
+    lang_guess,
+    minhash_lsh_pairs,
+    poly_fingerprint,
+    tokens_of,
+)
+from etl_docker_spark.llm.text import LANG_STOPWORDS, quality_features
+from etl_docker_spark.plans._util import t
+
+# ---------------------------------------------------------------- d01
+
+
+def d01_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup via digest group-by (hash-groupBy; narrow shuffle)."""
+    return exact_dup_groups(t(spark, sf, "documents"), "doc_id", "text")
+
+
+D01_SQL = """
+SELECT md5(text) AS fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+# ---------------------------------------------------------------- d02
+
+
+def d02_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting (BPE-ish regex) aggregated per language."""
+    docs = t(spark, sf, "documents").select(
+        "lang",
+        F.size(tokens_of("text")).cast("long").alias("n_tokens"))
+    return (docs.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.max("n_tokens").alias("max_tokens"),
+                 (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens")))
+
+
+D02_SQL = r"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MAX(n_tokens) AS max_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM (SELECT lang, CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_tokens
+      FROM documents)
+GROUP BY lang
+"""
+
+# ---------------------------------------------------------------- d03
+
+
+def d03_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document quality features: ratios of exact integer counts."""
+    feats = quality_features(F.col("text"))
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars_calc"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["n_stopwords"].alias("n_stopwords"),
+        feats["n_unique_tokens"].alias("n_unique_tokens"),
+        feats["stop_ratio"].alias("stop_ratio"),
+        feats["unique_ratio"].alias("unique_ratio"),
+        feats["quality_score"].alias("quality_score"),
+    )
+
+
+_EN = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+D03_SQL = rf"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       n_tokens, n_stopwords, n_unique_tokens,
+       n_stopwords / n_tokens AS stop_ratio,
+       n_unique_tokens / n_tokens AS unique_ratio,
+       (n_stopwords / n_tokens) * 0.5 + (n_unique_tokens / n_tokens) * 0.5 AS quality_score
+FROM (
+  SELECT doc_id, text,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, tk -> list_contains([{_EN}], tk))) AS BIGINT) AS n_stopwords,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens
+  FROM (SELECT doc_id, text, regexp_extract_all(text, '\w+|[^\w\s]') AS toks FROM documents)
+)
+"""
+
+# ---------------------------------------------------------------- d04
+
+
+def d04_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID heuristic vs the labeled lang column (confusion matrix)."""
+    docs = t(spark, sf, "documents").select(
+        "lang", lang_guess(tokens_of("text")).alias("pred_lang"))
+    return docs.groupBy("lang", "pred_lang").agg(F.count("*").alias("n_docs"))
+
+
+def _hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"CAST(len(list_filter(toks, tk -> list_contains([{words}], tk))) AS BIGINT)"
+
+
+D04_SQL = rf"""
+SELECT lang, pred_lang, COUNT(*) AS n_docs
+FROM (
+  SELECT lang,
+    CASE WHEN en >= es AND en >= fr AND en > 0 THEN 'en'
+         WHEN es >= fr AND es > 0 THEN 'es'
+         WHEN fr > 0 THEN 'fr'
+         ELSE 'und' END AS pred_lang
+  FROM (
+    SELECT lang, {_hits('en')} AS en, {_hits('es')} AS es, {_hits('fr')} AS fr
+    FROM (SELECT lang, regexp_extract_all(text, '\w+|[^\w\s]') AS toks FROM documents)
+  )
+)
+GROUP BY lang, pred_lang
+"""
+
+# ---------------------------------------------------------------- d05
+
+
+def d05_doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-hash fingerprints (first 64 chars), grouped to spot collisions."""
+    fp = t(spark, sf, "documents").select(
+        "doc_id", poly_fingerprint("text", 64).alias("fp"))
+    return (fp.groupBy("fp")
+            .agg(F.min("doc_id").alias("first_doc"), F.count("*").alias("n_docs")))
+
+
+D05_SQL = """
+SELECT fp, MIN(doc_id) AS first_doc, COUNT(*) AS n_docs
+FROM (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(regexp_split_to_array(substring(text, 1, 64), ''),
+                                       ch -> CAST(ascii(ch) AS BIGINT))),
+           (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+  FROM documents
+)
+GROUP BY fp
+"""
+
+# ---------------------------------------------------------------- d06
+
+
+def d06_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates verified by exact shingle Jaccard."""
+    return minhash_lsh_pairs(t(spark, sf, "documents"), "doc_id", "text",
+                             num_hashes=16, bands=4, shingle_n=3)
+
+
+D06_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
+                                      i -> array_to_string(tk[i:i+2], ' '))) AS sh
+  FROM toks
+),
+sig AS (
+  SELECT doc_id, sh,
+         list_transform(generate_series(0, 15), j ->
+           list_aggregate(list_transform(sh, s ->
+             CAST('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || s), 1, 8) AS BIGINT)), 'min')) AS mh
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b.b AS band_idx,
+         array_to_string(mh[4*b.b+1:4*b.b+4], '-') AS key
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id
+),
+ver AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_filter(sa.sh, s -> list_contains(sb.sh, s))) AS BIGINT) AS inter_n,
+         CAST(len(sa.sh) + len(sb.sh) AS BIGINT) AS total_n
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, inter_n, total_n - inter_n AS union_n
+FROM ver WHERE 2 * inter_n >= total_n - inter_n
+"""
+
+# ---------------------------------------------------------------- e01
+
+
+def e01_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors vec_id < 8."""
+    emb = t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return brute_force_knn(emb, queries, k=5)
+
+
+_DOT = ("list_reduce(list_transform(generate_series(1, len({a})), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)")
+
+E01_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_DOT.format(a='q.qv', b='e.embedding')}
+           / sqrt({_DOT.format(a='q.qv', b='q.qv')} * {_DOT.format(a='e.embedding', b='e.embedding')}) AS cos_raw
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, round(cos_raw, 8) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+# ---------------------------------------------------------------- e02
+
+
+def e02_bucketed_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-bucketed embedding near-dup pairs (cosine >= 0.4 in-bucket)."""
+    return bucketed_near_dup_pairs(t(spark, sf, "embeddings"), threshold=0.4)
+
+
+E02_SQL = f"""
+WITH e AS (
+  SELECT vec_id AS id, embedding AS v,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) * 4) AS BIGINT) AS b1,
+         CAST(floor(CAST(embedding[2] AS DOUBLE) * 4) AS BIGINT) AS b2
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         {_DOT.format(a='a.v', b='b.v')}
+           / sqrt({_DOT.format(a='a.v', b='a.v')} * {_DOT.format(a='b.v', b='b.v')}) AS cos_raw
+  FROM e a JOIN e b ON a.b1 = b.b1 AND a.b2 = b.b2 AND a.id < b.id
+)
+SELECT id_a, id_b, round(cos_raw, 8) AS cosine
+FROM pairs WHERE cos_raw >= 0.4
+"""
+
+LLM_QUERIES = {
+    "d01_exact_dedup": (d01_exact_dedup, D01_SQL),
+    "d02_token_stats": (d02_token_stats, D02_SQL),
+    "d03_quality_scores": (d03_quality_scores, D03_SQL),
+    "d04_lang_confusion": (d04_lang_confusion, D04_SQL),
+    "d05_doc_fingerprints": (d05_doc_fingerprints, D05_SQL),
+    "d06_minhash_pairs": (d06_minhash_pairs, D06_SQL),
+    "e01_knn_bruteforce": (e01_knn_bruteforce, E01_SQL),
+    "e02_bucketed_near_dup": (e02_bucketed_near_dup, E02_SQL),
+}

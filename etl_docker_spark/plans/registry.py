@@ -1,0 +1,35 @@
+"""Query registry: every declared query with its DuckDB oracle."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_docker_spark.plans.llm_queries import LLM_QUERIES
+from etl_docker_spark.plans.relational import RELATIONAL
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: Builder
+    oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
+
+
+def _build() -> dict[str, QuerySpec]:
+    specs: dict[str, QuerySpec] = {}
+    for table in (RELATIONAL, LLM_QUERIES):
+        for name, (builder, oracle) in table.items():
+            specs[name] = QuerySpec(name, builder, oracle)
+    return specs
+
+
+QUERIES: dict[str, QuerySpec] = _build()
+
+
+def get_query(name: str) -> QuerySpec:
+    return QUERIES[name]

@@ -1,0 +1,71 @@
+"""Writers (SURVEY.md K1, K5, K7, K8).
+
+- K1 chunked JDBC append -> `df.write.jdbc(batchsize=...)` (see sources.jdbc);
+  the reference's ⌊2100/ncols⌋ chunk math (utils.py:40-46) is SQL Server bind-
+  parameter bookkeeping that Spark's JDBC writer replaces with `batchsize`.
+- K5 truncate-and-reload -> mode("overwrite").
+- K7 Excel quarantine dump on failure (CotyData_IPN.py:190 et al.) ->
+  parquet quarantine dir keyed by table+timestamp.
+- K8 audit-log row per load (CotyData_IPN.py:19-61) -> append-only log table.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import traceback
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+AUDIT_SCHEMA = T.StructType([
+    T.StructField("load_table", T.StringType(), False),
+    T.StructField("inserted_rows", T.LongType(), True),
+    T.StructField("total_records", T.LongType(), True),
+    T.StructField("status_ok", T.BooleanType(), False),
+    T.StructField("error_msg", T.StringType(), True),
+    T.StructField("ts", T.TimestampType(), False),
+    T.StructField("source_url", T.StringType(), True),
+])
+
+
+def append_parquet(df: DataFrame, path: str) -> None:
+    df.write.mode("append").parquet(path)
+
+
+def overwrite_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def audit_log_entry(spark: SparkSession, log_path: str, load_table: str,
+                    inserted_rows: int | None, total_records: int | None,
+                    status_ok: bool, error_msg: str | None = None,
+                    source_url: str | None = None) -> None:
+    """K8: one audit row per load attempt, appended to the log table."""
+    row = [(load_table, inserted_rows, total_records, status_ok, error_msg,
+            dt.datetime.now(dt.timezone.utc).replace(tzinfo=None), source_url)]
+    spark.createDataFrame(row, AUDIT_SCHEMA).write.mode("append").parquet(log_path)
+
+
+def write_with_quarantine(spark: SparkSession, df: DataFrame, path: str,
+                          quarantine_dir: str, log_path: str,
+                          load_table: str, mode: str = "append",
+                          source_url: str | None = None) -> bool:
+    """K7+K8: attempt the load; on failure dump the batch to quarantine for
+    manual replay and log the error. Returns True on success."""
+    try:
+        n = df.count()
+        df.write.mode(mode).parquet(path)
+        audit_log_entry(spark, log_path, load_table, n, n, True, None, source_url)
+        return True
+    except Exception:
+        err = traceback.format_exc()[-2000:]
+        stamp = dt.datetime.now(dt.timezone.utc).strftime("%Y%m%dT%H%M%S%f")
+        try:
+            df.write.mode("overwrite").parquet(f"{quarantine_dir}/{load_table}/{stamp}")
+        except Exception:
+            pass  # quarantine itself failed; the audit row still records the error
+        audit_log_entry(spark, log_path, load_table, 0, None, False, err, source_url)
+        return False

@@ -1,0 +1,88 @@
+"""Tests for the training-data operators (dedup / similarity / text)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_docker_spark.llm import (
+    brute_force_knn,
+    exact_dup_groups,
+    lang_guess,
+    minhash_lsh_pairs,
+    poly_fingerprint,
+    simhash64,
+    token_count,
+    tokens_of,
+)
+
+
+def test_exact_dup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "different text")],
+        ["doc_id", "text"])
+    out = {r.canonical_id: r.n_copies for r in exact_dup_groups(df, "doc_id", "text").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely unrelated words about spark distributed query engines here now"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(df, "doc_id", "text").collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (1, 2) in found
+    assert all(p in {(1, 2)} for p in found)
+    p12 = next(r for r in pairs if (r.doc_a, r.doc_b) == (1, 2))
+    assert p12.inter_n * 2 >= p12.union_n  # jaccard >= 0.5
+
+
+def test_simhash_similar_vs_different(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon eta"),
+         (3, "one two three four five six")],
+        ["doc_id", "text"])
+    rows = df.select("doc_id", simhash64(F.split("text", " ")).alias("h")).collect()
+    h = {r.doc_id: r.h for r in rows}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(h[1], h[2]) < ham(h[1], h[3])
+    # deterministic
+    rows2 = df.select("doc_id", simhash64(F.split("text", " ")).alias("h")).collect()
+    assert {r.doc_id: r.h for r in rows2} == h
+
+
+def test_knn_ranks_by_cosine(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # farthest from 0
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = brute_force_knn(df, df.filter(F.col("vec_id") == 0), k=3).orderBy("rank").collect()
+    assert [r.neighbor_id for r in out] == [1, 2, 3]
+    assert out[0].cosine > 0.99 and out[2].cosine < 0
+
+
+def test_token_count_and_lang(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat, and the dog!"), (2, "el perro y la casa de los gatos"),
+         (3, "xyzzy plugh")],
+        ["doc_id", "text"])
+    rows = df.select(
+        token_count("text").alias("n"),
+        lang_guess(tokens_of("text")).alias("lang"),
+    ).collect()
+    assert rows[0].n == 7  # the cat , and the dog !
+    assert rows[0].lang == "en"
+    assert rows[1].lang == "es"
+    assert rows[2].lang == "und"
+
+
+def test_poly_fingerprint_deterministic(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "abc"), (3, "abd")], ["doc_id", "text"])
+    rows = df.select("doc_id", poly_fingerprint("text").alias("fp")).collect()
+    fp = {r.doc_id: r.fp for r in rows}
+    assert fp[1] == fp[2] != fp[3]
+    assert fp[1] == ((0 * 31 + 97) * 31 + 98) * 31 + 99  # matches the documented fold

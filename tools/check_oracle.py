@@ -1,0 +1,100 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every query in __spark_entry__.queries() on Spark and its oracle on
+DuckDB over the same sf dir, then compares row count, column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted, values
+stringified with repr-level precision).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def canon(rows: list[tuple]) -> list[tuple[str, ...]]:
+    out = []
+    for row in rows:
+        vals = []
+        for v in row:
+            if v is None:
+                vals.append("NULL")
+            elif isinstance(v, float):
+                vals.append(repr(v))
+            elif isinstance(v, bool):
+                vals.append(str(v))
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from etl_docker_spark.catalog import TABLES
+    from etl_docker_spark.session import get_spark
+
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, builder in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = builder(spark, sf_dir)
+            scols = sorted(sdf.columns)
+            srows = canon([tuple(r[c] for c in scols) for r in sdf.collect()])
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {exc}")
+            continue
+        if name not in oracles:
+            print(f"ok?   {name}: rows={len(srows)} (no oracle — rows-only)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            dcols_raw = [d[0] for d in cur.description]
+            drows_raw = cur.fetchall()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            continue
+        dorder = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
+        dcols = [dcols_raw[i] for i in dorder]
+        drows = canon([tuple(row[i] for i in dorder) for row in drows_raw])
+        if scols != dcols:
+            failures.append(name)
+            print(f"FAIL  {name}: columns differ\n  spark={scols}\n  duck ={dcols}")
+            continue
+        if len(srows) != len(drows):
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            continue
+        if srows != drows:
+            failures.append(name)
+            diff = [(a, b) for a, b in zip(srows, drows) if a != b][:3]
+            print(f"FAIL  {name}: value mismatch, first diffs: {diff}")
+            continue
+        print(f"PASS  {name}: rows={len(srows)}")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
