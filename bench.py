@@ -28,6 +28,12 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     spark = get_spark("bench")
+
+    # warmup: JVM + parquet footers, so query 1 doesn't absorb session startup
+    from etl_docker_spark.catalog import TABLES, load_table
+    for name in TABLES:
+        load_table(spark, sf_dir, name).limit(1).count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, spec in QUERIES.items():

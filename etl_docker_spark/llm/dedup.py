@@ -25,6 +25,27 @@ def _hash32(seed: int, s: Column) -> Column:
     return F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
 
 
+# MinHash rehash family: h_j(x) = (A_j*x + B_j) mod P over one base md5 hash.
+# One md5 per shingle instead of num_hashes of them — 16x less digest work at
+# identical statistical quality. P is the smallest prime > 2^32; A_j <= 2^31-1
+# keeps A*h + B < 2^63 (no ANSI overflow). Constants are fixed (seeded once,
+# hardcoded) so any engine can reproduce signatures exactly.
+MINHASH_P = 4_294_967_311
+MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
+    (1941304203, 3393385155), (496568461, 2207927984), (489135735, 577375078),
+    (2068958569, 2928639612), (1035124905, 999501069), (1566425064, 3339624854),
+    (1106784185, 3206470118), (657764495, 2124457132), (1340440623, 271760247),
+    (1760820567, 3057662807), (1023766283, 328603992), (1353225305, 2550661167),
+    (1761925387, 4104353838), (535515103, 2102809563), (532414541, 3136154828),
+    (1848776394, 2123806957),
+)
+
+
+def _base_hash(s: Column) -> Column:
+    """int(md5(s)[:8], 16) as BIGINT — the single digest per shingle."""
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup groups: digest -> canonical (min id) + copy count.
 
@@ -50,9 +71,18 @@ def shingles_of(tokens: Column, n: int = 3) -> Column:
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> list[Column]:
-    """MinHash signature: per seed j, min over shingles of hash32(j, s)."""
+    """MinHash signature columns over a pre-hashed shingle array.
+
+    Expects the BASE-HASH array (see `_base_hash`); per hash j takes
+    min((A_j*h + B_j) mod P) — pure integer arithmetic over longs.
+    """
+    def rehash(j: int):
+        a, b = MINHASH_COEFFS[j]
+        # single-arg lambda: PySpark passes (element, index) to 2-arg lambdas
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
     return [
-        F.array_min(F.transform(shingles, lambda s, j=j: _hash32(j, s))).alias(f"mh{j}")
+        F.array_min(F.transform(shingles, rehash(j))).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
 
@@ -73,7 +103,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col).alias("doc"),
         shingles_of(toks, shingle_n).alias("sh"),
     )
-    sig = base.select("doc", "sh", *minhash_signature(F.col("sh"), num_hashes))
+    hashed = base.select(
+        "doc", "sh", F.transform(F.col("sh"), _base_hash).alias("hh"))
+    sig = hashed.select("doc", *minhash_signature(F.col("hh"), num_hashes))
 
     band_structs = F.array(*[
         F.struct(

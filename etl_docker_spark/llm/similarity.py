@@ -45,14 +45,19 @@ def brute_force_knn(corpus: DataFrame, queries: DataFrame, k: int,
     Output: (query_id, neighbor_id, cosine, rank), rank 1..k, ties broken by
     neighbor id so results are total-ordered and reproducible.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # norms are folded ONCE per row before the join — the pair loop then does
+    # a single dot product instead of three
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                       norm2_expr(F.col(vec_col)).alias("qn2"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+                      norm2_expr(F.col(vec_col)).alias("cn2"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+            (dot_expr(F.col("qv"), F.col("cv"))
+             / F.sqrt(F.col("qn2") * F.col("cn2"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -81,6 +86,7 @@ def bucketed_near_dup_pairs(corpus: DataFrame, threshold: float,
     """
     e = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        norm2_expr(F.col(vec_col)).alias("n2"),
         bucket_expr(F.col(vec_col), dims[0], scale).alias("b1"),
         bucket_expr(F.col(vec_col), dims[1], scale).alias("b2"),
     )
@@ -91,7 +97,8 @@ def bucketed_near_dup_pairs(corpus: DataFrame, threshold: float,
                       F.col("a.id") < F.col("b.id")])
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"),
+            (dot_expr(F.col("a.v"), F.col("b.v"))
+             / F.sqrt(F.col("a.n2") * F.col("b.n2"))).alias("cosine"),
         )
     )
     return (

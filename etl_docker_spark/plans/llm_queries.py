@@ -161,7 +161,19 @@ def d06_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
                              num_hashes=16, bands=4, shingle_n=3)
 
 
-D06_SQL = """
+from etl_docker_spark.llm.dedup import MINHASH_COEFFS, MINHASH_P  # noqa: E402
+
+_MH_COLS = ",\n         ".join(
+    f"list_aggregate(list_transform(hh, h -> ({a} * h + {b}) % {MINHASH_P}), 'min') AS mh{j}"
+    for j, (a, b) in enumerate(MINHASH_COEFFS)
+)
+_BAND_SELECTS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, "
+    f"concat_ws('-', mh{4 * b}, mh{4 * b + 1}, mh{4 * b + 2}, mh{4 * b + 3}) AS key FROM sig"
+    for b in range(4)
+)
+
+D06_SQL = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS tk FROM documents
 ),
@@ -171,17 +183,18 @@ sh AS (
                                       i -> array_to_string(tk[i:i+2], ' '))) AS sh
   FROM toks
 ),
-sig AS (
-  SELECT doc_id, sh,
-         list_transform(generate_series(0, 15), j ->
-           list_aggregate(list_transform(sh, s ->
-             CAST('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || s), 1, 8) AS BIGINT)), 'min')) AS mh
+hashed AS (
+  SELECT doc_id,
+         list_transform(sh, s -> CAST('0x' || substring(md5(s), 1, 8) AS BIGINT)) AS hh
   FROM sh
 ),
+sig AS (
+  SELECT doc_id,
+         {_MH_COLS}
+  FROM hashed
+),
 bands AS (
-  SELECT doc_id, b.b AS band_idx,
-         array_to_string(mh[4*b.b+1:4*b.b+4], '-') AS key
-  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) b
+  {_BAND_SELECTS}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
