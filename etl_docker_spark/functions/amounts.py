@@ -42,10 +42,12 @@ def round4(col: Column | str) -> Column:
 
 
 def deleted_flag(deletion_ts: Column | str, undeletion_ts: Column | str) -> Column:
-    """F19: enabled=0 if deleted after last undeletion (or never undeleted), else 1.
+    """F19: ARTICULO_HABILITADO from the deletion/undeletion group-max pair.
 
-    Mirrors the reference's rule: a SKU is disabled when DeletionDatetime >
-    UnDeletionDatetime, or it was deleted and never undeleted.
+    Exact reference rule (CotyData_IPN.py:705-708): disabled (0) when
+    DeletionDatetime > UnDeletionDatetime, and ALWAYS disabled when
+    UnDeletionDatetime is null — the null rule overrides, matching the
+    two-step pandas assignment.
     """
     d, u = _c(deletion_ts), _c(undeletion_ts)
-    return F.when(d.isNotNull() & (u.isNull() | (d > u)), F.lit(0)).otherwise(F.lit(1))
+    return F.when(u.isNull() | (d > u), F.lit(0)).otherwise(F.lit(1))

@@ -69,7 +69,8 @@ def test_deleted_flag(spark):
         [(t2, t1), (t1, t2), (t1, None), (None, None)],
         "del_ts timestamp, undel_ts timestamp")
     flags = [r.f for r in df.select(deleted_flag("del_ts", "undel_ts").alias("f")).collect()]
-    assert flags == [0, 1, 0, 1]
+    # row 4: UnDeletion null disables even with no Deletion (CotyData_IPN.py:708)
+    assert flags == [0, 1, 0, 0]
 
 
 def test_parse_mixed_and_dmy(spark):
