@@ -1,0 +1,115 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+The Spark-side contract is real and tested — schema, partition-friendly
+Arrow-batched UDFs, deterministic batch shapes. The actual codecs (PIL,
+torchaudio, pyav) are NOT in this container, so decode is stubbed:
+
+- `decoder="real"` raises NotImplementedError at the import boundary with a
+  clear message (swap in the library on a real cluster; the mapInPandas
+  plumbing is unchanged).
+- `decoder="fake"` produces a DETERMINISTIC payload derived from the bytes
+  (length + rolling checksum), so tests exercise the full distributed path.
+
+Scale notes: media bytes never leave executors (no collect); feature
+extraction is `mapInPandas` over Arrow batches, so one task holds only its
+partition's batch; binary columns should be stored in their own parquet
+column chunk (they are, by being a top-level column) so column pruning
+skips them for metadata-only queries.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType([
+    T.StructField("kind", T.StringType()),        # image | audio | video
+    T.StructField("mime", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+])
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("content", T.BinaryType()),
+    T.StructField("meta", MEDIA_META),
+])
+
+FEATURE_SCHEMA = "media_id long, n_bytes long, checksum long, feature array<float>"
+
+
+def _fake_feature(data: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in feature vector: seeded by the crc32 of bytes."""
+    seed = zlib.crc32(data)
+    out = []
+    x = seed or 1
+    for _ in range(dim):
+        x = (1103515245 * x + 12345) % (2 ** 31)
+        out.append((x / 2 ** 31) * 2.0 - 1.0)
+    return out
+
+
+def extract_features(media: DataFrame, dim: int = 16,
+                     decoder: str = "fake") -> DataFrame:
+    """Per-item feature extraction over Arrow batches (mapInPandas).
+
+    decoder="real" is the hook for an actual image/audio model; it fails
+    fast here because the codec libs aren't in this container.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "real decoders (PIL/torchaudio/pyav) are not available in this "
+            "container; use decoder='fake' — the Spark plumbing is identical")
+    if decoder != "fake":
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            data = pdf["content"]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "n_bytes": data.map(lambda b: len(b) if b is not None else 0),
+                "checksum": data.map(lambda b: zlib.crc32(b) if b is not None else 0),
+                "feature": data.map(lambda b: _fake_feature(b or b"", dim)),
+            })
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling PLAN: one row per sampled frame offset.
+
+    Pure column algebra (sequence + explode) — the decode of each frame is a
+    later mapInPandas over (media_id, frame_ms) rows. Items without duration
+    metadata yield no frames.
+    """
+    with_duration = media.filter(F.col("meta.duration_ms").isNotNull())
+    return with_duration.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("meta.duration_ms"),
+                       F.lit(every_ms).cast("long"))
+        ).alias("frame_ms"),
+    )
+
+
+def resize_plan(media: DataFrame, max_side: int = 512) -> DataFrame:
+    """Resize planning: compute target dims JVM-side; decode+resample is the
+    stubbed mapInPandas step. Items without dims pass through unchanged."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.when(
+        (w > max_side) | (h > max_side),
+        F.lit(max_side) / F.greatest(w, h)
+    ).otherwise(F.lit(1.0))
+    return media.select(
+        "media_id", "meta",
+        F.round(w * scale).cast("int").alias("target_width"),
+        F.round(h * scale).cast("int").alias("target_height"),
+    )

@@ -1,0 +1,143 @@
+"""Advanced / beyond-reference query surface: as-of join, streaming window,
+SimHash fingerprinting — each with a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_docker_spark.llm.dedup import simhash64
+from etl_docker_spark.operators.asof import asof_join_backward
+from etl_docker_spark.operators.dedup import dedup_first
+from etl_docker_spark.plans._util import t
+
+# ---------------------------------------------------------------- q23 as-of
+
+
+def q23_asof_last_order(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each event picks up the user's latest order at or before
+    the event time. Union+window encoding — one shuffle, no pair blowup."""
+    events = t(spark, sf, "events").select(
+        "event_id", F.col("user_id"), "ts", "event_type")
+    orders = t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate"),
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+    )
+    # unique right rows per (key, ts): highest orderkey wins (pinned winner)
+    orders_u = dedup_first(orders, ["user_id", "o_orderdate"], [F.desc("o_orderkey")])
+    out = asof_join_backward(
+        events, orders_u, on=["user_id"], left_ts="ts", right_ts="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"])
+    return out.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_order_total"),
+    )
+
+
+Q23_SQL = """
+WITH orders_u AS (
+  SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice
+  FROM orders
+  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                             ORDER BY o_orderkey DESC) = 1
+)
+SELECT e.event_id, e.user_id, e.ts, e.event_type,
+       o.o_orderkey AS last_orderkey,
+       o.o_totalprice AS last_order_total
+FROM events e
+ASOF LEFT JOIN orders_u o
+  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+"""
+
+# ---------------------------------------------------------------- s01 streaming
+
+
+def s01_stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling-window aggregation executed through Structured Streaming.
+
+    The events parquet is consumed as a STREAM (availableNow trigger), the
+    windowed aggregate runs through the streaming engine into a memory sink,
+    and the sink's table is returned. The oracle is the batch answer —
+    equality IS the exactly-once guarantee check.
+    """
+    from etl_docker_spark.streaming import tumbling_aggregate
+
+    raw_schema = ("event_id long, ts long, user_id long, event_type string, "
+                  "value double, props string")
+    # the file-stream source wants a directory; glob-filter to the one table
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf)
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    agg = tumbling_aggregate(
+        stream, "1 day",
+        {"n_events": F.count("*"),
+         "total_value": F.sum(F.col("value").cast("decimal(12,4)")).cast("double")},
+        keys=["event_type"], watermark="1 minute")
+    name = f"s01_sink_{abs(hash(sf)) % 10 ** 8}"
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
+S01_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS total_value
+FROM events
+GROUP BY date_trunc('day', ts), event_type
+"""
+
+# ---------------------------------------------------------------- d07 simhash
+
+
+def d07_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """64-bit SimHash per document (portable md5 bit source, §dedup)."""
+    docs = t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", simhash64(F.split(F.col("text"), " ")).alias("simhash"))
+
+
+D07_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5('0:' || tok), 1, 8) AS BIGINT) AS h0,
+         CAST('0x' || substring(md5('1:' || tok), 1, 8) AS BIGINT) AS h1
+  FROM toks
+),
+lanes AS (
+  SELECT doc_id, b.i AS i,
+         SUM(CASE WHEN ((h0 >> b.i) & 1) = 1 THEN 1 ELSE -1 END) AS cnt0,
+         SUM(CASE WHEN ((h1 >> b.i) & 1) = 1 THEN 1 ELSE -1 END) AS cnt1
+  FROM h, (SELECT unnest(generate_series(0, 31)) AS i) b
+  GROUP BY doc_id, b.i
+),
+bits AS (
+  SELECT doc_id,
+         CASE WHEN cnt0 > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END AS w0,
+         CASE WHEN cnt1 > 0 THEN
+           CASE WHEN i = 31 THEN CAST(-9223372036854775808 AS BIGINT)
+                ELSE (CAST(1 AS BIGINT) << (i + 32)) END
+         ELSE 0 END AS w1
+  FROM lanes
+)
+SELECT doc_id, CAST(SUM(w0) + SUM(w1) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+ADVANCED = {
+    "q23_asof_last_order": (q23_asof_last_order, Q23_SQL),
+    "s01_stream_tumbling": (s01_stream_tumbling, S01_SQL),
+    "d07_simhash": (d07_simhash, D07_SQL),
+}

@@ -1,0 +1,39 @@
+"""CDC merge for streams (the reference's cancellation-update pattern, K3,
+made continuous).
+
+`foreachBatch` gives exactly-once-per-epoch batch semantics; each micro-batch
+is upserted into the parquet target with the same latest-state-by-PK contract
+as operators.merge (idempotent on replay, so at-least-once delivery is safe).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from etl_docker_spark.operators.merge import merge_upsert_path
+
+
+def merge_stream_into(stream: DataFrame, path: str, keys: Sequence[str],
+                      order_by: Sequence[Column] | None = None,
+                      checkpoint: str | None = None,
+                      trigger_once: bool = True) -> StreamingQuery:
+    """Continuously MERGE a stream of updates into a parquet table."""
+    spark = stream.sparkSession
+
+    def upsert_batch(batch: DataFrame, epoch_id: int) -> None:
+        merge_upsert_path(spark, path, batch, keys, order_by)
+
+    writer = stream.writeStream.foreachBatch(upsert_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_parquet_source(spark: SparkSession, path: str, schema) -> DataFrame:
+    """File-based streaming source (one file per micro-batch by default)."""
+    return spark.readStream.schema(schema).parquet(path)
