@@ -1,0 +1,89 @@
+"""Physical-plan regression tests — the scale contract, checked.
+
+Correctness says WHAT a query returns; these assert HOW it executes:
+filters reach the parquet scan, projections prune columns, small dims
+broadcast (no fact shuffle), aggregations are partial. A regression here
+is invisible at sf0.01 and catastrophic at 100 TB.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from etl_docker_spark.plans import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def formatted_plan(spark, name: str) -> str:
+    df = QUERIES[name].builder(spark, SF_SMOKE)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+
+def scan_read_schemas(plan: str) -> list[str]:
+    return re.findall(r"ReadSchema: (struct<[^>]*>)", plan)
+
+
+def tree_ops(plan: str) -> list[str]:
+    """Operator names from the numbered detail headers (each appears once)."""
+    return re.findall(r"^\(\d+\) (\w+)", plan, flags=re.MULTILINE)
+
+
+def test_q06_filter_pushdown(spark):
+    plan = formatted_plan(spark, "q06_discount_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in plan   # date window pushed to scan
+    assert "LessThan(l_quantity" in plan
+    schemas = scan_read_schemas(plan)
+    # column pruning: exactly the 4 needed lineitem columns are read
+    assert any(s.count(":") == 4 and "l_discount" in s for s in schemas), schemas
+
+
+def test_q02_broadcasts_dims(spark):
+    plan = formatted_plan(spark, "q02_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    # the region/nation/customer chain must not shuffle the lineitem side
+    assert "SortMergeJoin" not in plan
+
+
+def test_q20_two_broadcast_hops_no_shuffle_join(spark):
+    plan = formatted_plan(spark, "q20_supplier_nation_revenue")
+    assert tree_ops(plan).count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # lineitem scan pruned to join key + the two money columns
+    schemas = scan_read_schemas(plan)
+    assert any(s == "struct<l_suppkey:bigint,l_extendedprice:double,l_discount:double>"
+               for s in schemas), schemas
+
+
+def test_q01_partial_aggregation(spark):
+    ops = tree_ops(formatted_plan(spark, "q01_pricing_summary"))
+    # partial (map-side) agg before the single exchange, final after
+    assert ops.count("HashAggregate") == 2
+    assert ops.count("Exchange") == 1
+
+
+def test_q14_single_window_shuffle(spark):
+    ops = tree_ops(formatted_plan(spark, "q14_running_spend"))
+    assert "Window" in ops
+    assert ops.count("Exchange") == 1  # one shuffle on the partition key
+
+
+def test_d01_narrow_dedup_shuffle(spark):
+    plan = formatted_plan(spark, "d01_exact_dedup")
+    # shuffle rows are (digest, id), never the document text
+    assert re.search(r"hashpartitioning\(fp", plan), plan[:500]
+
+
+def test_no_cartesian_products(spark):
+    for name in ("d06_minhash_pairs", "e02_bucketed_near_dup", "q23_asof_last_order"):
+        plan = formatted_plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize("name", ["q04_priority_with_returns", "q05_customers_without_orders"])
+def test_semi_anti_stay_joins(spark, name):
+    plan = formatted_plan(spark, name)
+    # membership tests must be joins, not collected driver-side IN lists
+    assert "Join" in plan
