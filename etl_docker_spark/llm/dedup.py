@@ -98,14 +98,25 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     (candidates) -> exact verification on the shingle sets.
     """
     rows = num_hashes // bands
+    # hashing is CPU-bound per row; a small input file arrives as ONE
+    # partition, so fan out to the cluster's parallelism first (cheap: the
+    # shuffle moves ids+text once, before any signature work)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     toks = F.split(F.col(text_col), " ")
     base = df.select(
         F.col(id_col).alias("doc"),
         shingles_of(toks, shingle_n).alias("sh"),
     )
-    hashed = base.select(
-        "doc", "sh", F.transform(F.col("sh"), _base_hash).alias("hh"))
-    sig = hashed.select("doc", *minhash_signature(F.col("hh"), num_hashes))
+    # signature via explode + 16 partial-aggregated MINs: every expression
+    # stays inside whole-stage codegen (the array-lambda formulation of
+    # minhash_signature evaluates interpreted, ~5x slower on a corpus pass)
+    exploded = base.select("doc", F.explode("sh").alias("s"))
+    hashed = exploded.select("doc", _base_hash(F.col("s")).alias("h"))
+    sig = hashed.groupBy("doc").agg(*[
+        F.min((F.lit(MINHASH_COEFFS[j][0]) * F.col("h") + F.lit(MINHASH_COEFFS[j][1]))
+              % F.lit(MINHASH_P)).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ])
 
     band_structs = F.array(*[
         F.struct(
@@ -139,6 +150,39 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         )
     )
     return verified.filter(F.lit(2) * F.col("inter_n") >= F.col("union_n"))
+
+
+def simhash_table(df: "DataFrame", id_col: str, text_col: str,
+                  sep: str = " ") -> "DataFrame":
+    """SimHash at scale: (id, simhash BIGINT) for every document.
+
+    The per-row array-fold variant (`simhash64`) evaluates a 64-lane lambda
+    per token OUTSIDE whole-stage codegen — fine for ad-hoc columns, ~10x
+    too slow for a corpus pass. This path stays fully codegen'd:
+    explode tokens -> two md5 hashes per token -> 64 conditional SUMs in one
+    partial-aggregated groupBy -> assemble the word from the lane signs.
+    Identical output to simhash64 (same hashes, same lane rule).
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.col(text_col), sep)).alias("tok"))
+    hashed = toks.select(
+        "__id", _hash32(0, F.col("tok")).alias("h0"), _hash32(1, F.col("tok")).alias("h1"))
+    lane_sums = [
+        F.sum(F.when(F.col("h0").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1))
+        .alias(f"c{i}") for i in range(32)
+    ] + [
+        F.sum(F.when(F.col("h1").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1))
+        .alias(f"c{i + 32}") for i in range(32)
+    ]
+    agg = hashed.groupBy("__id").agg(*lane_sums)
+    word = None
+    for i in range(64):
+        term = (F.when(F.col(f"c{i}") > 0,
+                       F.lit(-(2 ** 63) if i == 63 else (1 << i)).cast("long"))
+                .otherwise(F.lit(0).cast("long")))
+        word = term if word is None else word + term
+    return agg.select(F.col("__id").alias(id_col), word.alias("simhash"))
 
 
 def simhash64(tokens: Column) -> Column:

@@ -46,7 +46,9 @@ def brute_force_knn(corpus: DataFrame, queries: DataFrame, k: int,
     neighbor id so results are total-ordered and reproducible.
     """
     # norms are folded ONCE per row before the join — the pair loop then does
-    # a single dot product instead of three
+    # a single dot product instead of three; corpus fans out first so the
+    # dot-product work parallelizes even from a single-file scan
+    corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
                        norm2_expr(F.col(vec_col)).alias("qn2"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
@@ -84,6 +86,7 @@ def bucketed_near_dup_pairs(corpus: DataFrame, threshold: float,
     Pairs are only compared within the same coarse bucket (recall<1 by
     design — the documented ANN trade). Output: (id_a, id_b, cosine).
     """
+    corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     e = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         norm2_expr(F.col(vec_col)).alias("n2"),

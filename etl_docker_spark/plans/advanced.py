@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_docker_spark.llm.dedup import simhash64
+from etl_docker_spark.llm.dedup import simhash_table
 from etl_docker_spark.operators.asof import asof_join_backward
 from etl_docker_spark.operators.dedup import dedup_first
 from etl_docker_spark.plans._util import t
@@ -100,10 +100,15 @@ GROUP BY date_trunc('day', ts), event_type
 
 
 def d07_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """64-bit SimHash per document (portable md5 bit source, §dedup)."""
+    """64-bit SimHash per document (portable md5 bit source, §dedup).
+
+    Uses the codegen-friendly explode+aggregate path (simhash_table); the
+    column-expression variant (simhash64) computes the same value but folds
+    a 64-lane lambda per token — 10x slower on a corpus pass.
+    """
     docs = t(spark, sf, "documents")
-    return docs.select(
-        "doc_id", simhash64(F.split(F.col("text"), " ")).alias("simhash"))
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)  # CPU fan-out
+    return simhash_table(docs, "doc_id", "text")
 
 
 D07_SQL = """

@@ -50,6 +50,10 @@ def test_simhash_similar_vs_different(spark):
     # deterministic
     rows2 = df.select("doc_id", simhash64(F.split("text", " ")).alias("h")).collect()
     assert {r.doc_id: r.h for r in rows2} == h
+    # the scale path (explode+aggregate) computes the identical fingerprint
+    from etl_docker_spark.llm import simhash_table
+    fast = {r.doc_id: r.simhash for r in simhash_table(df, "doc_id", "text").collect()}
+    assert fast == h
 
 
 def test_knn_ranks_by_cosine(spark):
