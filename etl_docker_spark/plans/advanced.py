@@ -11,6 +11,7 @@ from etl_docker_spark.llm.dedup import simhash_table
 from etl_docker_spark.operators.asof import asof_join_backward
 from etl_docker_spark.operators.dedup import dedup_first
 from etl_docker_spark.plans._util import t
+from etl_docker_spark.plans.llm_queries import _DOT
 
 # ---------------------------------------------------------------- q23 as-of
 
@@ -141,8 +142,112 @@ SELECT doc_id, CAST(SUM(w0) + SUM(w1) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """
 
+# ---------------------------------------------------------------- q24 cube
+
+
+def q24_cube_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE grouping sets (free in Spark; absent in the reference)."""
+    from etl_docker_spark.plans._util import dsum
+
+    return (
+        t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n_lines"))
+    )
+
+
+Q24_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_lines
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+# ---------------------------------------------------------------- q25 unpivot
+
+
+def q25_unpivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot (stack): wide metrics -> long (metric, value) rows."""
+    return t(spark, sf, "customer").selectExpr(
+        "c_custkey",
+        "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) "
+        "AS (metric, value)",
+    )
+
+
+Q25_SQL = """
+SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+UNION ALL
+SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value FROM customer
+"""
+
+# ---------------------------------------------------------------- e03 recall
+
+
+def e03_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN quality measurement: how many exact top-5 neighbors the IVF
+    bucketing (same floor-grid as e02) retains per query — the recall side
+    of the speed/recall trade, computed inside the engine."""
+    from etl_docker_spark.llm.similarity import brute_force_knn, bucket_expr
+
+    emb = t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = brute_force_knn(emb, queries, k=5).select("query_id", "neighbor_id")
+
+    bucketed = emb.select(
+        F.col("vec_id"),
+        bucket_expr(F.col("embedding"), 1).alias("b1"),
+        bucket_expr(F.col("embedding"), 2).alias("b2"),
+    )
+    qb = (bucketed.filter(F.col("vec_id") < 8)
+          .select(F.col("vec_id").alias("query_id"), "b1", "b2"))
+    cand = (qb.join(bucketed.withColumnRenamed("vec_id", "neighbor_id"), ["b1", "b2"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id"))
+    hits = exact.join(cand, ["query_id", "neighbor_id"], "left_semi")
+    return (exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+            .join(hits.groupBy("query_id").agg(F.count("*").alias("n_hits")),
+                  "query_id", "left")
+            .select("query_id", "n_exact",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits")))
+
+
+E03_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_DOT.format(a='q.qv', b='e.embedding')}
+           / sqrt({_DOT.format(a='q.qv', b='q.qv')} * {_DOT.format(a='e.embedding', b='e.embedding')}) AS cos_raw
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM scored
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) <= 5
+),
+b AS (
+  SELECT vec_id,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) * 4) AS BIGINT) AS b1,
+         CAST(floor(CAST(embedding[2] AS DOUBLE) * 4) AS BIGINT) AS b2
+  FROM embeddings
+),
+cand AS (
+  SELECT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+  FROM b qb JOIN b nb ON qb.b1 = nb.b1 AND qb.b2 = nb.b2 AND qb.vec_id <> nb.vec_id
+  WHERE qb.vec_id < 8
+)
+SELECT e.query_id, COUNT(*) AS n_exact,
+       CAST(SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+FROM exact e
+LEFT JOIN cand c ON e.query_id = c.query_id AND e.neighbor_id = c.neighbor_id
+GROUP BY e.query_id
+"""
+
 ADVANCED = {
     "q23_asof_last_order": (q23_asof_last_order, Q23_SQL),
     "s01_stream_tumbling": (s01_stream_tumbling, S01_SQL),
     "d07_simhash": (d07_simhash, D07_SQL),
+    "q24_cube_totals": (q24_cube_totals, Q24_SQL),
+    "q25_unpivot_metrics": (q25_unpivot_metrics, Q25_SQL),
+    "e03_ann_recall": (e03_ann_recall, E03_SQL),
 }
