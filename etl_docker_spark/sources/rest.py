@@ -57,6 +57,18 @@ class RestEndpoint:
     param_fn: Callable[[Mapping], Mapping[str, str]] = lambda p: {k: str(v) for k, v in p.items()}
 
 
+def get_one(spark: SparkSession, endpoint: RestEndpoint, fetch: FetchFn,
+            entity_id, predicates: Mapping | None = None) -> DataFrame:
+    """S2: single-record GET (`/{id}/`) as a one-row DataFrame.
+
+    A client convenience, not an engine operator (the reference has ~10 of
+    these, API_IPN.py:141-170 et al.); the id rides along as a param."""
+    params = dict(endpoint.param_fn(predicates or {}))
+    params["id"] = str(entity_id)
+    rows = fetch(0, params)
+    return spark.createDataFrame(rows[:1], schema=endpoint.schema)  # type: ignore[arg-type]
+
+
 def paginated_read_driver(spark: SparkSession, endpoint: RestEndpoint,
                           fetch: FetchFn, predicates: Mapping | None = None) -> DataFrame:
     """Small-result path: sequential driver-side page loop (the reference's

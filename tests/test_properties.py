@@ -1,0 +1,99 @@
+"""Property tests (SURVEY.md §5.4): the invariants the reference encodes
+implicitly, checked over randomized inputs.
+
+Each property generates a randomized batch of documents (one DataFrame per
+example — examples kept low because a Spark round-trip is ~1s).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_docker_spark import schemas
+from etl_docker_spark.operators import merge_upsert
+from etl_docker_spark.pipelines.sales_documents import (
+    CREDIT_NOTE_TYPES,
+    sales_document_tables,
+)
+
+SETTINGS = settings(max_examples=5, deadline=None,
+                    suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+amounts = st.floats(min_value=0.01, max_value=10_000,
+                    allow_nan=False, allow_infinity=False)
+
+
+@st.composite
+def sale_docs(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    docs = []
+    for i in range(n):
+        itype = draw(st.sampled_from([1, 2, 3, 5, 6] + list(CREDIT_NOTE_TYPES)))
+        n_items = draw(st.integers(min_value=0, max_value=4))
+        items = [{
+            "DetailID": i * 100 + j, "SaleID": i, "ItemID": draw(st.integers(1, 50)),
+            "UnitPrice": draw(amounts), "UnitQty": draw(st.floats(0.5, 20)),
+            "UnitDiscount": 0.0, "UnitSubTotal": draw(amounts),
+            "UnitCost": draw(amounts),
+        } for j in range(n_items)]
+        pay_ids = draw(st.lists(st.integers(0, 6), min_size=0, max_size=4))
+        payments = [{
+            "PaymentID": i * 100 + p, "PaymentMethodID": 1, "SaleID": i,
+            "PaymentAmt": draw(amounts), "PaymentsQty": 1, "RechargeAmt": 0.0,
+            "CCAuthCode": "", "MP_PaymentID": None, "MP_ExternalReference": None,
+        } for p in pay_ids]
+        docs.append({
+            "SaleID": i, "InvoiceNumberChr": f"0001-{i:08d}", "InvoiceType": itype,
+            "CompanyID": 1, "StoreID": 1, "InvoiceDate": "2024-03-01T10:00:00",
+            "InvoiceTimeChr": None, "Neto": draw(amounts), "DiscountAmt": draw(amounts),
+            "GeneralDiscountAmt": draw(amounts), "NetoFinal": draw(amounts),
+            "IVAAmt": 0.0, "RechargeAmt": 0.0, "InvoiceTotal": draw(amounts),
+            "CustomerCode": "C", "SalesOrderNumber": None,
+            "Items": items, "Payments": payments,
+        })
+    return docs
+
+
+@SETTINGS
+@given(docs=sale_docs())
+def test_credit_note_sign_invariant(spark, docs):
+    """Credit-note detail quantities/costs <= 0; sale rows stay positive."""
+    nested = spark.createDataFrame(docs, schemas.SALES_DOCUMENT)
+    out = sales_document_tables(nested)
+    details = out["CARGA_VENTAS_DETALLE"]
+    credit = {d["SaleID"] for d in docs if d["InvoiceType"] in CREDIT_NOTE_TYPES}
+    for r in details.collect():
+        if r.ID_VENTA in credit:
+            assert r.CANTIDAD_VENTA <= 0 and r.COSTO_NETO <= 0
+        else:
+            assert r.CANTIDAD_VENTA >= 0 and r.COSTO_NETO >= 0
+
+
+@SETTINGS
+@given(docs=sale_docs())
+def test_header_detail_payment_counts(spark, docs):
+    """Explode conservation: one detail row per item; payments unique by PK."""
+    nested = spark.createDataFrame(docs, schemas.SALES_DOCUMENT)
+    out = sales_document_tables(nested)
+    assert out["VENTAS"].count() == len(docs)
+    assert out["CARGA_VENTAS_DETALLE"].count() == sum(len(d["Items"]) for d in docs)
+    pay = out["VENTAS_METODOS_PAGO"]
+    ids = [r.ID_VENTA_METODO_PAGO for r in pay.collect()]
+    assert len(ids) == len(set(ids))  # PK protected (A4)
+    distinct_in = len({(p["PaymentID"]) for d in docs for p in d["Payments"]})
+    assert len(ids) == distinct_in
+
+
+@SETTINGS
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 5), st.text(min_size=1, max_size=3), st.integers(0, 9)),
+    min_size=1, max_size=15))
+def test_merge_upsert_idempotent(spark, rows):
+    """Re-running a load window changes nothing (the staging/MERGE contract)."""
+    target = spark.createDataFrame([(99, "base", -1)], "k long, v string, ver int")
+    updates = spark.createDataFrame(rows, "k long, v string, ver int")
+    once = merge_upsert(target, updates, ["k"], order_by=[F.desc("ver"), F.desc("v")])
+    twice = merge_upsert(once, updates, ["k"], order_by=[F.desc("ver"), F.desc("v")])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
