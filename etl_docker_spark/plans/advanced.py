@@ -243,11 +243,44 @@ LEFT JOIN cand c ON e.query_id = c.query_id AND e.neighbor_id = c.neighbor_id
 GROUP BY e.query_id
 """
 
+# ---------------------------------------------------------------- q26 windows
+
+
+def q26_window_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Window-function battery (§2.6 extension): lag/lead/first/ntile over a
+    total order — one shuffle on the partition key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_total"),
+        F.lead("o_totalprice").over(w).alias("next_total"),
+        F.first("o_totalprice").over(w).alias("first_total"),
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.count("*").over(w.rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)).alias("order_seq"),
+    )
+
+
+Q26_SQL = """
+SELECT o_custkey, o_orderkey,
+       lag(o_totalprice)  OVER w AS prev_total,
+       lead(o_totalprice) OVER w AS next_total,
+       first_value(o_totalprice) OVER w AS first_total,
+       CAST(ntile(4) OVER w AS INT) AS spend_quartile,
+       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS order_seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
 ADVANCED = {
     "q23_asof_last_order": (q23_asof_last_order, Q23_SQL),
     "s01_stream_tumbling": (s01_stream_tumbling, S01_SQL),
     "d07_simhash": (d07_simhash, D07_SQL),
     "q24_cube_totals": (q24_cube_totals, Q24_SQL),
     "q25_unpivot_metrics": (q25_unpivot_metrics, Q25_SQL),
+    "q26_window_battery": (q26_window_battery, Q26_SQL),
     "e03_ann_recall": (e03_ann_recall, E03_SQL),
 }
