@@ -11,7 +11,7 @@ from etl_docker_spark.llm.dedup import simhash_table
 from etl_docker_spark.operators.asof import asof_join_backward
 from etl_docker_spark.operators.dedup import dedup_first
 from etl_docker_spark.plans._util import t
-from etl_docker_spark.plans.llm_queries import _DOT
+from etl_docker_spark.plans.llm_queries import _DOT, D06_SQL
 
 # ---------------------------------------------------------------- q23 as-of
 
@@ -243,6 +243,120 @@ LEFT JOIN cand c ON e.query_id = c.query_id AND e.neighbor_id = c.neighbor_id
 GROUP BY e.query_id
 """
 
+# ---------------------------------------------------------------- s02 sessions
+
+
+def s02_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful session windows executed through Structured Streaming.
+
+    `session_window(ts, 30 min)` per user; the oracle derives the same
+    sessions with lag+cumsum (session_end here is last event + gap, per
+    Spark's session_window semantics).
+    """
+    from etl_docker_spark.streaming import session_aggregate
+
+    raw_schema = ("event_id long, ts long, user_id long, event_type string, "
+                  "value double, props string")
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf)
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    agg = session_aggregate(
+        stream, "30 minutes",
+        {"n_events": F.count("*"),
+         "total_value": F.sum(F.col("value").cast("decimal(12,4)")).cast("double")},
+        keys=["user_id"], watermark="1 minute")
+    name = f"s02_sink_{abs(hash(sf)) % 10 ** 8}"
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
+S02_SQL = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM g
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       user_id,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, sess
+"""
+
+# ---------------------------------------------------------------- d08 clusters
+
+
+def d08_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    pair graph via min-label propagation (iterative; converges in
+    O(log(diameter)) rounds — component diameters here are tiny).
+
+    Output: (doc_id, cluster_id) for every doc in at least one pair,
+    cluster_id = min doc_id of its component.
+    """
+    from etl_docker_spark.llm import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(t(spark, sf, "documents"), "doc_id", "text")
+    edges = (pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+             .unionByName(pairs.select(F.col("doc_b").alias("a"),
+                                       F.col("doc_a").alias("b"))))
+    edges = edges.localCheckpoint()  # freeze: the graph is reused every round
+    labels = (edges.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(6):  # 2^6 hops >> any component diameter in this corpus
+        neigh = (edges.join(labels, edges["b"] == labels["node"])
+                 .groupBy(F.col("a").alias("node2"))
+                 .agg(F.min("label").alias("nlabel")))
+        new = (labels.join(neigh, labels["node"] == neigh["node2"], "left")
+               .select("node",
+                       F.least(F.col("label"),
+                               F.coalesce("nlabel", F.col("label"))).alias("label")))
+        new = new.localCheckpoint()  # cut the growing lineage per round
+        changed = (new.select("node", F.col("label").alias("l_new"))
+                   .join(labels.select("node", F.col("label").alias("l_old")), "node")
+                   .filter(F.col("l_new") != F.col("l_old")))
+        converged = changed.isEmpty()
+        labels = new
+        if converged:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+# the D06 pipeline (same CTEs) + recursive reachability for components
+_D06_BODY = D06_SQL.strip().removeprefix("WITH").rsplit("SELECT doc_a, doc_b,", 1)[0]
+D08_SQL = f"""
+WITH RECURSIVE {_D06_BODY}
+, pairs AS (
+  SELECT doc_a, doc_b FROM ver WHERE 2 * inter_n >= total_n - inter_n
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a AS node, b AS other FROM edges
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON r.other = e.a
+)
+SELECT node AS doc_id, LEAST(node, MIN(other)) AS cluster_id
+FROM reach GROUP BY node
+"""
+
 # ---------------------------------------------------------------- q26 windows
 
 
@@ -283,4 +397,6 @@ ADVANCED = {
     "q25_unpivot_metrics": (q25_unpivot_metrics, Q25_SQL),
     "q26_window_battery": (q26_window_battery, Q26_SQL),
     "e03_ann_recall": (e03_ann_recall, E03_SQL),
+    "s02_stream_sessions": (s02_stream_sessions, S02_SQL),
+    "d08_dup_clusters": (d08_dup_clusters, D08_SQL),
 }
