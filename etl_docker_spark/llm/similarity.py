@@ -78,6 +78,42 @@ def bucket_expr(vec: Column, dim: int, scale: float = 4.0) -> Column:
     return F.floor(F.element_at(vec, dim).cast("double") * scale).cast("long")
 
 
+def bucketed_knn(corpus: DataFrame, queries: DataFrame, k: int,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 dims: tuple[int, int] = (1, 2), scale: float = 4.0) -> DataFrame:
+    """IVF-style approximate top-k: candidates share the query's coarse
+    bucket; exact cosine ranks within candidates.
+
+    The scale path for ANN: cost tracks bucket occupancy, not corpus size.
+    Recall < 1 by design (e03_ann_recall measures it); a real deployment
+    would probe the R nearest buckets — the floor-grid keeps this
+    deterministic and oracle-checkable.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm2_expr(F.col(vec_col)).alias("cn2"),
+        bucket_expr(F.col(vec_col), dims[0], scale).alias("b1"),
+        bucket_expr(F.col(vec_col), dims[1], scale).alias("b2"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm2_expr(F.col(vec_col)).alias("qn2"),
+        bucket_expr(F.col(vec_col), dims[0], scale).alias("b1"),
+        bucket_expr(F.col(vec_col), dims[1], scale).alias("b2"),
+    )
+    scored = (
+        c.join(F.broadcast(q), ["b1", "b2"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                (dot_expr(F.col("qv"), F.col("cv"))
+                 / F.sqrt(F.col("qn2") * F.col("cn2"))).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", F.round("cosine", 8).alias("cosine"), "rank"))
+
+
 def bucketed_near_dup_pairs(corpus: DataFrame, threshold: float,
                             id_col: str = "vec_id", vec_col: str = "embedding",
                             dims: tuple[int, int] = (1, 2), scale: float = 4.0) -> DataFrame:

@@ -56,6 +56,27 @@ def test_simhash_similar_vs_different(spark):
     assert fast == h
 
 
+def test_bucketed_knn_subset_of_exact(spark):
+    from etl_docker_spark.llm.similarity import bucketed_knn
+
+    import random
+    rnd = random.Random(7)
+    vecs = [(i, [rnd.uniform(-0.3, 0.3) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 3")
+    exact = brute_force_knn(df, q, k=5)
+    approx = bucketed_knn(df, q, k=5)
+    # approximate neighbors rank by true cosine; hits are a subset of
+    # in-bucket candidates, and any (query, neighbor) it returns scores
+    # identically to the exact computation
+    ex = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    for r in approx.collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in ex:
+            assert abs(ex[key] - r.cosine) < 1e-12
+    assert approx.count() > 0
+
+
 def test_knn_ranks_by_cosine(spark):
     vecs = [
         (0, [1.0, 0.0, 0.0]),
