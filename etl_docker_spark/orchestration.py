@@ -118,6 +118,14 @@ class Bookmarks:
             return date_window(run_date)
         return last + dt.timedelta(days=1), run_date - dt.timedelta(days=1)
 
+    def next_window_or_none(self, job: str,
+                            run_date: dt.date | None = None) -> tuple[dt.date, dt.date] | None:
+        """Like next_window, but returns None when the job is caught up —
+        the safe API for callers that would otherwise send a reversed date
+        range to a source."""
+        start, end = self.next_window(job, run_date)
+        return None if start > end else (start, end)
+
     def advance(self, job: str, window_end: dt.date) -> None:
         df = self.ctx.spark.createDataFrame(
             [(job, window_end)], "job string, window_end date")
