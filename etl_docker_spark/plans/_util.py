@@ -40,4 +40,14 @@ def dsum(col: Column | str) -> Column:
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     return load_table(spark, sf_dir, name)
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make queries self-sufficient on a FOREIGN SparkSession (the external
+    driver builds its own): nanos-parquet reads and UTC timestamp rendering
+    are runtime-settable confs, so pin them here rather than assuming the
+    session came from our factory."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
