@@ -266,6 +266,40 @@ SELECT id_a, id_b, round(cos_raw, 8) AS cosine
 FROM pairs WHERE cos_raw >= 0.4
 """
 
+# ---------------------------------------------------------------- d09
+
+
+def d09_token_rarity(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-pass corpus statistics: global term frequencies joined back onto
+    documents — the rare-token-filtering primitive of a training pipeline.
+
+    Pass 1 aggregates corpus TF; pass 2 re-joins it to each document's
+    tokens. All outputs are integer-exact (BIGINT), so the oracle matches
+    without float sum-order concerns.
+    """
+    docs = t(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    joined = toks.join(tf, "tok")
+    return (joined.groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.min("tf").alias("min_tf"),
+                 F.max("tf").alias("max_tf"),
+                 F.sum("tf").alias("sum_tf")))
+
+
+D09_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       MIN(tf.tf) AS min_tf, MAX(tf.tf) AS max_tf,
+       CAST(SUM(tf.tf) AS BIGINT) AS sum_tf
+FROM toks JOIN tf ON toks.tok = tf.tok
+GROUP BY doc_id
+"""
+
 LLM_QUERIES = {
     "d01_exact_dedup": (d01_exact_dedup, D01_SQL),
     "d02_token_stats": (d02_token_stats, D02_SQL),
@@ -273,6 +307,7 @@ LLM_QUERIES = {
     "d04_lang_confusion": (d04_lang_confusion, D04_SQL),
     "d05_doc_fingerprints": (d05_doc_fingerprints, D05_SQL),
     "d06_minhash_pairs": (d06_minhash_pairs, D06_SQL),
+    "d09_token_rarity": (d09_token_rarity, D09_SQL),
     "e01_knn_bruteforce": (e01_knn_bruteforce, E01_SQL),
     "e02_bucketed_near_dup": (e02_bucketed_near_dup, E02_SQL),
 }

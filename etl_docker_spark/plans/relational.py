@@ -161,17 +161,24 @@ GROUP BY o_orderpriority
 
 
 def q05_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
-    """Anti join (P11): the reference's loop-delete as one left_anti."""
+    """Anti join (P11): the reference's loop-delete as one left_anti.
+
+    Restricted to pre-1996 orders so the result is NON-EMPTY at every sf —
+    an anti-join gate that always returns zero rows would verify nothing.
+    """
     cust = t(spark, sf, "customer")
-    orders = t(spark, sf, "orders").withColumnRenamed("o_custkey", "c_custkey")
-    return (anti_join(cust, orders, on=["c_custkey"])
+    early = (t(spark, sf, "orders")
+             .filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+             .withColumnRenamed("o_custkey", "c_custkey"))
+    return (anti_join(cust, early, on=["c_custkey"])
             .groupBy("c_mktsegment").agg(F.count("*").alias("n_customers")))
 
 
 Q05_SQL = """
 SELECT c_mktsegment, COUNT(*) AS n_customers
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate < TIMESTAMP '1996-01-01')
 GROUP BY c_mktsegment
 """
 
