@@ -389,6 +389,41 @@ FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
+# ---------------------------------------------------------------- s03 stateful
+
+
+def s03_stateful_running_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) under the gate.
+
+    Per-user totals accumulated in the streaming STATE STORE over the whole
+    events table; the surfaced columns are the integer-exact ones
+    (event counts — float totals are dropped because pandas-side summation
+    order is nondeterministic), so the batch GROUP BY is a full oracle:
+    equality proves the state store saw every event exactly once.
+    """
+    from etl_docker_spark.streaming.stateful import running_user_totals
+
+    raw_schema = ("event_id long, ts long, user_id long, event_type string, "
+                  "value double, props string")
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf)
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    out = running_user_totals(stream.select("user_id", "ts", "value"))
+    name = f"s03_sink_{abs(hash(sf)) % 10 ** 8}"
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    # update-mode sink: keep the final state row per user
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (spark.table(name)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "n_events"))
+
+
 ADVANCED = {
     "q23_asof_last_order": (q23_asof_last_order, Q23_SQL),
     "s01_stream_tumbling": (s01_stream_tumbling, S01_SQL),
@@ -398,5 +433,8 @@ ADVANCED = {
     "q26_window_battery": (q26_window_battery, Q26_SQL),
     "e03_ann_recall": (e03_ann_recall, E03_SQL),
     "s02_stream_sessions": (s02_stream_sessions, S02_SQL),
+    "s03_stateful_running_totals": (
+        s03_stateful_running_totals,
+        "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id"),
     "d08_dup_clusters": (d08_dup_clusters, D08_SQL),
 }
