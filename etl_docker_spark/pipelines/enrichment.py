@@ -100,6 +100,68 @@ def sucursal_two_hop(df: DataFrame, sucursales: DataFrame, campo_desc: str) -> D
     return two_hop_enrich(df, hop1, [campo_desc], hop2, ["CODIGO_SUCURSAL"], how="left")
 
 
+def _map_lookup(df: DataFrame, dim: DataFrame, desc_col_in_dim: str,
+                code_col: str, nombre_campo: str, keep_input: bool = False) -> DataFrame:
+    """The `.map(dict)` left-lookup shape shared by the J4 family: unmatched
+    descriptions yield NULL codes; the description column is dropped.
+
+    Caveat vs the reference: `.map(dict)` silently collapses DUPLICATE dim
+    descriptions (dict insertion order picks the winner) while a join
+    multiplies rows. Dimension descriptions are unique in practice (PK'd
+    tables); if a dim ever isn't, dedup it before the lookup.
+    """
+    dim2 = dim.select(F.col(desc_col_in_dim).alias(nombre_campo), code_col)
+    out = enrich(df, dim2, on=[nombre_campo], how="left")
+    return out if keep_input else out.drop(nombre_campo)
+
+
+def id_precios_lista(df: DataFrame, precios_lista: DataFrame,
+                     nombre_campo: str) -> DataFrame:
+    """J4 (:11-27): price-list description -> ID_PRECIOS_LISTA."""
+    return _map_lookup(df, precios_lista, "PRECIOS_LISTA_DESCRIPCION",
+                       "ID_PRECIOS_LISTA", nombre_campo)
+
+
+def codigo_sucursal(df: DataFrame, sucursales: DataFrame,
+                    nombre_campo: str) -> DataFrame:
+    """J5 (:28-46): branch description -> (CODIGO_SUCURSAL, ID_RAZON_SOCIAL),
+    the two-hop desc->code->company map (keeps the description column,
+    matching the reference)."""
+    return sucursal_two_hop(df, sucursales, nombre_campo)
+
+
+def id_comprobante_tipo(df: DataFrame, comprobante_tipo: DataFrame,
+                        nombre_campo: str) -> DataFrame:
+    """J4 (:94-111): invoice-type description -> ID_COMPROBANTE_TIPO."""
+    return _map_lookup(df, comprobante_tipo, "DESCRIPCION_COMPROBANTE_TIPO",
+                       "ID_COMPROBANTE_TIPO", nombre_campo)
+
+
+def codigo_sucursal_desde_pv(df: DataFrame, puntos_venta: DataFrame) -> DataFrame:
+    """J5 (:112-135): point-of-sale -> sucursal -> company, two chained
+    broadcast joins (the reference's double loop-assign with int casts)."""
+    hop1 = puntos_venta.select("CODIGO_PUNTO_VENTA", "CODIGO_SUCURSAL")
+    hop2 = puntos_venta.select("CODIGO_SUCURSAL", "ID_RAZON_SOCIAL").distinct()
+    out = two_hop_enrich(df, hop1, ["CODIGO_PUNTO_VENTA"], hop2,
+                         ["CODIGO_SUCURSAL"], how="left")
+    return out.withColumn("CODIGO_SUCURSAL", F.col("CODIGO_SUCURSAL").cast("int")) \
+              .withColumn("ID_RAZON_SOCIAL", F.col("ID_RAZON_SOCIAL").cast("int"))
+
+
+def codigo_razon_social(df: DataFrame, razon_social: DataFrame,
+                        nombre_campo: str) -> DataFrame:
+    """J4 (:159-175): company description -> ID_RAZON_SOCIAL."""
+    return _map_lookup(df, razon_social, "RAZON_SOCIAL_DESCRIPCION",
+                       "ID_RAZON_SOCIAL", nombre_campo)
+
+
+def codigo_comprador(df: DataFrame, compradores: DataFrame,
+                     nombre_campo: str) -> DataFrame:
+    """J2 (:136-153): buyer description -> CODIGO_COMPRADOR."""
+    return _map_lookup(df, compradores, "DESCRIPCION_COMPRADOR",
+                       "CODIGO_COMPRADOR", nombre_campo)
+
+
 def fix_client_code(df: DataFrame, col: str = "ID_CLIENTE") -> DataFrame:
     """F3 (:154-158): prefix '000' unless the code contains 'CLI'."""
     return df.withColumn(col, prefix_pad_unless_contains(col, "000", "CLI"))

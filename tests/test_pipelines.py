@@ -373,6 +373,26 @@ def test_enrichment_lookups(spark):
     assert rz == {"0001-99": 1, "0014-11": 2}
 
 
+def test_named_map_lookups(spark):
+    pl = spark.createDataFrame([(4, "Mayorista")],
+                               "ID_PRECIOS_LISTA int, PRECIOS_LISTA_DESCRIPCION string")
+    df = spark.createDataFrame([("Mayorista",), ("Otra",)], "lista string")
+    out = {r.ID_PRECIOS_LISTA for r in enr.id_precios_lista(df, pl, "lista").collect()}
+    assert out == {4, None}  # unmatched -> NULL (left .map semantics)
+
+    pv = spark.createDataFrame([(1, 10, 2)],
+                               "CODIGO_PUNTO_VENTA int, CODIGO_SUCURSAL int, ID_RAZON_SOCIAL int")
+    sales = spark.createDataFrame([(1,)], "CODIGO_PUNTO_VENTA int")
+    r = enr.codigo_sucursal_desde_pv(sales, pv).first()
+    assert (r.CODIGO_SUCURSAL, r.ID_RAZON_SOCIAL) == (10, 2)
+
+    rz = spark.createDataFrame([(1, "EMPRESA A")],
+                               "ID_RAZON_SOCIAL int, RAZON_SOCIAL_DESCRIPCION string")
+    got = enr.codigo_razon_social(
+        spark.createDataFrame([("EMPRESA A",)], "emp string"), rz, "emp").first()
+    assert got.ID_RAZON_SOCIAL == 1
+
+
 def test_remitos_cod_proveedor_fix(spark):
     df = spark.createDataFrame(
         [(2, "01-DF CENTRAL", 10), (2, "02-OTRA", 10), (1, "01-DF CENTRAL", 10)],
