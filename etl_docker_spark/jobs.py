@@ -47,8 +47,13 @@ def _write(ctx: JobContext, name: str, df: DataFrame) -> int:
     return n
 
 
-def build_tasks(spark: SparkSession, fixtures: str) -> list[Task]:
-    """The DAG: dims in the reference's order, then documents."""
+def build_tasks(spark: SparkSession, fixtures: str,
+                incremental: bool = False) -> list[Task]:
+    """The DAG: dims in the reference's order, then documents.
+
+    `incremental=True` MERGES sales documents by PK instead of overwriting
+    — re-running the same window is a no-op (the K2 staging/proc contract).
+    """
 
     def task(name: str, fn) -> Task:
         return Task(name, fn, retries=1, retry_delay_s=0.5)
@@ -82,6 +87,18 @@ def build_tasks(spark: SparkSession, fixtures: str) -> list[Task]:
 
     def load_sales(ctx):
         tables = sd.sales_document_tables(_read(spark, fixtures, "sales_documents"))
+        if incremental:
+            # the staging+proc contract: latest state by PK, idempotent replay
+            from etl_docker_spark.operators.merge import merge_upsert_path
+
+            keys = {"VENTAS": ["ID_VENTA"],
+                    "CARGA_VENTAS_DETALLE": ["ID_VENTA_FILA"],
+                    "VENTAS_METODOS_PAGO": ["ID_VENTA_METODO_PAGO"]}
+            total = 0
+            for name, df in tables.items():
+                merge_upsert_path(spark, f"{ctx.warehouse}/{name}", df, keys[name])
+                total += df.count()
+            return total
         return sum(_write(ctx, name, df) for name, df in tables.items())
 
     t_fam = task("families", load_families)
@@ -146,6 +163,8 @@ def main() -> int:
     ap.add_argument("--fixtures", required=True)
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--make-demo-fixtures", action="store_true")
+    ap.add_argument("--incremental", action="store_true",
+                    help="merge documents by PK instead of overwriting")
     args = ap.parse_args()
 
     if args.make_demo_fixtures:
@@ -154,7 +173,7 @@ def main() -> int:
     spark = get_spark("etl_docker_spark.jobs")
     ctx = JobContext(spark, args.warehouse, f"{args.warehouse}/_etl_log",
                      f"{args.warehouse}/_quarantine")
-    status = run_dag(ctx, build_tasks(spark, args.fixtures))
+    status = run_dag(ctx, build_tasks(spark, args.fixtures, args.incremental))
     print(json.dumps({"status": status}))
     spark.stop()
     return 0 if all(v == "ok" for v in status.values()) else 1
