@@ -8,6 +8,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_docker_spark.plans.advanced import ADVANCED
+from etl_docker_spark.plans.extended import EXTENDED
 from etl_docker_spark.plans.llm_queries import LLM_QUERIES
 from etl_docker_spark.plans.relational import RELATIONAL
 
@@ -23,7 +24,7 @@ class QuerySpec:
 
 def _build() -> dict[str, QuerySpec]:
     specs: dict[str, QuerySpec] = {}
-    for table in (RELATIONAL, LLM_QUERIES, ADVANCED):
+    for table in (RELATIONAL, LLM_QUERIES, ADVANCED, EXTENDED):
         for name, (builder, oracle) in table.items():
             specs[name] = QuerySpec(name, builder, oracle)
     return specs
