@@ -7,10 +7,10 @@ Scale design:
   (narrow), candidate pairs come from a self-equi-join on (band, band_key) —
   a shuffle whose cost tracks the number of NEAR-duplicates, not N^2. Only
   candidates pay the exact-Jaccard verification join.
-- Hash function: first 8 hex digits of md5(seed ':' shingle) as an unsigned
-  32-bit int. Deliberately engine-portable (md5 is standard everywhere) so
-  the DuckDB oracle reproduces signatures bit-for-bit; xxhash64 would be
-  faster but unverifiable cross-engine.
+- Hash function: hex halves of md5(token/shingle) as unsigned 32-bit ints.
+  Deliberately engine-portable (md5 is standard everywhere) so the DuckDB
+  oracle reproduces signatures bit-for-bit; xxhash64 would be faster but
+  unverifiable cross-engine.
 """
 
 from __future__ import annotations
@@ -19,10 +19,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _hash32(seed: int, s: Column) -> Column:
-    """Portable 32-bit hash: int(md5(f'{seed}:{s}')[:8], 16) as BIGINT."""
-    digest = F.md5(F.concat(F.lit(str(seed)), F.lit(":"), s).cast("binary"))
-    return F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+def _hash64_halves(s: Column) -> tuple[Column, Column]:
+    """Two portable 32-bit hashes from ONE md5 digest (hex halves 1-8, 9-16).
+
+    One digest per token instead of two seeded ones — md5 is the CPU cost of
+    a corpus pass, so this halves the hot loop at identical bit quality.
+    """
+    digest = F.md5(s.cast("binary"))
+    return (
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long"),
+        F.conv(F.substring(digest, 9, 8), 16, 10).cast("long"),
+    )
 
 
 # MinHash rehash family: h_j(x) = (A_j*x + B_j) mod P over one base md5 hash.
@@ -90,12 +97,13 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> list[Column]:
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 16, bands: int = 4,
                       shingle_n: int = 3) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs, verified by exact shingle Jaccard.
+    """MinHash+LSH near-duplicate pairs, verified by Jaccard over the hashed
+    shingle sets.
 
     Returns (doc_a, doc_b, inter_n, union_n) for candidate pairs with
     Jaccard >= 0.5 (2*inter >= union — integer compare, no float epsilon).
     Pipeline: shingle -> 16 minhashes -> 4 banded keys -> band-key self-join
-    (candidates) -> exact verification on the shingle sets.
+    (candidates) -> set-intersection verification on the per-doc hash sets.
     """
     rows = num_hashes // bands
     # hashing is CPU-bound per row; a small input file arrives as ONE
@@ -138,14 +146,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         .distinct()
     )
 
-    sets = base.select(F.col("doc"), F.col("sh"))
+    # verification compares HASHED shingle sets, not strings: the arrays that
+    # shuffle into the two-sided join are 8-byte longs instead of ~20-byte
+    # shingle strings (2-3x narrower at corpus scale), and the intersect is
+    # integer compares. Identical to string Jaccard up to md5-32 collisions,
+    # which the oracle mirrors exactly (it intersects the same hashes).
+    sets = hashed.groupBy("doc").agg(F.collect_set("h").alias("hs"))
     verified = (
-        cand.join(sets.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(sets.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        cand.join(sets.withColumnRenamed("doc", "doc_a").withColumnRenamed("hs", "hs_a"), "doc_a")
+        .join(sets.withColumnRenamed("doc", "doc_b").withColumnRenamed("hs", "hs_b"), "doc_b")
         .select(
             "doc_a", "doc_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("inter_n"),
-            (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b")))
+            F.size(F.array_intersect("hs_a", "hs_b")).cast("long").alias("inter_n"),
+            (F.size("hs_a") + F.size("hs_b") - F.size(F.array_intersect("hs_a", "hs_b")))
             .cast("long").alias("union_n"),
         )
     )
@@ -159,15 +172,15 @@ def simhash_table(df: "DataFrame", id_col: str, text_col: str,
     The per-row array-fold variant (`simhash64`) evaluates a 64-lane lambda
     per token OUTSIDE whole-stage codegen — fine for ad-hoc columns, ~10x
     too slow for a corpus pass. This path stays fully codegen'd:
-    explode tokens -> two md5 hashes per token -> 64 conditional SUMs in one
-    partial-aggregated groupBy -> assemble the word from the lane signs.
-    Identical output to simhash64 (same hashes, same lane rule).
+    explode tokens -> one md5 digest per token (two 32-bit hex halves) ->
+    64 conditional SUMs in one partial-aggregated groupBy -> assemble the
+    word from the lane signs. Identical output to simhash64.
     """
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.explode(F.split(F.col(text_col), sep)).alias("tok"))
-    hashed = toks.select(
-        "__id", _hash32(0, F.col("tok")).alias("h0"), _hash32(1, F.col("tok")).alias("h1"))
+    h0, h1 = _hash64_halves(F.col("tok"))
+    hashed = toks.select("__id", h0.alias("h0"), h1.alias("h1"))
     lane_sums = [
         F.sum(F.when(F.col("h0").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1))
         .alias(f"c{i}") for i in range(32)
@@ -188,7 +201,7 @@ def simhash_table(df: "DataFrame", id_col: str, text_col: str,
 def simhash64(tokens: Column) -> Column:
     """64-bit SimHash of a token array (portable md5-based bit source).
 
-    Per token, two 32-bit hashes (seeds 0,1) give 64 bits; each bit
+    Per token, the two 32-bit halves of one md5 digest give 64 bits; each bit
     contributes +1/-1 to its lane; the sign of each lane's sum is the
     fingerprint bit. Returned as BIGINT (bit 63 in the high position).
 
@@ -220,9 +233,8 @@ def simhash64(tokens: Column) -> Column:
 
 
 def _token_bits(t: Column) -> Column:
-    """64-element array of +1/-1 from two portable 32-bit hashes of t."""
-    h0 = _hash32(0, t)
-    h1 = _hash32(1, t)
+    """64-element array of +1/-1 from the two md5-half hashes of t."""
+    h0, h1 = _hash64_halves(t)
 
     def bits(h: Column) -> list[Column]:
         return [

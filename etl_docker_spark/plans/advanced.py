@@ -118,8 +118,8 @@ WITH toks AS (
 ),
 h AS (
   SELECT doc_id,
-         CAST('0x' || substring(md5('0:' || tok), 1, 8) AS BIGINT) AS h0,
-         CAST('0x' || substring(md5('1:' || tok), 1, 8) AS BIGINT) AS h1
+         CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) AS h0,
+         CAST('0x' || substring(md5(tok), 9, 8) AS BIGINT) AS h1
   FROM toks
 ),
 lanes AS (

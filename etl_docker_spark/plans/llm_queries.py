@@ -201,13 +201,16 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id
 ),
+hs AS (
+  SELECT doc_id, list_distinct(hh) AS hs FROM hashed
+),
 ver AS (
   SELECT doc_a, doc_b,
-         CAST(len(list_filter(sa.sh, s -> list_contains(sb.sh, s))) AS BIGINT) AS inter_n,
-         CAST(len(sa.sh) + len(sb.sh) AS BIGINT) AS total_n
+         CAST(len(list_filter(sa.hs, h -> list_contains(sb.hs, h))) AS BIGINT) AS inter_n,
+         CAST(len(sa.hs) + len(sb.hs) AS BIGINT) AS total_n
   FROM cand
-  JOIN sh sa ON sa.doc_id = doc_a
-  JOIN sh sb ON sb.doc_id = doc_b
+  JOIN hs sa ON sa.doc_id = doc_a
+  JOIN hs sb ON sb.doc_id = doc_b
 )
 SELECT doc_a, doc_b, inter_n, total_n - inter_n AS union_n
 FROM ver WHERE 2 * inter_n >= total_n - inter_n
