@@ -424,6 +424,40 @@ def s03_stateful_running_totals(spark: SparkSession, sf: str) -> DataFrame:
             .select("user_id", "n_events"))
 
 
+# ---------------------------------------------------------------- s04 dedup
+
+
+def s04_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming key-dedup through the state store (A4's streaming twin).
+
+    Distinct (user_id, event_type, day) triples computed by streaming
+    dropDuplicates; the oracle is batch SELECT DISTINCT — equality proves
+    the dedup state saw every event and emitted each key exactly once.
+    """
+    from etl_docker_spark.streaming import streaming_dedup
+
+    raw_schema = ("event_id long, ts long, user_id long, event_type string, "
+                  "value double, props string")
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf)
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+              .withColumn("day", F.date_trunc("day", F.col("ts"))))
+    out = streaming_dedup(stream, ["user_id", "event_type", "day"])
+    name = f"s04_sink_{abs(hash(sf)) % 10 ** 8}"
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
+S04_SQL = """
+SELECT DISTINCT user_id, event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+FROM events
+"""
+
 ADVANCED = {
     "q23_asof_last_order": (q23_asof_last_order, Q23_SQL),
     "s01_stream_tumbling": (s01_stream_tumbling, S01_SQL),
@@ -436,5 +470,6 @@ ADVANCED = {
     "s03_stateful_running_totals": (
         s03_stateful_running_totals,
         "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id"),
+    "s04_stream_dedup": (s04_stream_dedup, S04_SQL),
     "d08_dup_clusters": (d08_dup_clusters, D08_SQL),
 }

@@ -13,6 +13,7 @@ batch-compatible.
 
 from etl_docker_spark.streaming.windows import (
     session_aggregate,
+    streaming_dedup,
     tumbling_aggregate,
     with_watermark,
 )
@@ -21,6 +22,7 @@ from etl_docker_spark.streaming.cdc import merge_stream_into
 __all__ = [
     "merge_stream_into",
     "session_aggregate",
+    "streaming_dedup",
     "tumbling_aggregate",
     "with_watermark",
 ]

@@ -37,6 +37,33 @@ def tumbling_aggregate(df: DataFrame, window: str, aggs: dict[str, Column],
         *keys, *aggs.keys())
 
 
+def streaming_dedup(df: DataFrame, keys: Sequence[str], ts_col: str = "ts",
+                    watermark: str | None = None) -> DataFrame:
+    """Key dedup across the stream (state-store backed).
+
+    Projects to the key columns: which physical duplicate row survives a
+    distributed dedup is nondeterministic by definition, so only the key set
+    is a stable contract (the batch oracle is SELECT DISTINCT keys).
+
+    Two state regimes:
+    - watermark=None (default): global exactly-once dedup, state grows with
+      distinct keys — correct under any micro-batch split; right when the
+      key space is bounded (dims, daily rollup keys).
+    - watermark='…': `dropDuplicatesWithinWatermark` — state holds only the
+      watermark horizon (the 100 TB/day regime); duplicates farther apart
+      in event time than the delay can re-emit, by design.
+    """
+    cols = [*keys]
+    if not df.isStreaming:
+        return df.select(*cols).dropDuplicates(cols)
+    if watermark is None:
+        return df.select(*cols).dropDuplicates(cols)
+    return (df.withWatermark(ts_col, watermark)
+            .select(*cols, ts_col)
+            .dropDuplicatesWithinWatermark(cols)
+            .select(*cols))
+
+
 def session_aggregate(df: DataFrame, gap: str, aggs: dict[str, Column],
                       keys: Sequence[str] = ("user_id",), ts_col: str = "ts",
                       watermark: str = "10 minutes") -> DataFrame:

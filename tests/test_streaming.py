@@ -9,6 +9,7 @@ from etl_docker_spark.catalog import load_table
 from etl_docker_spark.streaming import (
     merge_stream_into,
     session_aggregate,
+    streaming_dedup,
     tumbling_aggregate,
 )
 from tests.conftest import SF_SMOKE
@@ -52,6 +53,34 @@ def test_session_aggregate_batch(spark):
         by_user.setdefault(r.user_id, []).append(r.n)
     assert sorted(by_user[1]) == [1, 2]  # 2-event session + lone event
     assert by_user[2] == [1]
+
+
+def test_streaming_dedup_watermark_bounded(spark, tmp_path):
+    """The watermark-bounded regime emits each key once per horizon."""
+    src = str(tmp_path / "dedup_src")
+    spark.createDataFrame(
+        [(1, "a", "2024-01-01 10:00:00"), (1, "a", "2024-01-01 10:00:30"),
+         (2, "b", "2024-01-01 10:01:00")],
+        "user_id long, event_type string, ts_s string",
+    ).select("user_id", "event_type", F.to_timestamp("ts_s").alias("ts")) \
+        .write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, ts timestamp").parquet(src)
+    out = streaming_dedup(stream, ["user_id", "event_type"],
+                          watermark="10 minutes")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("dedup_sink").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    got = sorted((r.user_id, r.event_type)
+                 for r in spark.table("dedup_sink").collect())
+    assert got == [(1, "a"), (2, "b")]
+
+    # batch twin: plain distinct over the keys
+    batch = spark.read.parquet(src)
+    assert sorted((r.user_id, r.event_type)
+                  for r in streaming_dedup(batch, ["user_id", "event_type"]).collect()) == got
 
 
 def test_merge_stream_into(spark, tmp_path):
