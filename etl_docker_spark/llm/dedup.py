@@ -108,23 +108,51 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     rows = num_hashes // bands
     # hashing is CPU-bound per row; a small input file arrives as ONE
     # partition, so fan out to the cluster's parallelism first (cheap: the
-    # shuffle moves ids+text once, before any signature work)
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # shuffle moves ids+text once, before any signature work). Partitioning
+    # BY THE ID (not round-robin) lets explode preserve a hash partitioning
+    # on `doc`, so both groupBy("doc") aggregations below (signature + the
+    # verification sets) run exchange-free — two shuffles of the widest
+    # intermediate (one row per shingle) never happen.
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    from pyspark.sql import Window
+
+    # shingling via posexplode + window-lead instead of the array-lambda
+    # `shingles_of`: the lambda evaluates interpreted with an O(n) slice per
+    # element (quadratic per doc); lead() is a native window over the
+    # existing doc partitioning — no shuffle, just a partition-local sort.
+    # Dedup of repeated shingles is free downstream: MIN and collect_set are
+    # both insensitive to duplicates, so array_distinct is not needed.
     toks = F.split(F.col(text_col), " ")
-    base = df.select(
-        F.col(id_col).alias("doc"),
-        shingles_of(toks, shingle_n).alias("sh"),
+    tok_rows = df.select(
+        F.col(id_col).alias("doc"), F.size(toks).alias("sz"),
+        F.posexplode(toks).alias("pos", "tok"),
     )
-    # signature via explode + 16 partial-aggregated MINs: every expression
-    # stays inside whole-stage codegen (the array-lambda formulation of
-    # minhash_signature evaluates interpreted, ~5x slower on a corpus pass)
-    exploded = base.select("doc", F.explode("sh").alias("s"))
-    hashed = exploded.select("doc", _base_hash(F.col("s")).alias("h"))
-    sig = hashed.groupBy("doc").agg(*[
-        F.min((F.lit(MINHASH_COEFFS[j][0]) * F.col("h") + F.lit(MINHASH_COEFFS[j][1]))
-              % F.lit(MINHASH_P)).alias(f"mh{j}")
-        for j in range(num_hashes)
-    ])
+    w = Window.partitionBy("doc").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, shingle_n)]
+    shingled = (
+        tok_rows.select("doc", "sz", "pos", F.concat_ws(" ", *leads).alias("s"))
+        # full shingles only, except docs shorter than n keep their one
+        # partial shingle at pos 0 (same contract as shingles_of)
+        .filter((F.col("pos") <= F.col("sz") - shingle_n) | (F.col("pos") == 0))
+    )
+    # signature via 16 partial-aggregated MINs in whole-stage codegen. The
+    # SAME aggregation also collects the hashed shingle set used by the
+    # verification step, and the per-doc result is materialized once
+    # (localCheckpoint): the corpus pass — scan, shingle, md5 — runs exactly
+    # once no matter how many downstream branches (band self-join sides +
+    # both verification joins) consume it. Per-doc state is the distinct
+    # hash set + 16 longs, the same order as the collect_set alone.
+    hashed = shingled.select("doc", _base_hash(F.col("s")).alias("h"))
+    per_doc = hashed.groupBy("doc").agg(
+        F.collect_set("h").alias("hs"),
+        *[
+            F.min((F.lit(MINHASH_COEFFS[j][0]) * F.col("h")
+                   + F.lit(MINHASH_COEFFS[j][1])) % F.lit(MINHASH_P)).alias(f"mh{j}")
+            for j in range(num_hashes)
+        ],
+    ).localCheckpoint()
+    sig = per_doc.drop("hs")
 
     band_structs = F.array(*[
         F.struct(
@@ -151,7 +179,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # shingle strings (2-3x narrower at corpus scale), and the intersect is
     # integer compares. Identical to string Jaccard up to md5-32 collisions,
     # which the oracle mirrors exactly (it intersects the same hashes).
-    sets = hashed.groupBy("doc").agg(F.collect_set("h").alias("hs"))
+    sets = per_doc.select("doc", "hs")
     verified = (
         cand.join(sets.withColumnRenamed("doc", "doc_a").withColumnRenamed("hs", "hs_a"), "doc_a")
         .join(sets.withColumnRenamed("doc", "doc_b").withColumnRenamed("hs", "hs_b"), "doc_b")

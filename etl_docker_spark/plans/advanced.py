@@ -108,7 +108,9 @@ def d07_simhash(spark: SparkSession, sf: str) -> DataFrame:
     a 64-lane lambda per token — 10x slower on a corpus pass.
     """
     docs = t(spark, sf, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)  # CPU fan-out
+    # CPU fan-out, partitioned BY ID so simhash_table's groupBy(doc_id) over
+    # the exploded tokens inherits the partitioning and skips its shuffle
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
     return simhash_table(docs, "doc_id", "text")
 
 
