@@ -12,6 +12,9 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import os
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -42,6 +45,26 @@ def dsum(col: Column | str) -> Column:
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     return load_table(spark, sf_dir, name)
+
+
+@contextmanager
+def stream_state_partitions(spark: SparkSession, n: int | None = None):
+    """Scope `spark.sql.shuffle.partitions` down for a streaming query.
+
+    Stateful streaming sizes its state-store instances (and their per-batch
+    load/commit cost) to the shuffle-partition count, so the right number
+    tracks STATE volume, not CPU count. The gate queries keep tiny state
+    (hundreds of keys), where the default 32 stores are pure overhead —
+    ~3x of each query's wall time. On a real cluster the same knob is sized
+    up with expected key cardinality ($SPARK_GRAFT_STREAM_PARTITIONS).
+    """
+    n = n or int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
 def ensure_session_confs(spark: SparkSession) -> None:

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from etl_docker_spark.llm.dedup import simhash_table
 from etl_docker_spark.operators.asof import asof_join_backward
 from etl_docker_spark.operators.dedup import dedup_first
-from etl_docker_spark.plans._util import t
+from etl_docker_spark.plans._util import stream_state_partitions, t
 from etl_docker_spark.plans.llm_queries import _DOT, D06_SQL
 
 # ---------------------------------------------------------------- q23 as-of
@@ -80,10 +80,11 @@ def s01_stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
          "total_value": F.sum(F.col("value").cast("decimal(12,4)")).cast("double")},
         keys=["event_type"], watermark="1 minute")
     name = f"s01_sink_{abs(hash(sf)) % 10 ** 8}"
-    q = (agg.writeStream.outputMode("complete").format("memory")
-         .queryName(name).trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    q.stop()
+    with stream_state_partitions(spark):
+        q = (agg.writeStream.outputMode("complete").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        q.stop()
     return spark.table(name)
 
 
@@ -269,10 +270,11 @@ def s02_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
          "total_value": F.sum(F.col("value").cast("decimal(12,4)")).cast("double")},
         keys=["user_id"], watermark="1 minute")
     name = f"s02_sink_{abs(hash(sf)) % 10 ** 8}"
-    q = (agg.writeStream.outputMode("complete").format("memory")
-         .queryName(name).trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    q.stop()
+    with stream_state_partitions(spark):
+        q = (agg.writeStream.outputMode("complete").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        q.stop()
     return spark.table(name)
 
 
@@ -413,10 +415,11 @@ def s03_stateful_running_totals(spark: SparkSession, sf: str) -> DataFrame:
               .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
     out = running_user_totals(stream.select("user_id", "ts", "value"))
     name = f"s03_sink_{abs(hash(sf)) % 10 ** 8}"
-    q = (out.writeStream.outputMode("update").format("memory")
-         .queryName(name).trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    q.stop()
+    with stream_state_partitions(spark):
+        q = (out.writeStream.outputMode("update").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        q.stop()
     # update-mode sink: keep the final state row per user
     from pyspark.sql import Window
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
@@ -447,10 +450,11 @@ def s04_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
               .withColumn("day", F.date_trunc("day", F.col("ts"))))
     out = streaming_dedup(stream, ["user_id", "event_type", "day"])
     name = f"s04_sink_{abs(hash(sf)) % 10 ** 8}"
-    q = (out.writeStream.outputMode("append").format("memory")
-         .queryName(name).trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    q.stop()
+    with stream_state_partitions(spark):
+        q = (out.writeStream.outputMode("append").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        q.stop()
     return spark.table(name)
 
 
