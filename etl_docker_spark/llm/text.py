@@ -74,6 +74,55 @@ def poly_fingerprint(col: Column | str, max_chars: int = 64,
     )
 
 
+def bigram_lm_scores(df, id_col: str = "doc_id", text_col: str = "text",
+                     scale: int = 1_000_000):
+    """Corpus bigram-LM predictability score per document — EXACT arithmetic.
+
+    The classical per-doc log-likelihood sum(log P(w2|w1)) is not
+    cross-engine verifiable (libm vs java.lang.Math differ in the last
+    ulp), so the score is kept in integers: each bigram occurrence
+    contributes floor(scale * c(w1,w2) / c(w1)) — the MLE transition
+    probability in fixed-point — and a document's score is the sum over its
+    bigram occurrences. Rankings match the linear-probability LM; the
+    arithmetic is bit-identical in any engine with 64-bit integer division.
+
+    Scale shape: one corpus pass builds per-doc bigram multiset (doc,w1,w2,k)
+    — exchange-free aggregation when the input is partitioned by id, then
+    localCheckpoint'ed so the two consumers (corpus counts + the scoring
+    join) don't recompute it. Corpus counts shuffle on the bigram (narrow
+    rows, map-side combine); the scoring join and the final per-doc rollup
+    are the genuinely-required shuffles of a distributed LM scorer.
+
+    Output: (id_col, n_bigrams BIGINT, lm_score BIGINT); docs with < 2
+    tokens have no bigrams and are absent (mirrors the SQL oracle).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    df = df.repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
+    toks = F.split(_c(text_col), " ")
+    tok_rows = df.select(F.col(id_col).alias("doc"),
+                         F.posexplode(toks).alias("pos", "w1"))
+    w = Window.partitionBy("doc").orderBy("pos")
+    big = (tok_rows.select("doc", "w1", F.lead("w1").over(w).alias("w2"))
+           .filter(F.col("w2").isNotNull()))
+    db = (big.groupBy("doc", "w1", "w2")
+          .agg(F.count("*").alias("k")).localCheckpoint())
+    counts2 = db.groupBy("w1", "w2").agg(F.sum("k").alias("c2"))
+    counts1 = counts2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    probs = counts2.join(counts1, "w1")
+    return (
+        db.join(probs, ["w1", "w2"])
+        .groupBy("doc")
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.sum(F.col("k") * F.expr(f"({scale} * c2) div c1"))
+            .cast("long").alias("lm_score"),
+        )
+        .select(F.col("doc").alias(id_col), "n_bigrams", "lm_score")
+    )
+
+
 def quality_features(text: Column | str) -> dict[str, Column]:
     """Quality-scoring feature bundle (length/stopword/uniqueness ratios).
 

@@ -303,6 +303,37 @@ FROM toks JOIN tf ON toks.tok = tf.tok
 GROUP BY doc_id
 """
 
+# ---------------------------------------------------------------- d10
+
+
+def d10_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram-LM predictability score per document (fixed-point integer
+    arithmetic — see llm.text.bigram_lm_scores for the determinism design)."""
+    from etl_docker_spark.llm.text import bigram_lm_scores
+
+    return bigram_lm_scores(t(spark, sf, "documents"))
+
+
+D10_SQL = """
+WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(a)), i -> a[i]))     AS w1,
+         unnest(list_transform(range(1, len(a)), i -> a[i + 1])) AS w2
+  FROM arr
+),
+db AS (SELECT doc_id, w1, w2, COUNT(*) AS k FROM big GROUP BY doc_id, w1, w2),
+c2 AS (SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c2 FROM db GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1)
+SELECT db.doc_id,
+       CAST(SUM(db.k) AS BIGINT) AS n_bigrams,
+       CAST(SUM(db.k * ((1000000 * c2.c2) // c1.c1)) AS BIGINT) AS lm_score
+FROM db
+JOIN c2 ON db.w1 = c2.w1 AND db.w2 = c2.w2
+JOIN c1 ON db.w1 = c1.w1
+GROUP BY db.doc_id
+"""
+
 LLM_QUERIES = {
     "d01_exact_dedup": (d01_exact_dedup, D01_SQL),
     "d02_token_stats": (d02_token_stats, D02_SQL),
@@ -311,6 +342,7 @@ LLM_QUERIES = {
     "d05_doc_fingerprints": (d05_doc_fingerprints, D05_SQL),
     "d06_minhash_pairs": (d06_minhash_pairs, D06_SQL),
     "d09_token_rarity": (d09_token_rarity, D09_SQL),
+    "d10_bigram_lm": (d10_bigram_lm, D10_SQL),
     "e01_knn_bruteforce": (e01_knn_bruteforce, E01_SQL),
     "e02_bucketed_near_dup": (e02_bucketed_near_dup, E02_SQL),
 }

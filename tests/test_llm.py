@@ -111,3 +111,28 @@ def test_poly_fingerprint_deterministic(spark):
     fp = {r.doc_id: r.fp for r in rows}
     assert fp[1] == fp[2] != fp[3]
     assert fp[1] == ((0 * 31 + 97) * 31 + 98) * 31 + 99  # matches the documented fold
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    from etl_docker_spark.llm.text import bigram_lm_scores
+
+    # corpus bigrams: "a b" x2 (doc1, doc2), "b a" x1, "a c" x1
+    # contexts: c(a)=3 (a b, a b, a c), c(b)=1 (b a)
+    # P(b|a)=2/3 -> 666666; P(a|b)=1/1 -> 1000000; P(c|a)=1/3 -> 333333
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b")], ["doc_id", "text"])
+    out = {r.doc_id: (r.n_bigrams, r.lm_score)
+           for r in bigram_lm_scores(df).collect()}
+    # doc1 bigrams: (a,b), (b,a), (a,c) -> 666666 + 1000000 + 333333
+    assert out[1] == (3, 1999999)
+    # doc2: (a,b) -> 666666
+    assert out[2] == (1, 666666)
+
+
+def test_bigram_lm_skips_short_docs(spark):
+    from etl_docker_spark.llm.text import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "only"), (2, ""), (3, "two words")], ["doc_id", "text"])
+    out = bigram_lm_scores(df).collect()
+    assert {r.doc_id for r in out} == {3}
