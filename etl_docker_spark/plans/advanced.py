@@ -57,6 +57,37 @@ ASOF LEFT JOIN orders_u o
 # ---------------------------------------------------------------- s01 streaming
 
 
+def _events_stream(spark: SparkSession, sf: str):
+    """The events table as a file STREAM, robust to both physical layouts.
+
+    `<sf>/events.parquet` is a single file in the driver's testdata but a
+    directory of part-files for generated corpora. The file-stream source
+    rejects a bare file path (batch read accepts it), so the file layout
+    goes through a pathGlobFilter on the parent dir; the directory layout
+    streams the directory itself — a glob filter there would match nothing
+    and SILENTLY produce an empty stream.
+    """
+    import os
+
+    from pyspark.sql import types as T
+
+    path = f"{sf}/events.parquet"
+    is_dir = os.path.isdir(path)
+    # schema from a batch probe (footer read), not hardcoded: the driver's
+    # testdata stores ts as int64-nanos, generated corpora may store a real
+    # timestamp — the stream must mirror whichever this corpus has
+    if is_dir:
+        probe = spark.read.parquet(path)
+        stream = spark.readStream.schema(probe.schema).parquet(path)
+    else:
+        probe = spark.read.option("pathGlobFilter", "events.parquet").parquet(sf)
+        stream = (spark.readStream.schema(probe.schema)
+                  .option("pathGlobFilter", "events.parquet").parquet(sf))
+    if isinstance(probe.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
 def s01_stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling-window aggregation executed through Structured Streaming.
 
@@ -67,13 +98,7 @@ def s01_stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     """
     from etl_docker_spark.streaming import tumbling_aggregate
 
-    raw_schema = ("event_id long, ts long, user_id long, event_type string, "
-                  "value double, props string")
-    # the file-stream source wants a directory; glob-filter to the one table
-    stream = (spark.readStream.schema(raw_schema)
-              .option("pathGlobFilter", "events.parquet")
-              .parquet(sf)
-              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    stream = _events_stream(spark, sf)
     agg = tumbling_aggregate(
         stream, "1 day",
         {"n_events": F.count("*"),
@@ -258,12 +283,7 @@ def s02_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
     """
     from etl_docker_spark.streaming import session_aggregate
 
-    raw_schema = ("event_id long, ts long, user_id long, event_type string, "
-                  "value double, props string")
-    stream = (spark.readStream.schema(raw_schema)
-              .option("pathGlobFilter", "events.parquet")
-              .parquet(sf)
-              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    stream = _events_stream(spark, sf)
     agg = session_aggregate(
         stream, "30 minutes",
         {"n_events": F.count("*"),
@@ -407,12 +427,7 @@ def s03_stateful_running_totals(spark: SparkSession, sf: str) -> DataFrame:
     """
     from etl_docker_spark.streaming.stateful import running_user_totals
 
-    raw_schema = ("event_id long, ts long, user_id long, event_type string, "
-                  "value double, props string")
-    stream = (spark.readStream.schema(raw_schema)
-              .option("pathGlobFilter", "events.parquet")
-              .parquet(sf)
-              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    stream = _events_stream(spark, sf)
     out = running_user_totals(stream.select("user_id", "ts", "value"))
     name = f"s03_sink_{abs(hash(sf)) % 10 ** 8}"
     with stream_state_partitions(spark):
@@ -441,13 +456,8 @@ def s04_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """
     from etl_docker_spark.streaming import streaming_dedup
 
-    raw_schema = ("event_id long, ts long, user_id long, event_type string, "
-                  "value double, props string")
-    stream = (spark.readStream.schema(raw_schema)
-              .option("pathGlobFilter", "events.parquet")
-              .parquet(sf)
-              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-              .withColumn("day", F.date_trunc("day", F.col("ts"))))
+    stream = _events_stream(spark, sf).withColumn(
+        "day", F.date_trunc("day", F.col("ts")))
     out = streaming_dedup(stream, ["user_id", "event_type", "day"])
     name = f"s04_sink_{abs(hash(sf)) % 10 ** 8}"
     with stream_state_partitions(spark):

@@ -51,7 +51,11 @@ def main() -> None:
         shutil.copy(f"{src}/{name}.parquet", f"{out}/{name}.parquet")
 
     for name, keys in KEYS.items():
-        base = load_table(spark, src, name)
+        # RAW read, not load_table: the catalog converts events.ts from
+        # int64-nanos to timestamp, and writing that back would change the
+        # physical layout (INT96) — replicas must mirror the source bytes
+        # so schema-sensitive readers (the file-stream source) see one shape
+        base = spark.read.parquet(f"{src}/{name}.parquet")
         parts = []
         for i in range(mult):
             df = base
@@ -60,6 +64,18 @@ def main() -> None:
             if name == "documents" and i > 0:
                 df = df.withColumn(
                     "text", F.regexp_replace("text", r"(\S+)", f"r{i}_$1"))
+            if name == "embeddings" and i > 0:
+                # shift the first coordinate far out per replica: exact
+                # cross-replica vector duplicates would otherwise make every
+                # bucketed/near-dup query quadratic in N (same reason the
+                # document text gets a replica tag)
+                df = df.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.array((F.element_at("embedding", 1)
+                                 + F.lit(float(i * 8))).cast("float")),
+                        F.slice("embedding", 2, F.size("embedding") - 1),
+                    ))
             parts.append(df)
         union = parts[0]
         for p in parts[1:]:
