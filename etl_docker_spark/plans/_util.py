@@ -58,7 +58,8 @@ def stream_state_partitions(spark: SparkSession, n: int | None = None):
     ~3x of each query's wall time. On a real cluster the same knob is sized
     up with expected key cardinality ($SPARK_GRAFT_STREAM_PARTITIONS).
     """
-    n = n or int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+    env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    n = int(env) if env else (n or 4)
     before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:

@@ -88,6 +88,22 @@ def _events_stream(spark: SparkSession, sf: str):
     return stream
 
 
+def _state_partitions_for(spark: SparkSession, sf: str) -> int:
+    """Adaptive state-partition count: ~2 MB of source parquet per state
+    partition, clamped to [4, cores]. Tiny gate corpora keep the cheap
+    4-store setup; replicated scale corpora fan the state (and the Python
+    stateful workers) back out. $SPARK_GRAFT_STREAM_PARTITIONS overrides."""
+    import os
+
+    path = f"{sf}/events.parquet"
+    if os.path.isdir(path):
+        size = sum(e.stat().st_size for e in os.scandir(path) if e.is_file())
+    else:
+        size = os.path.getsize(path)
+    cores = spark.sparkContext.defaultParallelism
+    return max(4, min(cores, size // (2 * 1024 * 1024)))
+
+
 def s01_stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling-window aggregation executed through Structured Streaming.
 
@@ -105,7 +121,7 @@ def s01_stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
          "total_value": F.sum(F.col("value").cast("decimal(12,4)")).cast("double")},
         keys=["event_type"], watermark="1 minute")
     name = f"s01_sink_{abs(hash(sf)) % 10 ** 8}"
-    with stream_state_partitions(spark):
+    with stream_state_partitions(spark, _state_partitions_for(spark, sf)):
         q = (agg.writeStream.outputMode("complete").format("memory")
              .queryName(name).trigger(availableNow=True).start())
         q.awaitTermination(300)
@@ -290,7 +306,7 @@ def s02_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
          "total_value": F.sum(F.col("value").cast("decimal(12,4)")).cast("double")},
         keys=["user_id"], watermark="1 minute")
     name = f"s02_sink_{abs(hash(sf)) % 10 ** 8}"
-    with stream_state_partitions(spark):
+    with stream_state_partitions(spark, _state_partitions_for(spark, sf)):
         q = (agg.writeStream.outputMode("complete").format("memory")
              .queryName(name).trigger(availableNow=True).start())
         q.awaitTermination(300)
@@ -430,7 +446,7 @@ def s03_stateful_running_totals(spark: SparkSession, sf: str) -> DataFrame:
     stream = _events_stream(spark, sf)
     out = running_user_totals(stream.select("user_id", "ts", "value"))
     name = f"s03_sink_{abs(hash(sf)) % 10 ** 8}"
-    with stream_state_partitions(spark):
+    with stream_state_partitions(spark, _state_partitions_for(spark, sf)):
         q = (out.writeStream.outputMode("update").format("memory")
              .queryName(name).trigger(availableNow=True).start())
         q.awaitTermination(300)
@@ -460,7 +476,7 @@ def s04_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
         "day", F.date_trunc("day", F.col("ts")))
     out = streaming_dedup(stream, ["user_id", "event_type", "day"])
     name = f"s04_sink_{abs(hash(sf)) % 10 ** 8}"
-    with stream_state_partitions(spark):
+    with stream_state_partitions(spark, _state_partitions_for(spark, sf)):
         q = (out.writeStream.outputMode("append").format("memory")
              .queryName(name).trigger(availableNow=True).start())
         q.awaitTermination(300)
