@@ -89,10 +89,11 @@ def _events_stream(spark: SparkSession, sf: str):
 
 
 def _state_partitions_for(spark: SparkSession, sf: str) -> int:
-    """Adaptive state-partition count: ~2 MB of source parquet per state
+    """Adaptive state-partition count: ~512 KB of source parquet per state
     partition, clamped to [4, cores]. Tiny gate corpora keep the cheap
     4-store setup; replicated scale corpora fan the state (and the Python
-    stateful workers) back out. $SPARK_GRAFT_STREAM_PARTITIONS overrides."""
+    stateful workers, which are row-bound — the parquet is ~10x
+    compressed) back out. $SPARK_GRAFT_STREAM_PARTITIONS overrides."""
     import os
 
     path = f"{sf}/events.parquet"
@@ -101,7 +102,7 @@ def _state_partitions_for(spark: SparkSession, sf: str) -> int:
     else:
         size = os.path.getsize(path)
     cores = spark.sparkContext.defaultParallelism
-    return max(4, min(cores, size // (2 * 1024 * 1024)))
+    return max(4, min(cores, size // (512 * 1024)))
 
 
 def s01_stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
