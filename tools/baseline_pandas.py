@@ -29,6 +29,11 @@ def main() -> None:
     nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
     region = pd.read_parquet(f"{sf_dir}/region.parquet")
     events = pd.read_parquet(f"{sf_dir}/events.parquet")
+    # replicated corpora store ts as raw int64 nanos (no parquet logical
+    # type survives the replication round-trip) — same adaptation as the
+    # engine catalog
+    if not pd.api.types.is_datetime64_any_dtype(events["ts"]):
+        events["ts"] = pd.to_datetime(events["ts"], unit="ns")
 
     t0 = time.perf_counter()
     l = lineitem[lineitem.l_shipdate <= pd.Timestamp("1998-09-02")]
