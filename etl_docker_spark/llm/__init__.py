@@ -22,6 +22,7 @@ from etl_docker_spark.llm.dedup import (
     ngram_jaccard_pair_cols,
     shingles_of,
     simhash64,
+    simhash_near_dup_pairs,
     simhash_table,
 )
 from etl_docker_spark.llm.similarity import (
@@ -43,6 +44,7 @@ __all__ = [
     "poly_fingerprint",
     "shingles_of",
     "simhash64",
+    "simhash_near_dup_pairs",
     "simhash_table",
     "stopword_hits",
     "token_count",

@@ -226,6 +226,61 @@ def simhash_table(df: "DataFrame", id_col: str, text_col: str,
     return agg.select(F.col("__id").alias(id_col), word.alias("simhash"))
 
 
+def simhash_near_dup_pairs(df: "DataFrame", id_col: str, text_col: str,
+                           threshold: int = 3, bands: int = 4,
+                           sep: str = " ") -> "DataFrame":
+    """SimHash near-duplicate pairs via hamming-band LSH.
+
+    Pipeline: 64-bit fingerprint per doc (simhash_table, one codegen corpus
+    pass) -> split into `bands` equal bit-slices -> self-equi-join on
+    (band, slice) -> hamming verification bit_count(xor) <= threshold.
+
+    COMPLETENESS GUARANTEE (pigeonhole): a pair within hamming distance d
+    differs in at most d of the `bands` slices, so whenever
+    threshold < bands at least one slice matches exactly and the pair IS a
+    candidate — banding loses nothing at the default 3 < 4.
+
+    Scale: candidates track slice-collision counts, not N^2; the
+    fingerprint table (one long per doc) is checkpointed once and feeds the
+    band join and both verification sides; verification moves 8-byte
+    longs. All arithmetic is integer (mask after shift makes the band
+    slices sign-agnostic), so the DuckDB oracle reproduces pairs exactly.
+
+    Output: (doc_a, doc_b, hamming BIGINT), doc_a < doc_b.
+    """
+    nbits = 64 // bands
+    mask = (1 << nbits) - 1
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    sig = simhash_table(df, id_col, text_col, sep).localCheckpoint()
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned("simhash", nbits * b)
+            .bitwiseAND(F.lit(mask)).alias("k"),
+        )
+        for b in range(bands)
+    ])
+    banded = (sig.select(F.col(id_col).alias("doc"), F.explode(band_structs).alias("bk"))
+              .select("doc", F.col("bk.band").alias("band"), F.col("bk.k").alias("k")))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "k"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    sigs_a = sig.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"))
+    sigs_b = sig.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        cand.join(sigs_a, "doc_a").join(sigs_b, "doc_b")
+        .select("doc_a", "doc_b",
+                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+                .cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= threshold)
+    )
+
+
 def simhash64(tokens: Column) -> Column:
     """64-bit SimHash of a token array (portable md5-based bit source).
 

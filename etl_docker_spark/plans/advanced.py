@@ -187,6 +187,44 @@ SELECT doc_id, CAST(SUM(w0) + SUM(w1) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """
 
+# ---------------------------------------------------------------- d11 simhash pairs
+
+
+def d11_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash hamming-band near-dup pairs — the banding/verify stage on top
+    of d07's fingerprints (completeness guarantee: 3 < 4 bands, pigeonhole;
+    see llm.dedup.simhash_near_dup_pairs)."""
+    from etl_docker_spark.llm.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(t(spark, sf, "documents"), "doc_id", "text")
+
+
+# the D07 fingerprint pipeline (same CTEs) + banding, candidates, verify
+_D07_CTES, _ = D07_SQL.strip().removeprefix("WITH").rsplit(
+    "SELECT doc_id, CAST(SUM(w0) + SUM(w1) AS BIGINT) AS simhash", 1)
+D11_SQL = f"""
+WITH {_D07_CTES}
+, sigs AS (
+  SELECT doc_id, CAST(SUM(w0) + SUM(w1) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b.i AS band, (simhash >> (16 * b.i)) & 65535 AS k
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS i) b
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.k = y.k AND x.doc_id < y.doc_id
+)
+SELECT cand.doc_a, cand.doc_b,
+       CAST(bit_count(xor(sa.simhash, sc.simhash)) AS BIGINT) AS hamming
+FROM cand
+JOIN sigs sa ON cand.doc_a = sa.doc_id
+JOIN sigs sc ON cand.doc_b = sc.doc_id
+WHERE bit_count(xor(sa.simhash, sc.simhash)) <= 3
+"""
+
 # ---------------------------------------------------------------- q24 cube
 
 
@@ -505,4 +543,5 @@ ADVANCED = {
         "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id"),
     "s04_stream_dedup": (s04_stream_dedup, S04_SQL),
     "d08_dup_clusters": (d08_dup_clusters, D08_SQL),
+    "d11_simhash_pairs": (d11_simhash_pairs, D11_SQL),
 }

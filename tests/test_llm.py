@@ -136,3 +136,18 @@ def test_bigram_lm_skips_short_docs(spark):
         [(1, "only"), (2, ""), (3, "two words")], ["doc_id", "text"])
     out = bigram_lm_scores(df).collect()
     assert {r.doc_id for r in out} == {3}
+
+
+def test_simhash_near_dup_pairs(spark):
+    from etl_docker_spark.llm import simhash_near_dup_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog while birds sing "
+            "in the tall green trees near the quiet river bank at dawn")
+    near = base.replace("dawn", "dusk")
+    far = "completely unrelated words about spark distributed query engines"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)],
+                               ["doc_id", "text"])
+    pairs = simhash_near_dup_pairs(df, "doc_id", "text", threshold=8)
+    found = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+    assert (1, 2) in found and found[(1, 2)] <= 8
+    assert (1, 3) not in found and (2, 3) not in found
