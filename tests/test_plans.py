@@ -87,3 +87,16 @@ def test_semi_anti_stay_joins(spark, name):
     plan = formatted_plan(spark, name)
     # membership tests must be joins, not collected driver-side IN lists
     assert "Join" in plan
+
+
+@pytest.mark.parametrize("name", ["d06_minhash_pairs", "d11_simhash_pairs"])
+def test_lsh_single_corpus_pass(spark, name):
+    """The LSH pipelines materialize one per-doc frame (localCheckpoint) and
+    every downstream branch reads it: at most ONE shuffle Exchange (the
+    id fan-out) and zero recomputation of the scan+hash corpus pass."""
+    plan = formatted_plan(spark, name)
+    ops = tree_ops(plan)
+    assert ops.count("Exchange") <= 1, plan
+    assert ops.count("Scan parquet") <= 1, plan
+    # candidate + verification joins all broadcast the tiny per-doc frames
+    assert not [o for o in ops if "SortMergeJoin" in o], plan
