@@ -19,7 +19,7 @@ skips them for metadata-only queries.
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -45,11 +45,20 @@ MEDIA_SCHEMA = T.StructType([
 FEATURE_SCHEMA = "media_id long, n_bytes long, checksum long, feature array<float>"
 
 
+def _checksum(data: bytes) -> int:
+    """Portable 32-bit content checksum: first 8 hex chars of md5.
+
+    md5, not crc32: every engine in the oracle harness can reproduce it
+    (`CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)`), so checksums from
+    the Python decode path are cross-engine verifiable.
+    """
+    return int(hashlib.md5(data).hexdigest()[:8], 16)
+
+
 def _fake_feature(data: bytes, dim: int) -> list[float]:
-    """Deterministic stand-in feature vector: seeded by the crc32 of bytes."""
-    seed = zlib.crc32(data)
+    """Deterministic stand-in feature vector: LCG seeded by the checksum."""
     out = []
-    x = seed or 1
+    x = _checksum(data) or 1
     for _ in range(dim):
         x = (1103515245 * x + 12345) % (2 ** 31)
         out.append((x / 2 ** 31) * 2.0 - 1.0)
@@ -76,7 +85,7 @@ def extract_features(media: DataFrame, dim: int = 16,
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "n_bytes": data.map(lambda b: len(b) if b is not None else 0),
-                "checksum": data.map(lambda b: zlib.crc32(b) if b is not None else 0),
+                "checksum": data.map(lambda b: _checksum(b) if b is not None else 0),
                 "feature": data.map(lambda b: _fake_feature(b or b"", dim)),
             })
 

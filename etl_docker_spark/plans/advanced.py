@@ -225,6 +225,48 @@ JOIN sigs sc ON cand.doc_b = sc.doc_id
 WHERE bit_count(xor(sa.simhash, sc.simhash)) <= 3
 """
 
+# ---------------------------------------------------------------- d12 multimodal
+
+
+def d12_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing under the gate: documents become opaque binary
+    payloads with typed metadata; feature extraction runs through the REAL
+    distributed path (mapInPandas over Arrow batches, the hook where actual
+    codecs plug in) and frame sampling through the column-algebra planner.
+    Outputs are integer-exact (byte count, md5-derived checksum, frame
+    count), so the DuckDB oracle verifies the Python decode path
+    value-for-value.
+    """
+    from etl_docker_spark.llm.multimodal import extract_features, sample_frames
+
+    docs = t(spark, sf, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit("video").alias("kind"),
+            F.lit("video/fake").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (F.col("doc_id") % 5000).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media.select("media_id", "content"))
+    frames = (sample_frames(media, every_ms=1000)
+              .groupBy("media_id").agg(F.count("*").alias("n_frames")))
+    return feats.drop("feature").join(frames, "media_id")
+
+
+D12_SQL = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(('0x' || substring(md5(text), 1, 8))::VARCHAR AS BIGINT) AS checksum,
+       CAST((doc_id % 5000) // 1000 + 1 AS BIGINT) AS n_frames
+FROM documents
+"""
+
 # ---------------------------------------------------------------- q24 cube
 
 
@@ -544,4 +586,5 @@ ADVANCED = {
     "s04_stream_dedup": (s04_stream_dedup, S04_SQL),
     "d08_dup_clusters": (d08_dup_clusters, D08_SQL),
     "d11_simhash_pairs": (d11_simhash_pairs, D11_SQL),
+    "d12_multimodal_features": (d12_multimodal_features, D12_SQL),
 }

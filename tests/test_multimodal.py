@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import pytest
 
@@ -23,7 +23,7 @@ def media(spark):
 def test_extract_features_deterministic(spark, media):
     out = {r.media_id: r for r in mm.extract_features(media, dim=8).collect()}
     assert out[1].n_bytes == len(b"\x89PNG-fake-bytes-1")
-    assert out[1].checksum == zlib.crc32(b"\x89PNG-fake-bytes-1")
+    assert out[1].checksum == int(hashlib.md5(b"\x89PNG-fake-bytes-1").hexdigest()[:8], 16)
     assert len(out[1].feature) == 8
     assert out[4].n_bytes == 0  # null-content row survives
     again = {r.media_id: r.feature for r in mm.extract_features(media, dim=8).collect()}
