@@ -78,15 +78,32 @@ def bucket_expr(vec: Column, dim: int, scale: float = 4.0) -> Column:
     return F.floor(F.element_at(vec, dim).cast("double") * scale).cast("long")
 
 
+def probe_cells(b1: Column, b2: Column, probes: int) -> Column:
+    """All grid cells within `probes` steps of (b1, b2), as struct array.
+
+    Multi-probe stays an EQUI-join: instead of a range predicate on bucket
+    indices (which would degrade to a nested-loop join), the query side
+    explodes into its (2*probes+1)^2 candidate cells and joins on exact
+    cell identity — the standard scalable IVF multi-probe formulation.
+    """
+    offsets = range(-probes, probes + 1)
+    return F.array(*[
+        F.struct((b1 + F.lit(i)).alias("b1"), (b2 + F.lit(j)).alias("b2"))
+        for i in offsets for j in offsets
+    ])
+
+
 def bucketed_knn(corpus: DataFrame, queries: DataFrame, k: int,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 dims: tuple[int, int] = (1, 2), scale: float = 4.0) -> DataFrame:
-    """IVF-style approximate top-k: candidates share the query's coarse
-    bucket; exact cosine ranks within candidates.
+                 dims: tuple[int, int] = (1, 2), scale: float = 4.0,
+                 probes: int = 0) -> DataFrame:
+    """IVF-style approximate top-k: candidates share one of the query's
+    probed coarse cells; exact cosine ranks within candidates.
 
-    The scale path for ANN: cost tracks bucket occupancy, not corpus size.
-    Recall < 1 by design (e03_ann_recall measures it); a real deployment
-    would probe the R nearest buckets — the floor-grid keeps this
+    The scale path for ANN: cost tracks bucket occupancy x probe count,
+    not corpus size. probes=0 searches only the query's own cell;
+    probes=1 its 3x3 neighborhood, etc. — the recall/cost dial
+    (e03/e04 measure it). The floor-grid keeps every variant
     deterministic and oracle-checkable.
     """
     c = corpus.select(
@@ -101,6 +118,12 @@ def bucketed_knn(corpus: DataFrame, queries: DataFrame, k: int,
         bucket_expr(F.col(vec_col), dims[0], scale).alias("b1"),
         bucket_expr(F.col(vec_col), dims[1], scale).alias("b2"),
     )
+    if probes:
+        q = (q.select("query_id", "qv", "qn2",
+                      F.explode(probe_cells(F.col("b1"), F.col("b2"),
+                                            probes)).alias("cell"))
+             .select("query_id", "qv", "qn2",
+                     F.col("cell.b1").alias("b1"), F.col("cell.b2").alias("b2")))
     scored = (
         c.join(F.broadcast(q), ["b1", "b2"])
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -368,6 +368,90 @@ LEFT JOIN cand c ON e.query_id = c.query_id AND e.neighbor_id = c.neighbor_id
 GROUP BY e.query_id
 """
 
+# ---------------------------------------------------------------- e04 multiprobe
+
+
+def e04_multiprobe_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-probe IVF recall dial: exact top-5 hit counts when probing the
+    query's own cell (p0) vs its 3x3 neighborhood (p1). Probe cells are
+    ENUMERATED so candidate generation stays an equi-join at any probe
+    radius (llm.similarity.probe_cells) — the scalable multi-probe shape.
+    """
+    from etl_docker_spark.llm.similarity import (
+        brute_force_knn, bucket_expr, probe_cells)
+
+    emb = t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = brute_force_knn(emb, queries, k=5).select("query_id", "neighbor_id")
+
+    bucketed = emb.select(
+        F.col("vec_id"),
+        bucket_expr(F.col("embedding"), 1).alias("b1"),
+        bucket_expr(F.col("embedding"), 2).alias("b2"),
+    )
+    qb = (bucketed.filter(F.col("vec_id") < 8)
+          .select(F.col("vec_id").alias("query_id"), "b1", "b2"))
+    q9 = (qb.select("query_id",
+                    F.explode(probe_cells(F.col("b1"), F.col("b2"), 1)).alias("c"))
+          .select("query_id", F.col("c.b1").alias("b1"), F.col("c.b2").alias("b2")))
+    cand1 = (q9
+             .join(bucketed.withColumnRenamed("vec_id", "neighbor_id"), ["b1", "b2"])
+             .filter(F.col("neighbor_id") != F.col("query_id"))
+             .select("query_id", "neighbor_id"))
+    cand0 = (qb.join(bucketed.withColumnRenamed("vec_id", "neighbor_id"), ["b1", "b2"])
+             .filter(F.col("neighbor_id") != F.col("query_id"))
+             .select("query_id", "neighbor_id"))
+    h0 = (exact.join(cand0, ["query_id", "neighbor_id"], "left_semi")
+          .groupBy("query_id").agg(F.count("*").alias("n_hits_p0")))
+    h1 = (exact.join(cand1, ["query_id", "neighbor_id"], "left_semi")
+          .groupBy("query_id").agg(F.count("*").alias("n_hits_p1")))
+    return (exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+            .join(h0, "query_id", "left").join(h1, "query_id", "left")
+            .select("query_id", "n_exact",
+                    F.coalesce("n_hits_p0", F.lit(0)).alias("n_hits_p0"),
+                    F.coalesce("n_hits_p1", F.lit(0)).alias("n_hits_p1")))
+
+
+E04_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_DOT.format(a='q.qv', b='e.embedding')}
+           / sqrt({_DOT.format(a='q.qv', b='q.qv')} * {_DOT.format(a='e.embedding', b='e.embedding')}) AS cos_raw
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM scored
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) <= 5
+),
+b AS (
+  SELECT vec_id,
+         CAST(floor(CAST(embedding[1] AS DOUBLE) * 4) AS BIGINT) AS b1,
+         CAST(floor(CAST(embedding[2] AS DOUBLE) * 4) AS BIGINT) AS b2
+  FROM embeddings
+),
+offs AS (SELECT unnest([-1, 0, 1]) AS d1),
+cand1 AS (
+  SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+  FROM b qb, offs o1, offs o2
+  JOIN b nb ON qb.b1 + o1.d1 = nb.b1 AND qb.b2 + o2.d1 = nb.b2
+  WHERE qb.vec_id < 8 AND qb.vec_id <> nb.vec_id
+),
+cand0 AS (
+  SELECT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+  FROM b qb JOIN b nb ON qb.b1 = nb.b1 AND qb.b2 = nb.b2 AND qb.vec_id <> nb.vec_id
+  WHERE qb.vec_id < 8
+)
+SELECT e.query_id, COUNT(*) AS n_exact,
+       CAST(SUM(CASE WHEN c0.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_p0,
+       CAST(SUM(CASE WHEN c1.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_p1
+FROM exact e
+LEFT JOIN cand0 c0 ON e.query_id = c0.query_id AND e.neighbor_id = c0.neighbor_id
+LEFT JOIN cand1 c1 ON e.query_id = c1.query_id AND e.neighbor_id = c1.neighbor_id
+GROUP BY e.query_id
+"""
+
 # ---------------------------------------------------------------- s02 sessions
 
 
@@ -587,4 +671,5 @@ ADVANCED = {
     "d08_dup_clusters": (d08_dup_clusters, D08_SQL),
     "d11_simhash_pairs": (d11_simhash_pairs, D11_SQL),
     "d12_multimodal_features": (d12_multimodal_features, D12_SQL),
+    "e04_multiprobe_recall": (e04_multiprobe_recall, E04_SQL),
 }

@@ -151,3 +151,17 @@ def test_simhash_near_dup_pairs(spark):
     found = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
     assert (1, 2) in found and found[(1, 2)] <= 8
     assert (1, 3) not in found and (2, 3) not in found
+
+
+def test_bucketed_knn_multiprobe_superset(spark):
+    from etl_docker_spark.llm.similarity import bucketed_knn
+
+    rows = [(i, [0.05 * i, 0.1, 0.2, 0.3]) for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 10)
+    p0 = {(r.query_id, r.neighbor_id)
+          for r in bucketed_knn(df, q, k=50).collect()}
+    p1 = {(r.query_id, r.neighbor_id)
+          for r in bucketed_knn(df, q, k=50, probes=1).collect()}
+    assert p0 <= p1          # probing can only add candidates
+    assert len(p1) > len(p0)  # and here it does (neighbors straddle cells)
