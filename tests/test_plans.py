@@ -100,3 +100,57 @@ def test_lsh_single_corpus_pass(spark, name):
     assert ops.count("Scan parquet") <= 1, plan
     # candidate + verification joins all broadcast the tiny per-doc frames
     assert not [o for o in ops if "SortMergeJoin" in o], plan
+
+
+def test_fan_out_noop_on_wide_input(spark):
+    """fan_out must not inject a RoundRobin exchange when the corpus is
+    already at cluster parallelism — at 100 TB the scan arrives parallel
+    and an unconditional repartition is a full shuffle of raw vectors."""
+    from pyspark.sql import functions as F
+
+    from etl_docker_spark.llm.similarity import brute_force_knn, fan_out
+
+    target = spark.sparkContext.defaultParallelism
+    wide = (spark.range(200)
+            .select(F.col("id").alias("vec_id"),
+                    F.array(*[(F.col("id") * (i + 1) % 7).cast("float")
+                              for i in range(4)]).alias("embedding"))
+            .repartition(target))
+    assert fan_out(wide) is wide
+    q = wide.filter(F.col("vec_id") < 2)
+    explain = lambda df: df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    # the only RoundRobin in the knn plan is the fixture's own repartition —
+    # the operator adds none on top
+    baseline = explain(wide).count("RoundRobinPartitioning")
+    plan = explain(brute_force_knn(wide, q, k=3))
+    assert plan.count("RoundRobinPartitioning") == baseline, plan
+
+
+def test_fan_out_widens_narrow_input(spark):
+    from etl_docker_spark.llm.similarity import fan_out
+
+    narrow = spark.range(100).coalesce(1)
+    assert fan_out(narrow).rdd.getNumPartitions() == \
+        spark.sparkContext.defaultParallelism
+
+
+def test_registry_complete_and_oracle_backed(spark):
+    """Every registered query must carry an oracle (the driver's correctness
+    gate enumerates queries(); a registration without an oracle silently
+    downgrades to rows-only — q31 missed round 1's gate this way). Pin the
+    full name set so additions/removals are always a conscious diff."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    rows_only_allowed = set()  # every current query is SQL-expressible
+    missing = set(qs) - set(oracles) - rows_only_allowed
+    assert not missing, f"queries without an oracle: {sorted(missing)}"
+    expected = {
+        *(f"q{i:02d}" for i in range(1, 32)),
+        *(f"d{i:02d}" for i in range(1, 13)),
+        *(f"e{i:02d}" for i in range(1, 5)),
+        *(f"s{i:02d}" for i in range(1, 5)),
+    }
+    assert {n.split("_")[0] for n in qs} == expected
