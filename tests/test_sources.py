@@ -48,3 +48,89 @@ def test_filter_pushdown_params(spark):
                                predicates={"date_from": dt.date(2024, 3, 1)})
     assert df.count() == 1
     assert seen == {"date_from": "01/03/2024"}  # dd/MM/yyyy serialization (API_IPN.py:56-58)
+
+
+# ---------------------------------------------------------------- JDBC SQL
+
+
+def test_mysql_upsert_sql_matches_reference_shape():
+    """The generated statement is the reference's staging upsert idiom
+    byte-for-byte in structure (CotyData_IPN.py:948): INSERT..SELECT from
+    the staging table with ON DUPLICATE KEY UPDATE on non-key columns."""
+    from etl_docker_spark.sources.jdbc import mysql_upsert_sql
+
+    sql = mysql_upsert_sql(
+        "PROVEEDORES", "CARGA_PROVEEDORES",
+        ["codigo_proveedor"],
+        ["codigo_proveedor", "id_razon_social_coty",
+         "razon_social_proveedor", "nombre_fantasia",
+         "identificador_intercompany"])
+    assert sql == (
+        "INSERT INTO PROVEEDORES (codigo_proveedor, id_razon_social_coty, "
+        "razon_social_proveedor, nombre_fantasia, identificador_intercompany) "
+        "SELECT codigo_proveedor, id_razon_social_coty, "
+        "razon_social_proveedor, nombre_fantasia, identificador_intercompany "
+        "FROM CARGA_PROVEEDORES "
+        "ON DUPLICATE KEY UPDATE "
+        "id_razon_social_coty = CARGA_PROVEEDORES.id_razon_social_coty, "
+        "razon_social_proveedor = CARGA_PROVEEDORES.razon_social_proveedor, "
+        "nombre_fantasia = CARGA_PROVEEDORES.nombre_fantasia, "
+        "identificador_intercompany = CARGA_PROVEEDORES.identificador_intercompany")
+
+
+def test_sqlserver_merge_sql_upsert_by_pk():
+    from etl_docker_spark.sources.jdbc import sqlserver_merge_sql
+
+    sql = sqlserver_merge_sql(
+        "VENTAS", "STAGING_VENTAS", ["ID_VENTA", "NRO_LINEA"],
+        ["ID_VENTA", "NRO_LINEA", "IMPORTE", "CANTIDAD"])
+    assert sql == (
+        "MERGE INTO VENTAS AS t USING STAGING_VENTAS AS s "
+        "ON t.ID_VENTA = s.ID_VENTA AND t.NRO_LINEA = s.NRO_LINEA "
+        "WHEN MATCHED THEN UPDATE SET t.IMPORTE = s.IMPORTE, "
+        "t.CANTIDAD = s.CANTIDAD "
+        "WHEN NOT MATCHED THEN INSERT (ID_VENTA, NRO_LINEA, IMPORTE, "
+        "CANTIDAD) VALUES (s.ID_VENTA, s.NRO_LINEA, s.IMPORTE, s.CANTIDAD);")
+
+
+def test_merge_sql_generators_reject_bad_input():
+    import pytest
+
+    from etl_docker_spark.sources.jdbc import (mysql_upsert_sql,
+                                               sqlserver_merge_sql)
+
+    for gen in (mysql_upsert_sql, sqlserver_merge_sql):
+        with pytest.raises(ValueError, match="identifier"):
+            gen("t; DROP TABLE x", "s", ["k"], ["k", "v"])
+        with pytest.raises(ValueError, match="not in cols"):
+            gen("t", "s", ["missing"], ["k", "v"])
+        with pytest.raises(ValueError, match="nothing to update"):
+            gen("t", "s", ["k"], ["k"])
+
+
+def test_staged_merge_generates_dialect_sql(spark, monkeypatch):
+    """staged_merge without explicit merge_sql derives the statement from
+    the frame's columns; capture both the write and the statement without
+    a live connection."""
+    import etl_docker_spark.sources.jdbc as jdbc
+
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    captured = {}
+    monkeypatch.setattr(
+        jdbc, "execute_statement",
+        lambda url, sql, properties=None: captured.setdefault("sql", sql))
+
+    class FakeWriter:
+        def format(self, *_): return self
+        def mode(self, *_): return self
+        def option(self, *_): return self
+        def options(self, **_): return self
+        def save(self): captured["wrote"] = True
+
+    monkeypatch.setattr(type(df), "write", property(lambda self: FakeWriter()))
+    jdbc.staged_merge(df, "jdbc:mysql://h/db", "stg", target_table="tgt",
+                      key_cols=["k"], dialect="mysql")
+    assert captured["wrote"]
+    assert captured["sql"] == (
+        "INSERT INTO tgt (k, v) SELECT k, v FROM stg "
+        "ON DUPLICATE KEY UPDATE v = stg.v")
