@@ -285,3 +285,53 @@ SALES_ORDER = T.StructType([
         T.StructField("ItemSubTotal", T.DoubleType()),
     ]))),
 ])
+
+# ---- A14 b2c_order (API_IPN.py:810-849 — the B2C marketplace order list;
+# the reference declares the endpoint but its DAG never materializes the
+# frame, so fields mirror the endpoint's observable filter surface)
+
+B2C_ORDER = T.StructType([
+    T.StructField("OrderId", T.LongType(), False),
+    T.StructField("StoreId", T.IntegerType()),
+    T.StructField("MarketplaceId", T.IntegerType()),
+    T.StructField("StatusId", T.IntegerType()),
+    T.StructField("PaymentStatusId", T.IntegerType()),
+    T.StructField("ShippingStatusId", T.IntegerType()),
+    T.StructField("CreationDate", T.StringType()),
+    T.StructField("PaidDate", T.StringType()),
+    T.StructField("ShippingDate", T.StringType()),
+    T.StructField("TotalAmount", T.DoubleType()),
+    T.StructField("Items", T.ArrayType(T.StructType([
+        T.StructField("ItemId", T.LongType()),
+        T.StructField("UnitQty", T.DoubleType()),
+        T.StructField("UnitPrice", T.DoubleType()),
+    ]))),
+])
+
+# ---- A15 employee (API_IPN.py:1214-1221; store-scoped roster)
+
+EMPLOYEE = T.StructType([
+    T.StructField("Id", T.IntegerType(), False),
+    T.StructField("Name", T.StringType()),
+    T.StructField("StoreId", T.IntegerType()),
+    T.StructField("IsActive", T.BooleanType()),
+])
+
+# ---- A16 expense via API (API_IPN.py:851-908; the reference loads expenses
+# from Excel instead — pipelines/expenses.py — but declares this endpoint)
+
+EXPENSE_API = T.StructType([
+    T.StructField("Id", T.LongType(), False),
+    T.StructField("CompanyId", T.IntegerType()),
+    T.StructField("StoreId", T.IntegerType()),
+    T.StructField("ExpenseConceptId", T.IntegerType()),
+    T.StructField("SubExpenseConceptId", T.IntegerType()),
+    T.StructField("PaymentStatusId", T.IntegerType()),
+    T.StructField("IsDeleted", T.BooleanType()),
+    T.StructField("NotProfit", T.BooleanType()),
+    T.StructField("TotalAmount", T.DoubleType()),
+    T.StructField("Audit", T.StructType([
+        T.StructField("CreationDate", T.StringType()),
+        T.StructField("ModificationDate", T.StringType()),
+    ])),
+])

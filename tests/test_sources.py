@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import types as T
 
 from etl_docker_spark.sources import PageSpec, RestEndpoint, paginated_read, paginated_read_driver
@@ -134,3 +135,83 @@ def test_staged_merge_generates_dialect_sql(spark, monkeypatch):
     assert captured["sql"] == (
         "INSERT INTO tgt (k, v) SELECT k, v FROM stg "
         "ON DUPLICATE KEY UPDATE v = stg.v")
+
+
+# ---------------------------------------------------------------- S4 catalog
+
+
+def _fake_value(dtype, i: int):
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.StructType):
+        return {f.name: _fake_value(f.dataType, i) for f in dtype.fields}
+    if isinstance(dtype, T.ArrayType):
+        return [_fake_value(dtype.elementType, i)]
+    if isinstance(dtype, (T.LongType, T.IntegerType)):
+        return i
+    if isinstance(dtype, T.DoubleType):
+        return float(i) + 0.5
+    if isinstance(dtype, T.BooleanType):
+        return i % 2 == 0
+    if isinstance(dtype, T.StringType):
+        return f"s{i}"
+    raise AssertionError(f"unhandled type in fake: {dtype}")
+
+
+def test_serialize_params_reference_wire_format():
+    import datetime
+
+    from etl_docker_spark.sources.endpoints import serialize_params
+
+    out = serialize_params({
+        "date_from": datetime.date(2024, 3, 7),
+        "stores": [1, 2, 3],
+        "is_deleted": False,
+        "company_id": 4,
+        "skip_me": None,
+    })
+    assert out == {"date_from": "07/03/2024", "stores": "1,2,3",
+                   "is_deleted": "false", "company_id": "4"}
+
+
+def test_catalog_covers_reference_surface():
+    from etl_docker_spark.sources.endpoints import ENDPOINTS
+
+    # every reference endpoint class family is represented, incl. the three
+    # the round-1 audit flagged as missing
+    for required in ("sales_documents", "customers_v2", "customers_v3",
+                     "delivery_notes_v2", "delivery_notes_v3", "items",
+                     "b2c_orders", "employees", "expenses", "suppliers",
+                     "purchase_orders", "goods_receipts", "sales_orders"):
+        assert required in ENDPOINTS
+    assert len(ENDPOINTS) >= 20
+    from etl_docker_spark.sources.endpoints import _THROTTLED
+
+    assert ENDPOINTS["customers_v2"].page is _THROTTLED
+
+
+@pytest.mark.parametrize(
+    "name", sorted(__import__("etl_docker_spark.sources.endpoints",
+                              fromlist=["ENDPOINTS"]).ENDPOINTS))
+def test_catalog_round_trips_through_paginated_read(spark, name):
+    """Every catalog entry fetches through the executor-side reader against
+    a schema-derived fake and lands with its declared schema."""
+    from etl_docker_spark.sources.endpoints import ENDPOINTS
+    from etl_docker_spark.sources.rest import paginated_read
+
+    ep = ENDPOINTS[name]
+    schema = ep.schema
+
+    def fake_fetch(page: int, params: dict) -> list[dict]:
+        if page >= 2:
+            return []
+        return [_fake_value(schema, page * 3 + j) for j in range(3)]
+
+    # skip the real per-page sleep for the throttled entries in tests
+    from dataclasses import replace
+
+    fast = replace(ep, page=replace(ep.page, rate_limit_s=0.0))
+    df = paginated_read(spark, fast, fake_fetch, num_pages=2)
+    assert df.schema == schema
+    rows = df.collect()
+    assert len(rows) == 6
