@@ -34,10 +34,62 @@ def _update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     })
 
 
-def running_user_totals(stream: DataFrame) -> DataFrame:
-    """Per-user running totals with persistent state (no watermark eviction:
-    the key space is bounded by the user population)."""
-    return (stream.groupBy("user_id")
+def _make_ttl_update(ttl_ms: int):
+    """Update fn with event-time TTL: a key idle past `ttl_ms` (measured
+    against the stream's watermark) has its state REMOVED — on an unbounded
+    key space, NoTimeout state grows monotonically and this is the dial
+    that bounds it. The timeout timestamp re-arms on every batch that
+    brings the key data; Spark invokes the fn once more with
+    `hasTimedOut=True` (and no data) after the watermark passes it."""
+
+    def _update_ttl(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+            yield  # pragma: no cover — keeps this a generator
+        n, total = state.get if state.exists else (0, 0.0)
+        last_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = pdf["ts"].max()
+            last_ts = mx if last_ts is None else max(last_ts, mx)
+        state.update((n, total))
+        # must be strictly ahead of the current watermark; late batches pin
+        # to watermark + ttl instead of their own (older) event time
+        event_ms = int(last_ts.value // 1_000_000)
+        state.setTimeoutTimestamp(
+            max(event_ms, state.getCurrentWatermarkMs()) + ttl_ms)
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_events": [n], "total_value": [total],
+            "last_ts": [last_ts],
+        })
+
+    return _update_ttl
+
+
+def running_user_totals(stream: DataFrame, ttl_ms: int | None = None,
+                        watermark_delay: str = "0 seconds") -> DataFrame:
+    """Per-user running totals with persistent state.
+
+    ttl_ms=None keeps state forever — right when the key space is bounded
+    (a user population). For unbounded keys (session ids, request ids) pass
+    a TTL: state is evicted once the key has been idle `ttl_ms` of EVENT
+    time past the watermark, so the state store tracks the live key set,
+    not history. A key that reappears after eviction restarts from zero.
+
+    Spark 4 upgrade path: `transformWithStateInPandas` exposes the same
+    semantics as a first-class stateful processor (per-state-variable TTLConfig,
+    timers, multiple state variables) — this operator's contract (update +
+    event-time TTL) maps 1:1 onto it when we bump the minimum Spark version.
+    """
+    if ttl_ms is None:
+        return (stream.groupBy("user_id")
+                .applyInPandasWithState(
+                    _update, OUTPUT_SCHEMA, STATE_SCHEMA,
+                    "update", GroupStateTimeout.NoTimeout))
+    return (stream.withWatermark("ts", watermark_delay)
+            .groupBy("user_id")
             .applyInPandasWithState(
-                _update, OUTPUT_SCHEMA, STATE_SCHEMA,
-                "update", GroupStateTimeout.NoTimeout))
+                _make_ttl_update(ttl_ms), OUTPUT_SCHEMA, STATE_SCHEMA,
+                "update", GroupStateTimeout.EventTimeTimeout))
