@@ -75,6 +75,87 @@ def main() -> None:
     so.assign(running=so.groupby("o_custkey").o_totalprice.cumsum())
     timings["q14_running_spend"] = round(time.perf_counter() - t0, 3)
 
+    # ---- training-data ops (the engine's d/e headline queries), same
+    # computations in idiomatic single-node pandas/numpy
+
+    import hashlib
+
+    import numpy as np
+
+    documents = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    embeddings = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    t0 = time.perf_counter()
+    digest = documents.text.map(
+        lambda s: hashlib.md5(s.encode()).hexdigest())
+    documents.assign(digest=digest).groupby("digest").agg(
+        canonical_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+    timings["d01_exact_dedup"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    toks = documents.text.str.split(" ")
+    documents.assign(n_tokens=toks.str.len(),
+                     n_chars=documents.text.str.len()).groupby("lang").agg(
+        n_docs=("doc_id", "size"), avg_tokens=("n_tokens", "mean"),
+        avg_chars=("n_chars", "mean"))
+    timings["d02_token_stats"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    # MinHash-LSH near-dup pairs: per-doc shingle set -> 16 minhashes ->
+    # band buckets -> candidate pairs -> jaccard verify (same parameters as
+    # llm/dedup.py; hash via md5 like the engine so the work is comparable)
+    def _shingles(s: str) -> set:
+        t = s.split(" ")
+        return {" ".join(t[i:i + 3]) for i in range(max(1, len(t) - 2))}
+
+    def _mh(sh: set) -> list:
+        hs = [[int.from_bytes(hashlib.md5(f"{i}|{x}".encode()).digest()[:8],
+                              "big") for x in sh] for i in range(16)]
+        return [min(h) for h in hs]
+
+    sh = documents.text.map(_shingles)
+    mh = sh.map(_mh)
+    buckets: dict = {}
+    for doc_id, sig in zip(documents.doc_id, mh):
+        for band in range(4):
+            key = (band, tuple(sig[band * 4:band * 4 + 4]))
+            buckets.setdefault(key, []).append(doc_id)
+    sh_by_id = dict(zip(documents.doc_id, sh))
+    cands = {(a, b) for ids in buckets.values() if len(ids) > 1
+             for i, a in enumerate(ids) for b in ids[i + 1:] if a < b}
+    [(a, b) for a, b in cands
+     if 2 * len(sh_by_id[a] & sh_by_id[b])
+     >= len(sh_by_id[a] | sh_by_id[b])]
+    timings["d06_minhash_pairs"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    # brute-force cosine top-5 for 8 query vectors (e01's shape)
+    mat = np.vstack(embeddings.embedding.to_numpy()).astype(np.float64)
+    ids = embeddings.vec_id.to_numpy()
+    qidx = np.argsort(ids)[:8]
+    norms = np.linalg.norm(mat, axis=1)
+    for qi in qidx:
+        cos = (mat @ mat[qi]) / (norms * norms[qi])
+        cos[qi] = -np.inf
+        np.argpartition(-cos, 5)[:5]
+    timings["e01_knn_bruteforce"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    # IVF-bucketed near-dup pairs (e02's shape): floor-bucket dims 1-2,
+    # all-pairs cosine within each bucket, threshold 0.4
+    b1 = np.floor(mat[:, 0] * 4).astype(np.int64)
+    b2 = np.floor(mat[:, 1] * 4).astype(np.int64)
+    cell = pd.DataFrame({"b1": b1, "b2": b2, "i": np.arange(len(mat))})
+    for _, grp in cell.groupby(["b1", "b2"]):
+        idx = grp.i.to_numpy()
+        if len(idx) < 2:
+            continue
+        sub = mat[idx]
+        c = (sub @ sub.T) / np.outer(norms[idx], norms[idx])
+        iu = np.triu_indices(len(idx), k=1)
+        np.argwhere(c[iu] >= 0.4)
+    timings["e02_bucketed_near_dup"] = round(time.perf_counter() - t0, 3)
+
     print(json.dumps({
         "metric": "pandas_singlenode_wall_seconds",
         "value": round(sum(timings.values()), 3),
