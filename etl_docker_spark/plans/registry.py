@@ -11,6 +11,7 @@ from etl_docker_spark.plans.advanced import ADVANCED
 from etl_docker_spark.plans.extended import EXTENDED
 from etl_docker_spark.plans.llm_queries import LLM_QUERIES
 from etl_docker_spark.plans.relational import RELATIONAL
+from etl_docker_spark.plans.round2 import ROUND2
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
@@ -24,7 +25,7 @@ class QuerySpec:
 
 def _build() -> dict[str, QuerySpec]:
     specs: dict[str, QuerySpec] = {}
-    for table in (RELATIONAL, LLM_QUERIES, ADVANCED, EXTENDED):
+    for table in (RELATIONAL, LLM_QUERIES, ADVANCED, EXTENDED, ROUND2):
         for name, (builder, oracle) in table.items():
             specs[name] = QuerySpec(name, builder, oracle)
     return specs

@@ -1,0 +1,292 @@
+"""Round-2 surface widening: PII scrubbing, correlated scalar subqueries,
+stream-stream joins, and a TRAINED IVF coarse quantizer (k-means) — the
+operator families a training-data pipeline needs that round 1 didn't
+expose as gated queries.
+
+Cross-engine determinism notes per query; shared recipes in plans/_util.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_docker_spark.plans._util import dec, t
+
+# ---------------------------------------------------------------- d13
+
+# RE2-and-Java-compatible patterns (no lookaround, no backrefs): the same
+# text runs through Spark's regexp_replace and DuckDB's (with 'g').
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL = r"https?://[^\s]+"
+PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+def scrub_pii(col, token: str = "[PII]"):
+    """Redact emails, then URLs, then phone shapes (order matters: an email
+    inside a URL query string must not leave a dangling host)."""
+    out = F.regexp_replace(col, PII_EMAIL, token)
+    out = F.regexp_replace(out, PII_URL, token)
+    return F.regexp_replace(out, PII_PHONE, token)
+
+
+def d13_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing over the documents table.
+
+    The synthetic corpus has no PII, so the query plants a deterministic
+    email + phone + URL per document (derived from doc_id) and then
+    scrubs — the gate verifies detection counts AND the cleaned text
+    byte-for-byte. Pure Column expressions, codegen, one scan, no shuffle.
+    """
+    docs = t(spark, sf, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or call 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" see https://ex.example.com/u/"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return dirty.select(
+        "doc_id",
+        (F.regexp_count("text", F.lit(PII_EMAIL))
+         + F.regexp_count("text", F.lit(PII_URL))
+         + F.regexp_count("text", F.lit(PII_PHONE))).cast("long")
+        .alias("n_pii"),
+        scrub_pii(F.col("text")).alias("clean_text"),
+    )
+
+
+D13_SQL = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or call 555-01'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+              || ' see https://ex.example.com/u/' || CAST(doc_id AS VARCHAR)
+           AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}'))
+          + len(regexp_extract_all(text, '{PII_URL}'))
+          + len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_pii,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{PII_EMAIL}', '[PII]', 'g'),
+           '{PII_URL}', '[PII]', 'g'),
+           '{PII_PHONE}', '[PII]', 'g') AS clean_text
+FROM dirty
+"""
+
+# ---------------------------------------------------------------- q32
+
+
+def q32_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): revenue from
+    small-lot line items — quantity under 20% of that part's average.
+
+    Exercises the SQL scalar-subquery surface; Catalyst decorrelates it
+    into an aggregate + join (no per-row re-execution — the reference
+    would loop). Determinism: per-part AVG sums integral doubles (exact at
+    any order); the revenue total uses the decimal-exact recipe.
+    """
+    t(spark, sf, "lineitem").createOrReplaceTempView("q32_lineitem")
+    t(spark, sf, "part").createOrReplaceTempView("q32_part")
+    return spark.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)
+                 AS small_lot_revenue,
+               COUNT(*) AS n_lines
+        FROM q32_part p JOIN q32_lineitem l ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < (
+            SELECT 0.2 * AVG(l2.l_quantity)
+            FROM q32_lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """)
+
+
+Q32_SQL = """
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR)
+            AS DOUBLE) AS small_lot_revenue,
+       COUNT(*) AS n_lines
+FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+"""
+
+# ---------------------------------------------------------------- s05
+
+
+def s05_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream interval join THROUGH Structured Streaming: each view
+    event joined to the same user's purchases within the following 6 h.
+
+    Both sides are watermarked streams; the join state is range-bounded by
+    the event-time condition, so state eviction is automatic at the
+    watermark — the scalable formulation of "correlate two event streams".
+    Oracle = the batch join; equality checks exactly-once emission.
+    """
+    from etl_docker_spark.plans._util import stream_state_partitions
+    from etl_docker_spark.plans.advanced import (_events_stream,
+                                                 _state_partitions_for)
+
+    ev = _events_stream(spark, sf)
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", "1 minute"))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("b_user"),
+                    F.col("event_id").alias("purchase_id"),
+                    F.col("ts").alias("buy_ts"))
+            .withWatermark("buy_ts", "1 minute"))
+    joined = (views.join(
+        buys,
+        F.expr("""v_user = b_user
+                  AND buy_ts >= view_ts
+                  AND buy_ts <= view_ts + interval 6 hours"""))
+        .select(F.col("v_user").alias("user_id"), "view_id", "purchase_id",
+                (F.unix_micros("buy_ts") - F.unix_micros("view_ts"))
+                .alias("delta_us")))
+    name = f"s05_sink_{abs(hash(sf)) % 10 ** 8}"
+    with stream_state_partitions(spark, _state_partitions_for(spark, sf)):
+        q = (joined.writeStream.outputMode("append").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        q.stop()
+    return spark.table(name)
+
+
+S05_SQL = """
+SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '6 hours'
+"""
+
+# ---------------------------------------------------------------- e05
+
+_KM_K = 8
+_KM_Q = 1 << 20  # component quantization: floor(v * 2^20) as BIGINT
+
+
+def e05_ivf_train(spark: SparkSession, sf: str) -> DataFrame:
+    """TRAINED IVF coarse quantizer: two Lloyd iterations of k-means over
+    the embedding corpus, k=8, init = the k lowest vec_ids. Output:
+    (vec_id, cluster) after the second assignment.
+
+    This is the scale path's answer to the floor-grid bucketer (e02-e04):
+    a data-adapted partition of the vector space. Cross-engine exactness:
+    components quantize to BIGINT (exact for float32 in range), iteration-1
+    distances are integer arithmetic, centroid means are exact-int /
+    count in DOUBLE, and iteration-2 distances fold left-to-right in
+    DOUBLE — bit-identical to the DuckDB oracle's list_reduce.
+
+    Plan shape: centroids broadcast both iterations (k rows); the corpus is
+    scanned, never shuffled — the per-dim centroid aggregation shuffles
+    narrow (cluster, dim, sum) triples only. At 100 TB that is the textbook
+    distributed k-means: map-side partial sums, k*dims-row reduce.
+    """
+    e = t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: F.floor(x.cast("double") * _KM_Q).cast("long"))
+        .alias("qv"),
+    )
+    c0 = (e.filter(F.col("vec_id") < _KM_K)
+          .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv")))
+
+    def int_dist(qv, cv):
+        return F.aggregate(
+            F.zip_with(qv, cv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"), lambda a, v: a + v)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id")
+    a1 = (e.crossJoin(F.broadcast(c0))
+          .select("vec_id", "qv", F.col("cid"),
+                  int_dist(F.col("qv"), F.col("cv")).alias("dist"))
+          .withColumn("rn", F.row_number().over(
+              w.orderBy(F.asc("dist"), F.asc("cid"))))
+          .filter(F.col("rn") == 1)
+          .select("vec_id", "qv", F.col("cid").alias("cluster")))
+
+    comp = a1.select("cluster", F.posexplode("qv").alias("dim", "val"))
+    cent = (comp.groupBy("cluster", "dim")
+            .agg((F.sum("val").cast("double") / F.count("*")).alias("m")))
+    cent_l = (cent.groupBy("cluster")
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                  lambda s: s["m"]).alias("cv")))
+
+    def dbl_dist(qv, cv):
+        return F.aggregate(
+            F.zip_with(qv, cv,
+                       lambda x, y: (x.cast("double") - y)
+                       * (x.cast("double") - y)),
+            F.lit(0.0), lambda a, v: a + v)
+
+    return (a1.select("vec_id", "qv")
+            .crossJoin(F.broadcast(cent_l))
+            .select("vec_id", F.col("cluster"),
+                    dbl_dist(F.col("qv"), F.col("cv")).alias("dist"))
+            .withColumn("rn", F.row_number().over(
+                w.orderBy(F.asc("dist"), F.asc("cluster"))))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster"))
+
+
+E05_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_Q}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, qv AS cv FROM e WHERE vec_id < {_KM_K}),
+d1 AS (
+  SELECT e.vec_id, e.qv, c0.cid,
+         list_reduce(list_transform(generate_series(1, len(e.qv)),
+             i -> (e.qv[i] - c0.cv[i]) * (e.qv[i] - c0.cv[i])),
+             (a, b) -> a + b) AS dist
+  FROM e, c0
+),
+a1 AS (
+  SELECT vec_id, qv, cid AS cluster FROM d1
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+),
+comp AS (
+  SELECT a1.cluster, u.i AS dim, a1.qv[u.i] AS val
+  FROM a1, (SELECT unnest(generate_series(1, 64)) AS i) u
+),
+cent AS (
+  SELECT cluster, dim, CAST(SUM(val) AS DOUBLE) / COUNT(*) AS m
+  FROM comp GROUP BY cluster, dim
+),
+cent_l AS (
+  SELECT cluster, list(m ORDER BY dim) AS cv FROM cent GROUP BY cluster
+),
+d2 AS (
+  SELECT a1.vec_id, c.cluster,
+         list_reduce(list_transform(generate_series(1, len(a1.qv)),
+             i -> (CAST(a1.qv[i] AS DOUBLE) - c.cv[i])
+                * (CAST(a1.qv[i] AS DOUBLE) - c.cv[i])),
+             (a, b) -> a + b) AS dist
+  FROM a1, cent_l c
+)
+SELECT vec_id, cluster FROM d2
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+"""
+
+ROUND2 = {
+    "d13_pii_scrub": (d13_pii_scrub, D13_SQL),
+    "q32_scalar_subquery": (q32_scalar_subquery, Q32_SQL),
+    "s05_stream_stream_join": (s05_stream_stream_join, S05_SQL),
+    "e05_ivf_train": (e05_ivf_train, E05_SQL),
+}

@@ -148,9 +148,9 @@ def test_registry_complete_and_oracle_backed(spark):
     missing = set(qs) - set(oracles) - rows_only_allowed
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
-        *(f"q{i:02d}" for i in range(1, 32)),
-        *(f"d{i:02d}" for i in range(1, 13)),
-        *(f"e{i:02d}" for i in range(1, 5)),
-        *(f"s{i:02d}" for i in range(1, 5)),
+        *(f"q{i:02d}" for i in range(1, 33)),
+        *(f"d{i:02d}" for i in range(1, 14)),
+        *(f"e{i:02d}" for i in range(1, 6)),
+        *(f"s{i:02d}" for i in range(1, 6)),
     }
     assert {n.split("_")[0] for n in qs} == expected
