@@ -25,13 +25,27 @@ from etl_docker_spark.operators.dedup import dedup_first
 
 
 def merge_upsert(target: DataFrame, updates: DataFrame, keys: Sequence[str],
-                 order_by: Sequence[Column | str] | None = None) -> DataFrame:
+                 order_by: Sequence[Column | str] | None = None,
+                 compare_target: bool = False) -> DataFrame:
     """Latest-state-by-PK merge: rows from `updates` replace target rows with
     the same key; unmatched target rows survive; unmatched updates insert.
 
     If `updates` may carry several versions of one key, pass `order_by`
     (descending recency first) to pick the winner deterministically (A4).
+
+    `compare_target=True` makes the merge OUT-OF-ORDER SAFE: the winner is
+    picked by `order_by` across target AND updates together, so a late
+    batch carrying an older version of a key can never overwrite newer
+    state — the CDC contract when upstream delivery isn't time-ordered.
+    Requires `order_by`. Costs one shuffle on the keys instead of the
+    broadcast anti join; at scale, partition the target so only affected
+    key ranges re-sort.
     """
+    if compare_target:
+        if not order_by:
+            raise ValueError("compare_target=True requires order_by")
+        ups = updates.select(*target.columns)
+        return dedup_first(target.unionByName(ups), keys, order_by)
     ups = dedup_first(updates, keys, order_by) if order_by else updates
     ups = ups.select(*target.columns)  # align column order for union
     kept = target.join(F.broadcast(ups.select(*keys).distinct()),
@@ -41,7 +55,8 @@ def merge_upsert(target: DataFrame, updates: DataFrame, keys: Sequence[str],
 
 def merge_upsert_path(spark: SparkSession, path: str, updates: DataFrame,
                       keys: Sequence[str],
-                      order_by: Sequence[Column | str] | None = None) -> None:
+                      order_by: Sequence[Column | str] | None = None,
+                      compare_target: bool = False) -> None:
     """Path-based upsert into a parquet table (creates it on first write).
 
     Rewrites the snapshot (parquet has no row-level ops). On a real deployment
@@ -53,7 +68,7 @@ def merge_upsert_path(spark: SparkSession, path: str, updates: DataFrame,
         updates_final.write.mode("overwrite").parquet(path)
         return
     target = spark.read.parquet(path)
-    merged = merge_upsert(target, updates, keys, order_by)
+    merged = merge_upsert(target, updates, keys, order_by, compare_target)
     tmp = f"{path}__tmp_merge"
     merged.write.mode("overwrite").parquet(tmp)
     final = spark.read.parquet(tmp)

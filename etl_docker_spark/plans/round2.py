@@ -284,9 +284,63 @@ SELECT vec_id, cluster FROM d2
 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
 """
 
+# ---------------------------------------------------------------- s06
+
+
+def s06_cdc_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC-merge THROUGH the streaming engine: the events table arrives as
+    three micro-batches (split by event_id, NOT by time — deliberately
+    out of order) and each batch is upserted into a parquet target via
+    foreachBatch with the out-of-order-safe merge
+    (operators.merge, compare_target=True). Final state: latest event per
+    user by (ts, event_id).
+
+    The oracle is the batch argmax — equality proves the merge is
+    arrival-order independent AND exactly-once-per-epoch. This is the
+    reference's staging->merge load loop (CotyData_IPN.py:207-242) as a
+    continuous pipeline.
+    """
+    import shutil
+    import tempfile
+
+    from etl_docker_spark.streaming.cdc import merge_stream_into
+
+    ev = t(spark, sf, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="s06_")
+    src, target = f"{work}/src", f"{work}/target"
+    try:
+        # three deliberately time-interleaved batches
+        ev.repartitionByRange(3, "event_id").write.mode("overwrite").parquet(src)
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = merge_stream_into(
+            stream, target, keys=["user_id"],
+            order_by=[F.desc("ts"), F.desc("event_id")],
+            checkpoint=f"{work}/ckpt", compare_target=True)
+        q.awaitTermination(300)
+        q.stop()
+        final = (spark.read.parquet(target)
+                 .select("user_id", F.col("ts").alias("last_ts"),
+                         F.col("event_type").alias("last_type"),
+                         F.col("value").alias("last_value"))
+                 .localCheckpoint())  # pin before the workdir is deleted
+        return final
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+S06_SQL = """
+SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
 ROUND2 = {
     "d13_pii_scrub": (d13_pii_scrub, D13_SQL),
     "q32_scalar_subquery": (q32_scalar_subquery, Q32_SQL),
     "s05_stream_stream_join": (s05_stream_stream_join, S05_SQL),
+    "s06_cdc_merge": (s06_cdc_merge, S06_SQL),
     "e05_ivf_train": (e05_ivf_train, E05_SQL),
 }

@@ -19,12 +19,17 @@ from etl_docker_spark.operators.merge import merge_upsert_path
 def merge_stream_into(stream: DataFrame, path: str, keys: Sequence[str],
                       order_by: Sequence[Column] | None = None,
                       checkpoint: str | None = None,
-                      trigger_once: bool = True) -> StreamingQuery:
-    """Continuously MERGE a stream of updates into a parquet table."""
+                      trigger_once: bool = True,
+                      compare_target: bool = False) -> StreamingQuery:
+    """Continuously MERGE a stream of updates into a parquet table.
+
+    `compare_target=True` (with `order_by`) makes the result independent of
+    micro-batch arrival order — a late batch with an older version of a key
+    never clobbers newer state (see operators.merge.merge_upsert)."""
     spark = stream.sparkSession
 
     def upsert_batch(batch: DataFrame, epoch_id: int) -> None:
-        merge_upsert_path(spark, path, batch, keys, order_by)
+        merge_upsert_path(spark, path, batch, keys, order_by, compare_target)
 
     writer = stream.writeStream.foreachBatch(upsert_batch)
     if checkpoint:

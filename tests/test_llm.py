@@ -260,3 +260,25 @@ def test_near_dup_refines_past_still_hot_subcell(spark):
     capped = bucketed_near_dup_pairs(df, -2.0, cell_cap=40)
     n = capped.count()
     assert n == 3 * (30 * 29 // 2)  # three dim-4 subcells of 30
+
+
+def test_pii_scrub_idempotent_and_ordered(spark):
+    """Scrubbing is idempotent, and the email-before-URL order means an
+    address inside a URL never leaves a dangling fragment."""
+    from etl_docker_spark.plans.round2 import scrub_pii
+
+    rows = [
+        (1, "mail me at a.b+c@ex-1.example.org please"),
+        (2, "see https://h.example.com/p?e=x@y.example.net&z=1 now"),
+        (3, "call 555-0142 or 55-99 x"),
+        (4, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    once = df.select("id", scrub_pii(F.col("s")).alias("c"))
+    twice = once.select("id", scrub_pii(F.col("c")).alias("c"))
+    o = {r.id: r.c for r in once.collect()}
+    assert o[1] == "mail me at [PII] please"
+    assert o[3] == "call [PII] or 55-99 x"  # phone shape is NNN-NNNN only
+    assert o[4] == "no pii here at all"
+    assert "x@y" not in o[2] and "[PII]" in o[2]
+    assert {r.id: r.c for r in twice.collect()} == o

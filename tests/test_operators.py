@@ -92,3 +92,24 @@ def test_apply_updates(spark):
     cancels = spark.createDataFrame([(2,), (3,)], ["k"])
     out = apply_updates(target, cancels, ["k"], {"anulado": F.lit(1)}).orderBy("k").collect()
     assert [r.anulado for r in out] == [0, 1, 1]
+
+
+def test_merge_upsert_compare_target_out_of_order(spark):
+    """compare_target=True: a LATE batch carrying an OLDER version of a key
+    must not clobber newer state; the plain mode (documented) would."""
+    from pyspark.sql import functions as F
+
+    from etl_docker_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, 10, "new"), (2, 5, "current")], ["k", "ver", "val"])
+    late = spark.createDataFrame(
+        [(1, 3, "stale"), (3, 1, "insert")], ["k", "ver", "val"])
+    order = [F.desc("ver")]
+    safe = {r.k: (r.ver, r.val)
+            for r in merge_upsert(target, late, ["k"], order,
+                                  compare_target=True).collect()}
+    assert safe == {1: (10, "new"), 2: (5, "current"), 3: (1, "insert")}
+    plain = {r.k: (r.ver, r.val)
+             for r in merge_upsert(target, late, ["k"], order).collect()}
+    assert plain[1] == (3, "stale")  # the hazard compare_target removes
