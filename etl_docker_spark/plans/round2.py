@@ -337,10 +337,132 @@ QUALIFY row_number() OVER (PARTITION BY user_id
                            ORDER BY ts DESC, event_id DESC) = 1
 """
 
+# ---------------------------------------------------------------- e06
+
+# sequential-fold dot product, identical shape to llm_queries._DOT — the
+# left-to-right fold makes DuckDB bit-match Spark's F.aggregate
+_DOT2 = ("list_reduce(list_transform(generate_series(1, len({a})), "
+         "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+         "(acc, x) -> acc + x)")
+
+
+def e06_trained_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN search over the TRAINED index: corpus and queries are assigned to
+    e05's k-means cells, candidates share the query's cell, exact cosine
+    ranks top-5 (queries = vec_id < 8, self-matches excluded).
+
+    Completes the IVF story end-to-end: train (e05) -> index (id-equi join
+    of assignments onto vectors) -> search (broadcast queries into their
+    cells). Versus the floor-grid bucketer (e03), cells adapt to the data
+    distribution, so occupancy is balanced by construction — the trained
+    answer to the hot-cell problem e02's cap handles for static grids. The
+    assignment frame is localCheckpointed once and reused by both the
+    corpus and query sides (single training pass).
+    """
+    from etl_docker_spark.llm.similarity import norm2_expr
+    from etl_docker_spark.plans._util import ensure_session_confs
+
+    ensure_session_confs(spark)
+    assign = e05_ivf_train(spark, sf).localCheckpoint()
+    e = t(spark, sf, "embeddings").select(
+        "vec_id", "embedding", norm2_expr(F.col("embedding")).alias("n2"))
+    ea = e.join(assign, "vec_id")
+    q = (ea.filter(F.col("vec_id") < _KM_K)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv"),
+                 F.col("n2").alias("qn2"), "cluster"))
+    from etl_docker_spark.llm.similarity import dot_expr
+
+    from pyspark.sql import Window
+
+    scored = (ea.join(F.broadcast(q), "cluster")
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      (dot_expr(F.col("qv"), F.col("embedding"))
+                       / F.sqrt(F.col("qn2") * F.col("n2"))).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id",
+                    F.round("cosine", 8).alias("cosine"), "rank"))
+
+
+_E05_BODY = E05_SQL.strip().removeprefix("WITH")
+E06_SQL = f"""
+WITH {_E05_BODY.rsplit("SELECT vec_id, cluster FROM d2", 1)[0].strip()},
+assign AS (
+  SELECT vec_id, cluster FROM d2
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+),
+emb AS (
+  SELECT vec_id, embedding, {_DOT2.format(a='embedding', b='embedding')} AS n2
+  FROM embeddings
+),
+ea AS (SELECT emb.*, assign.cluster FROM emb JOIN assign USING (vec_id)),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, n2 AS qn2, cluster
+  FROM ea WHERE vec_id < {_KM_K}
+),
+scored AS (
+  SELECT q.query_id, ea.vec_id AS neighbor_id,
+         {_DOT2.format(a='q.qv', b='ea.embedding')}
+           / sqrt(q.qn2 * ea.n2) AS cos_raw
+  FROM ea JOIN q ON ea.cluster = q.cluster AND ea.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, round(cos_raw, 8) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id ASC)
+            AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+# ---------------------------------------------------------------- d14
+
+
+def d14_dedup_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """END-TO-END corpus deduplication: drop every near-duplicate document
+    except its cluster's canonical member (min doc_id) — the operation a
+    training pipeline actually runs on 100 TB. Survivors = docs in no
+    cluster, plus each cluster's canonical.
+
+    Composition of existing verified pieces: MinHash-LSH pairs -> connected
+    components (d08) -> broadcast anti-join of the loser set onto the
+    corpus (the cluster table is tiny relative to the corpus — pairs only).
+    """
+    from etl_docker_spark.plans.advanced import d08_dup_clusters
+
+    clusters = d08_dup_clusters(spark, sf)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")) \
+        .select("doc_id")
+    docs = t(spark, sf, "documents")
+    return (docs.join(F.broadcast(losers), "doc_id", "left_anti")
+            .select("doc_id", "lang",
+                    F.length("text").cast("long").alias("n_chars")))
+
+
+def _d14_sql() -> str:
+    from etl_docker_spark.plans.advanced import D08_SQL
+
+    body = D08_SQL.strip().removeprefix("WITH RECURSIVE")
+    head, tail = body.rsplit("SELECT node AS doc_id,", 1)
+    return f"""
+WITH RECURSIVE {head.strip()},
+clusters AS (SELECT node AS doc_id, {tail}),
+losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+SELECT d.doc_id, d.lang, CAST(len(d.text) AS BIGINT) AS n_chars
+FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+WHERE l.doc_id IS NULL
+"""
+
+
 ROUND2 = {
     "d13_pii_scrub": (d13_pii_scrub, D13_SQL),
     "q32_scalar_subquery": (q32_scalar_subquery, Q32_SQL),
     "s05_stream_stream_join": (s05_stream_stream_join, S05_SQL),
     "s06_cdc_merge": (s06_cdc_merge, S06_SQL),
     "e05_ivf_train": (e05_ivf_train, E05_SQL),
+    "e06_trained_ivf_search": (e06_trained_ivf_search, E06_SQL),
+    "d14_dedup_corpus": (d14_dedup_corpus, _d14_sql()),
 }
