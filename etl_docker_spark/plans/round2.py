@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_docker_spark.plans._util import dec, t
+from etl_docker_spark.plans._util import t
 
 # ---------------------------------------------------------------- d13
 
