@@ -337,6 +337,50 @@ QUALIFY row_number() OVER (PARTITION BY user_id
                            ORDER BY ts DESC, event_id DESC) = 1
 """
 
+# ---------------------------------------------------------------- q33
+
+
+def q33_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 history build THROUGH operators/scd2.py: each customer's
+    order-priority becomes an effective-dated dimension — one version per
+    (customer, order date), valid until the next change date, latest
+    version flagged current.
+
+    The update batch is made deterministic first (per (custkey, date) keep
+    the max-orderkey row) because SCD2 semantics require one version per
+    effective instant. One shuffle on the business key (the version
+    window); this is the reference's *_HISTORICO pattern
+    (CotyData_IPN.py:1738-1801) as a single declarative operator.
+    """
+    from pyspark.sql import Window
+
+    from etl_docker_spark.operators.scd2 import scd2_apply
+
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey"))
+    updates = (o.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1)
+               .select("o_custkey", "o_orderpriority",
+                       F.col("o_orderdate").alias("effective_ts")))
+    return scd2_apply(None, updates, keys=["o_custkey"],
+                      attrs=["o_orderpriority"])
+
+
+Q33_SQL = """
+WITH u AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from
+  FROM orders
+  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                             ORDER BY o_orderkey DESC) = 1
+)
+SELECT o_custkey, o_orderpriority, valid_from,
+       lead(valid_from) OVER w AS valid_to,
+       lead(valid_from) OVER w IS NULL AS is_current
+FROM u
+WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from)
+"""
+
 # ---------------------------------------------------------------- e06
 
 # sequential-fold dot product, identical shape to llm_queries._DOT — the
@@ -460,6 +504,7 @@ WHERE l.doc_id IS NULL
 ROUND2 = {
     "d13_pii_scrub": (d13_pii_scrub, D13_SQL),
     "q32_scalar_subquery": (q32_scalar_subquery, Q32_SQL),
+    "q33_scd2_history": (q33_scd2_history, Q33_SQL),
     "s05_stream_stream_join": (s05_stream_stream_join, S05_SQL),
     "s06_cdc_merge": (s06_cdc_merge, S06_SQL),
     "e05_ivf_train": (e05_ivf_train, E05_SQL),
