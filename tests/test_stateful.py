@@ -55,7 +55,10 @@ def test_ttl_evicts_idle_state(spark, tmp_path):
     ttl_ms = 3_600_000  # 1 hour of event time
 
     def append(*rows):
-        spark.createDataFrame(list(rows), schema).write.mode("append").parquet(src)
+        # one part-file per append: micro-batch order must mirror append
+        # order, or a reordered listing can legitimately evict user 1
+        spark.createDataFrame(list(rows), schema).coalesce(1) \
+            .write.mode("append").parquet(src)
 
     append((1, dt.datetime(2024, 1, 1, 10), 5.0),
            (2, dt.datetime(2024, 1, 1, 10), 1.0))
@@ -94,7 +97,8 @@ def test_no_ttl_state_survives_idleness(spark, tmp_path):
     schema = "user_id long, ts timestamp, value double"
 
     def append(*rows):
-        spark.createDataFrame(list(rows), schema).write.mode("append").parquet(src)
+        spark.createDataFrame(list(rows), schema).coalesce(1) \
+            .write.mode("append").parquet(src)
 
     append((1, dt.datetime(2024, 1, 1, 10), 5.0),
            (2, dt.datetime(2024, 1, 1, 10), 1.0))
