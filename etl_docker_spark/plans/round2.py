@@ -337,6 +337,85 @@ QUALIFY row_number() OVER (PARTITION BY user_id
                            ORDER BY ts DESC, event_id DESC) = 1
 """
 
+# ---------------------------------------------------------------- d15
+
+
+def d15_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
+    """Repetition/boilerplate quality signals per document (the
+    Gopher-rule family): token count, distinct-token count, most-frequent-
+    token fraction, distinct-bigram fraction. High top-token or low
+    distinct-bigram fractions flag boilerplate/spam for corpus filtering.
+
+    Fractions are fixed-point parts-per-million via integer division —
+    bit-identical across engines (no float division). One corpus pass
+    builds the token rows (localCheckpoint); token and bigram stats
+    aggregate narrow (doc, term, count) rows with map-side combine. Docs
+    with < 2 tokens have no bigram row and are absent (inner join, mirrors
+    the oracle).
+    """
+    from pyspark.sql import Window
+
+    docs = t(spark, sf, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    tok_rows = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.posexplode(F.split("text", " ")).alias("pos", "w1"),
+    ).localCheckpoint()
+
+    tstats = (tok_rows.groupBy("doc", "w1").agg(F.count("*").alias("c"))
+              .groupBy("doc")
+              .agg(F.sum("c").cast("long").alias("n_tokens"),
+                   F.count("*").cast("long").alias("n_distinct_tokens"),
+                   F.max("c").cast("long").alias("top")))
+    w = Window.partitionBy("doc").orderBy("pos")
+    bstats = (tok_rows
+              .select("doc", "w1", F.lead("w1").over(w).alias("w2"))
+              .filter(F.col("w2").isNotNull())
+              .groupBy("doc", "w1", "w2").agg(F.count("*").alias("k"))
+              .groupBy("doc")
+              .agg(F.sum("k").cast("long").alias("n_bigrams"),
+                   F.count("*").cast("long").alias("n_distinct_bigrams")))
+    return (tstats.join(bstats, "doc")
+            .select(F.col("doc").alias("doc_id"), "n_tokens",
+                    "n_distinct_tokens",
+                    F.expr("CAST((1000000 * top) DIV n_tokens AS BIGINT)")
+                    .alias("top_token_pm"),
+                    F.expr("CAST((1000000 * n_distinct_bigrams) "
+                           "DIV n_bigrams AS BIGINT)")
+                    .alias("distinct_bigram_pm")))
+
+
+D15_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tc AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w),
+tstats AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+         CAST(MAX(c) AS BIGINT) AS top
+  FROM tc GROUP BY doc_id
+),
+lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(l) - 1),
+                               i -> l[i] || ' ' || l[i + 1])) AS bg
+  FROM lists WHERE len(l) >= 2
+),
+bc AS (SELECT doc_id, bg, COUNT(*) AS k FROM big GROUP BY doc_id, bg),
+bstats AS (
+  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams
+  FROM bc GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens, t.n_distinct_tokens,
+       CAST((1000000 * t.top) // t.n_tokens AS BIGINT) AS top_token_pm,
+       CAST((1000000 * b.n_distinct_bigrams) // b.n_bigrams AS BIGINT)
+         AS distinct_bigram_pm
+FROM tstats t JOIN bstats b USING (doc_id)
+"""
+
 # ---------------------------------------------------------------- q33
 
 
@@ -503,6 +582,7 @@ WHERE l.doc_id IS NULL
 
 ROUND2 = {
     "d13_pii_scrub": (d13_pii_scrub, D13_SQL),
+    "d15_repetition_signals": (d15_repetition_signals, D15_SQL),
     "q32_scalar_subquery": (q32_scalar_subquery, Q32_SQL),
     "q33_scd2_history": (q33_scd2_history, Q33_SQL),
     "s05_stream_stream_join": (s05_stream_stream_join, S05_SQL),

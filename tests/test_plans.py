@@ -149,7 +149,7 @@ def test_registry_complete_and_oracle_backed(spark):
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
         *(f"q{i:02d}" for i in range(1, 34)),
-        *(f"d{i:02d}" for i in range(1, 15)),
+        *(f"d{i:02d}" for i in range(1, 16)),
         *(f"e{i:02d}" for i in range(1, 7)),
         *(f"s{i:02d}" for i in range(1, 7)),
     }
