@@ -1,0 +1,57 @@
+"""Distributed ordered prefix sum — the scalable cumulative-sum shape.
+
+The naive encoding (`SUM(x) OVER (ORDER BY ...)` with no PARTITION BY)
+collapses the whole table into ONE window partition: a single task sorts
+and scans everything, which is exactly the plan that dies at 100 TB. The
+classic two-phase formulation keeps the work parallel:
+
+  1. range-partition by the order keys (so partition i holds a contiguous
+     key range, sorted within);
+  2. per-partition local running sum (parallel, no cross-talk);
+  3. aggregate ONE row per partition (its total), prefix-sum those K rows
+     on the driver-side-sized frame (K = partitions, tiny), broadcast the
+     offsets back and add.
+
+Partition boundaries come from range-partitioner sampling and are NOT
+deterministic — but the final prefix sum is: it only depends on the total
+order, which the boundaries preserve. Used by d18 (token-budget corpus
+curation); equivalence with the naive window is property-tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def prefix_sum_ordered(df: DataFrame, order_by: Sequence[Column],
+                       value_col: str, out_col: str = "cum") -> DataFrame:
+    """Running sum of `value_col` over the TOTAL order `order_by`
+    (inclusive of the current row), computed without a global single
+    partition. `order_by` must be a strict total order (include a unique
+    tiebreak column) or results are nondeterministic — same contract as
+    any ordered window.
+    """
+    order_by = list(order_by)
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    ranged = (df.repartitionByRange(n_parts, *order_by)
+              .sortWithinPartitions(*order_by)
+              .withColumn("__pid", F.spark_partition_id()))
+    # local running sum within each range partition
+    w_local = (Window.partitionBy("__pid").orderBy(*order_by)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = ranged.withColumn("__local", F.sum(value_col).over(w_local))
+    # one row per partition; running offset over K tiny rows
+    w_off = (Window.orderBy("__pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (local.groupBy("__pid")
+               .agg(F.sum(value_col).alias("__ptotal"))
+               .withColumn("__offset",
+                           F.coalesce(F.sum("__ptotal").over(w_off),
+                                      F.lit(0)))
+               .select("__pid", "__offset"))
+    return (local.join(F.broadcast(offsets), "__pid")
+            .withColumn(out_col, F.col("__local") + F.col("__offset"))
+            .drop("__pid", "__local", "__offset"))

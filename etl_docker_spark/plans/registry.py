@@ -12,6 +12,7 @@ from etl_docker_spark.plans.extended import EXTENDED
 from etl_docker_spark.plans.llm_queries import LLM_QUERIES
 from etl_docker_spark.plans.relational import RELATIONAL
 from etl_docker_spark.plans.round2 import ROUND2
+from etl_docker_spark.plans.round2b import ROUND2B
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
@@ -25,7 +26,8 @@ class QuerySpec:
 
 def _build() -> dict[str, QuerySpec]:
     specs: dict[str, QuerySpec] = {}
-    for table in (RELATIONAL, LLM_QUERIES, ADVANCED, EXTENDED, ROUND2):
+    for table in (RELATIONAL, LLM_QUERIES, ADVANCED, EXTENDED, ROUND2,
+                  ROUND2B):
         for name, (builder, oracle) in table.items():
             specs[name] = QuerySpec(name, builder, oracle)
     return specs
