@@ -39,6 +39,24 @@ def overwrite_parquet(df: DataFrame, path: str, partition_by: list[str] | None =
     w.parquet(path)
 
 
+def overwrite_partitions_dynamic(df: DataFrame, path: str,
+                                 partition_by: list[str]) -> None:
+    """K5 at partition granularity: rewrite ONLY the partitions present in
+    `df` (partitionOverwriteMode=dynamic), leaving sibling partitions
+    untouched. The idempotent re-load shape at 100 TB — re-running one
+    day's load replaces that day's partition; a static overwrite would
+    truncate the whole table first. The conf is scoped and restored so
+    callers relying on static semantics are unaffected."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set(key, before)
+
+
 def audit_log_entry(spark: SparkSession, log_path: str, load_table: str,
                     inserted_rows: int | None, total_records: int | None,
                     status_ok: bool, error_msg: str | None = None,
