@@ -209,6 +209,81 @@ def bucketed_near_dup_pairs(corpus: DataFrame, threshold: float,
     )
 
 
+def hyperplane_lsh_pairs(corpus: DataFrame, threshold: float,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         planes: int = 16, band_bits: int = 4,
+                         quant: int = 1024, dims: int = 64) -> DataFrame:
+    """Random-hyperplane (sign-bit) LSH near-duplicate pairs.
+
+    The classic cosine-LSH alternative to IVF grid bucketing (e02): each of
+    `planes` pseudo-random hyperplanes contributes one sign bit
+    sign(<w_p, v>); vectors agreeing on ALL bits of any band of `band_bits`
+    consecutive bits become candidates, verified by exact cosine. Collision
+    probability per bit is 1 - theta/pi, so near-parallel vectors collide
+    in some band with high probability while the candidate volume stays
+    linear in corpus size x bands — no all-pairs pass at any scale.
+
+    Engine-portable determinism: hyperplane weights are int16 values read
+    out of md5("hp_<p>_<d>") (any engine reproduces them — no RNG state),
+    and components are floor-quantized to integers before the projection,
+    so each sign bit is an exact BIGINT comparison, never a float-sum race.
+    The projection is an explode -> broadcast-join -> sum aggregation
+    (codegen'd, map-side combined, grouped on the id the explode
+    preserves); the only corpus-width shuffles are the band self-join and
+    the two verify joins, all narrow equi-joins.
+    """
+    corpus = fan_out(corpus)
+    bands = planes // band_bits
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                      norm2_expr(F.col(vec_col)).alias("n2"))
+    comps = c.select(
+        "id", F.posexplode("v").alias("pos", "val"),
+    ).select("id", (F.col("pos") + 1).alias("d"),
+             F.floor(F.col("val").cast("double") * quant).cast("long").alias("qd"))
+    spark = corpus.sparkSession
+    # the (plane, dim) weight grid is planes*dims rows — driver-free,
+    # derived in-engine so any executor count gets identical constants
+    grid = (spark.range(planes).select(F.col("id").cast("int").alias("p"))
+            .crossJoin(spark.range(1, dims + 1)
+                       .select(F.col("id").cast("int").alias("d"))))
+    weights = grid.select(
+        "p", "d",
+        (F.conv(F.substring(F.md5(F.concat_ws(
+            "", F.lit("hp_"), F.col("p").cast("string"), F.lit("_"),
+            F.col("d").cast("string")).cast("binary")), 1, 4), 16, 10)
+         .cast("long") - 32768).alias("w"))
+    proj = (comps.join(F.broadcast(weights), "d")
+            .groupBy("id", "p")
+            .agg(F.sum(F.col("w") * F.col("qd")).alias("s")))
+    sig = proj.groupBy("id").agg(
+        F.sum(F.when(F.col("s") >= 0,
+                     F.expr("shiftleft(CAST(1 AS BIGINT), p)"))
+              .otherwise(F.lit(0))).alias("sig"))
+    bt = (sig.select(
+            "id", "sig",
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx"))
+          .select("id",
+                  F.col("band_idx"),
+                  F.expr(f"shiftright(sig, band_idx * {band_bits}) "
+                         f"& {(1 << band_bits) - 1}").alias("key")))
+    cand = (bt.alias("a").join(bt.alias("b"),
+                               on=[F.col("a.band_idx") == F.col("b.band_idx"),
+                                   F.col("a.key") == F.col("b.key"),
+                                   F.col("a.id") < F.col("b.id")])
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+    va = c.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                  F.col("n2").alias("na"))
+    vb = c.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                  F.col("n2").alias("nb"))
+    scored = (cand.join(va, "id_a").join(vb, "id_b")
+              .select("id_a", "id_b",
+                      (dot_expr(F.col("va"), F.col("vb"))
+                       / F.sqrt(F.col("na") * F.col("nb"))).alias("cos_raw")))
+    return (scored.filter(F.col("cos_raw") >= threshold)
+            .select("id_a", "id_b", F.round("cos_raw", 8).alias("cosine")))
+
+
 def _refined_cells(keyed: DataFrame, cell_cap: int, n_refine: int) -> DataFrame:
     """Attach the skew-adaptive `cell` key: [b1, b2] extended one refinement
     bucket at a time while the prefix cell is hot (> cell_cap rows).

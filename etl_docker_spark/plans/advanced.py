@@ -83,8 +83,13 @@ def _events_stream(spark: SparkSession, sf: str):
         probe = spark.read.option("pathGlobFilter", "events.parquet").parquet(sf)
         stream = (spark.readStream.schema(probe.schema)
                   .option("pathGlobFilter", "events.parquet").parquet(sf))
-    if isinstance(probe.schema["ts"].dataType, T.LongType):
+    ts_type = probe.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # micros-physical corpora read as NTZ; session zone is pinned UTC so
+        # the cast to the session-zone TIMESTAMP is wall-clock-preserving
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -282,3 +282,36 @@ def test_pii_scrub_idempotent_and_ordered(spark):
     assert o[4] == "no pii here at all"
     assert "x@y" not in o[2] and "[PII]" in o[2]
     assert {r.id: r.c for r in twice.collect()} == o
+
+
+def test_hyperplane_lsh_finds_true_near_dups(spark):
+    """A vector and its tiny perturbation share all 16 sign bits, so the
+    pair must surface; candidates never include low-cosine survivors."""
+    import random
+
+    from etl_docker_spark.llm.similarity import hyperplane_lsh_pairs
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(40)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # ids 100+i: near-copies of i (perturbation ~1e-4 -> cosine ~1.0)
+    rows += [(100 + i, [float(x + rng.uniform(-1e-4, 1e-4)) for x in v])
+             for i, v in enumerate(base[:10])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = hyperplane_lsh_pairs(df, threshold=0.99).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert {(i, 100 + i) for i in range(10)} <= pairs
+    assert all(r.cosine >= 0.99 for r in got)
+
+
+def test_hyperplane_lsh_candidates_are_band_collisions(spark):
+    """Orthogonal one-hot vectors along different dims get different
+    signatures with overwhelming probability -> no all-pairs blowup and
+    verified output is empty at a high threshold."""
+    from etl_docker_spark.llm.similarity import hyperplane_lsh_pairs
+
+    rows = [(i, [1.0 if d == i else 0.0 for d in range(64)])
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = hyperplane_lsh_pairs(df, threshold=0.5).collect()
+    assert got == []

@@ -149,8 +149,8 @@ def test_registry_complete_and_oracle_backed(spark):
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
         *(f"q{i:02d}" for i in range(1, 38)),
-        *(f"d{i:02d}" for i in range(1, 19)),
-        *(f"e{i:02d}" for i in range(1, 7)),
-        *(f"s{i:02d}" for i in range(1, 7)),
+        *(f"d{i:02d}" for i in range(1, 22)),
+        *(f"e{i:02d}" for i in range(1, 8)),
+        *(f"s{i:02d}" for i in range(1, 8)),
     }
     assert {n.split("_")[0] for n in qs} == expected
