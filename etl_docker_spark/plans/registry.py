@@ -14,6 +14,7 @@ from etl_docker_spark.plans.relational import RELATIONAL
 from etl_docker_spark.plans.round2 import ROUND2
 from etl_docker_spark.plans.round2b import ROUND2B
 from etl_docker_spark.plans.round2c import ROUND2C
+from etl_docker_spark.plans.round2d import ROUND2D
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
@@ -28,7 +29,7 @@ class QuerySpec:
 def _build() -> dict[str, QuerySpec]:
     specs: dict[str, QuerySpec] = {}
     for table in (RELATIONAL, LLM_QUERIES, ADVANCED, EXTENDED, ROUND2,
-                  ROUND2B, ROUND2C):
+                  ROUND2B, ROUND2C, ROUND2D):
         for name, (builder, oracle) in table.items():
             specs[name] = QuerySpec(name, builder, oracle)
     return specs
