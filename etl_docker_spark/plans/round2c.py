@@ -40,20 +40,28 @@ def d19_contamination(spark: SparkSession, sf: str) -> DataFrame:
     shape: the eval set is tiny next to the corpus (benchmarks are MBs vs
     100 TB), so its distinct shingles BROADCAST and the corpus is never
     shuffled to probe them; only matching (doc_id, gram) rows — rare by
-    construction — reach the per-doc count aggregation.
+    construction — reach the per-doc count aggregation. Shingling is the
+    codegen shingle_rows path (not the interpreted array lambda); the
+    distinct-per-doc gram sets and their sizes aggregate exchange-free
+    under its id partitioning.
     """
-    from etl_docker_spark.llm.dedup import shingles_of
+    from etl_docker_spark.llm.dedup import shingle_rows
 
     docs = t(spark, sf, "documents")
-    sh = docs.select(
-        "doc_id",
-        shingles_of(F.split(F.col("text"), " "), _CONTAM_N).alias("sh"))
+    # NOT checkpointed (unlike d22): the two consumers filter DISJOINT doc
+    # subsets (eval 5% / corpus 95%), and the doc_id predicates push below
+    # the shingling window — the two lazy branches together still shingle
+    # each document exactly once, cheaper than forcing one materialized pass
+    sh = (shingle_rows(docs, "doc_id", "text", _CONTAM_N)
+          .withColumnRenamed("doc", "doc_id")
+          .distinct())
     is_eval = F.pmod("doc_id", F.lit(20)) == 0
-    eval_grams = (sh.filter(is_eval)
-                  .select(F.explode("sh").alias("g")).distinct())
+    eval_grams = sh.filter(is_eval).select(F.col("s").alias("g")).distinct()
+    w = Window.partitionBy("doc_id")
     corpus = (sh.filter(~is_eval)
-              .select("doc_id", F.size("sh").cast("long").alias("total_ngrams"),
-                      F.explode("sh").alias("g")))
+              .select("doc_id",
+                      F.count("*").over(w).cast("long").alias("total_ngrams"),
+                      F.col("s").alias("g")))
     hits = (corpus.join(F.broadcast(eval_grams), "g")
             .groupBy("doc_id", "total_ngrams")
             .agg(F.count("*").alias("shared_ngrams")))

@@ -179,20 +179,26 @@ def d22_boilerplate_phrases(spark: SparkSession, sf: str) -> DataFrame:
 
     The CCNet/C4-style boilerplate pass (nav bars, cookie banners, license
     headers repeat verbatim across pages). Scale shape: one corpus pass
-    explodes distinct (doc, gram) rows; the doc-frequency aggregate
-    shuffles gram-width rows once; the surviving boilerplate set is tiny
-    by construction (frequency >= 3 across documents) and BROADCASTS back
-    against the per-doc gram rows, so the corpus is never shuffled twice.
+    emits distinct (doc, gram) rows via the codegen shingle_rows path (the
+    distinct and the per-doc gram counts are exchange-free under its id
+    partitioning); the doc-frequency aggregate shuffles gram-width rows
+    once; the surviving boilerplate set is tiny by construction
+    (frequency >= 3 across documents) and BROADCASTS back against the
+    per-doc gram rows, so the corpus is never shuffled twice.
     """
-    from etl_docker_spark.llm.dedup import shingles_of
+    from etl_docker_spark.llm.dedup import shingle_rows
 
     docs = t(spark, sf, "documents")
-    sh = docs.select(
-        "doc_id",
-        shingles_of(F.split(F.col("text"), " "), _BP_N).alias("sh"))
+    # one corpus pass: the distinct (doc, gram) frame is materialized once
+    # (localCheckpoint preserves its doc-hash partitioning) and feeds BOTH
+    # consumers — the doc-frequency aggregate and the hits join
+    sh = (shingle_rows(docs, "doc_id", "text", _BP_N)
+          .withColumnRenamed("doc", "doc_id")
+          .distinct().localCheckpoint())
+    w = Window.partitionBy("doc_id")
     grams = sh.select(
-        "doc_id", F.size("sh").cast("long").alias("n_grams"),
-        F.explode("sh").alias("g"))
+        "doc_id", F.count("*").over(w).cast("long").alias("n_grams"),
+        F.col("s").alias("g"))
     bp = (grams.groupBy("g").agg(F.count("*").alias("df"))
           .filter(F.col("df") >= _BP_MIN_DOCS)
           .select("g"))
