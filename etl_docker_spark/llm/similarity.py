@@ -48,6 +48,29 @@ def norm2_expr(a: Column) -> Column:
     return dot_expr(a, a)
 
 
+def dot_expr_n(a: Column, b: Column, n: int) -> Column:
+    """Codegen-friendly dot product for a KNOWN vector width `n`.
+
+    `zip_with`/`aggregate` higher-order functions are evaluated interpreted
+    (outside whole-stage codegen), which dominates wall time when the dot
+    sits on the hot side of a verify join with millions of candidate pairs.
+    Unrolling to a left-deep `0.0 + a[1]*b[1] + ... + a[n]*b[n]` chain keeps
+    the IEEE addition sequence bit-identical to the sequential fold of
+    `dot_expr` (same accumulation order, same casts) while compiling into
+    the surrounding codegen stage — so swapping one for the other can never
+    change a gate-pinned cosine value.
+    """
+    acc: Column = F.lit(0.0)
+    for i in range(1, n + 1):
+        acc = acc + (F.element_at(a, i).cast("double")
+                     * F.element_at(b, i).cast("double"))
+    return acc
+
+
+def norm2_expr_n(a: Column, n: int) -> Column:
+    return dot_expr_n(a, a, n)
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / F.sqrt(norm2_expr(a) * norm2_expr(b))
 
@@ -211,7 +234,7 @@ def bucketed_near_dup_pairs(corpus: DataFrame, threshold: float,
 
 def hyperplane_lsh_pairs(corpus: DataFrame, threshold: float,
                          id_col: str = "vec_id", vec_col: str = "embedding",
-                         planes: int = 16, band_bits: int = 4,
+                         planes: int = 32, band_bits: int = 8,
                          quant: int = 1024, dims: int = 64) -> DataFrame:
     """Random-hyperplane (sign-bit) LSH near-duplicate pairs.
 
@@ -219,46 +242,85 @@ def hyperplane_lsh_pairs(corpus: DataFrame, threshold: float,
     `planes` pseudo-random hyperplanes contributes one sign bit
     sign(<w_p, v>); vectors agreeing on ALL bits of any band of `band_bits`
     consecutive bits become candidates, verified by exact cosine. Collision
-    probability per bit is 1 - theta/pi, so near-parallel vectors collide
-    in some band with high probability while the candidate volume stays
-    linear in corpus size x bands — no all-pairs pass at any scale.
+    probability per bit is 1 - theta/pi; a band admits an UNRELATED pair
+    (theta ~ pi/2) with probability ~2^-band_bits, so band width is the
+    candidate-volume dial: at the 4-bit default this operator first shipped
+    with, ~1/16 of ALL pairs collide per band — an all-pairs pass in
+    disguise that a 10x corpus run exposed (one task grinding a ~300M-pair
+    verify). 8-bit bands admit ~0.4% of random pairs per band, restoring
+    candidate volume ~linear in corpus size at a recall cost on
+    moderate-similarity pairs that is the documented LSH trade (recall < 1
+    by design; e03/e04 measure the analogous IVF dial).
+
+    Sign bits are only informative on CENTERED, comparably-scaled data:
+    this corpus has one dominant dimension (a cluster coordinate, range
+    ~0..72 vs ~±0.45 everywhere else) and a non-zero mean, under which raw
+    sign(<w, v>) collapses — 70-90%% of all vectors landed in ONE band key
+    (measured: 535M candidate pairs at a 20k corpus). The projection
+    therefore diagonally whitens first: per-dimension integer center
+    mu_d = sum(qd) div N and scale multiplier m_d = 2^20 div max|qd - mu_d|,
+    both exact BIGINT aggregates of the floor-quantized components (every
+    division has positive operands, so floor-vs-trunc semantics can't
+    diverge between engines), then projects z_d = (qd - mu_d) * m_d. Same
+    corpus re-measured: hottest key 259, candidates 3.8M — uniform keys.
 
     Engine-portable determinism: hyperplane weights are int16 values read
     out of md5("hp_<p>_<d>") (any engine reproduces them — no RNG state),
-    and components are floor-quantized to integers before the projection,
-    so each sign bit is an exact BIGINT comparison, never a float-sum race.
-    The projection is an explode -> broadcast-join -> sum aggregation
-    (codegen'd, map-side combined, grouped on the id the explode
-    preserves); the only corpus-width shuffles are the band self-join and
-    the two verify joins, all narrow equi-joins.
+    and sign bits are exact BIGINT comparisons over the whitened integer
+    components, never a float-sum race. The whitening stats and weights
+    ride ONE broadcast 64-row frame joined to the exploded components; all
+    plane sums come from a single partial-aggregated groupBy that is
+    exchange-free under the id-hash fan-out. The signature frame is
+    localCheckpoint'ed once and feeds both sides of the band self-join
+    (otherwise each side would recompute the whole projection); the only
+    corpus-width shuffles are the band self-join and the two verify
+    joins, all narrow equi-joins.
     """
-    corpus = fan_out(corpus)
+    spark = corpus.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < target:
+        corpus = corpus.repartition(target, F.col(id_col))
     bands = planes // band_bits
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                      norm2_expr(F.col(vec_col)).alias("n2"))
+                      norm2_expr_n(F.col(vec_col), dims).alias("n2"))
+    # OFFSET keeps every quantized component positive (|v| < 1024 assumed),
+    # so corpus sums stay positive and integer division is engine-portable;
+    # centering cancels the offset exactly
+    offset = 1 << 20
     comps = c.select(
         "id", F.posexplode("v").alias("pos", "val"),
     ).select("id", (F.col("pos") + 1).alias("d"),
-             F.floor(F.col("val").cast("double") * quant).cast("long").alias("qd"))
-    spark = corpus.sparkSession
-    # the (plane, dim) weight grid is planes*dims rows — driver-free,
-    # derived in-engine so any executor count gets identical constants
-    grid = (spark.range(planes).select(F.col("id").cast("int").alias("p"))
-            .crossJoin(spark.range(1, dims + 1)
-                       .select(F.col("id").cast("int").alias("d"))))
-    weights = grid.select(
-        "p", "d",
-        (F.conv(F.substring(F.md5(F.concat_ws(
-            "", F.lit("hp_"), F.col("p").cast("string"), F.lit("_"),
-            F.col("d").cast("string")).cast("binary")), 1, 4), 16, 10)
-         .cast("long") - 32768).alias("w"))
-    proj = (comps.join(F.broadcast(weights), "d")
-            .groupBy("id", "p")
-            .agg(F.sum(F.col("w") * F.col("qd")).alias("s")))
-    sig = proj.groupBy("id").agg(
-        F.sum(F.when(F.col("s") >= 0,
-                     F.expr("shiftleft(CAST(1 AS BIGINT), p)"))
-              .otherwise(F.lit(0))).alias("sig"))
+             (F.floor(F.col("val").cast("double") * quant).cast("long")
+              + offset).alias("qd"))
+
+    def w_expr(p: int):
+        # int16 from md5("hp_<p>_<d>")
+        return (F.conv(F.substring(F.md5(F.concat_ws(
+            "", F.lit(f"hp_{p}_"), F.col("d").cast("string")).cast("binary")),
+            1, 4), 16, 10).cast("long") - 32768).alias(f"w{p}")
+
+    # one row per dimension: whitening stats + all plane weights as columns
+    # (a (plane, dim) row grid would multiply the corpus-width intermediate
+    # by `planes`) — derived in-engine so any executor count gets identical
+    # constants
+    stats = (comps.groupBy("d")
+             .agg(F.expr("sum(qd) div count(*)").alias("mu"),
+                  F.max("qd").alias("mx"), F.min("qd").alias("mn"))
+             .select("d", "mu",
+                     F.expr(f"{1 << 20} div greatest(mx - mu, mu - mn, 1L)")
+                     .alias("m"),
+                     *[w_expr(p) for p in range(planes)]))
+    proj = (comps.join(F.broadcast(stats), "d")
+            .groupBy("id")
+            .agg(*[F.sum(F.col(f"w{p}")
+                         * ((F.col("qd") - F.col("mu")) * F.col("m")))
+                   .alias(f"s{p}") for p in range(planes)]))
+    word = None
+    for p in range(planes):
+        term = (F.when(F.col(f"s{p}") >= 0, F.lit(1 << p).cast("long"))
+                .otherwise(F.lit(0).cast("long")))
+        word = term if word is None else word + term
+    sig = proj.select("id", word.alias("sig")).localCheckpoint()
     bt = (sig.select(
             "id", "sig",
             F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx"))
@@ -278,7 +340,7 @@ def hyperplane_lsh_pairs(corpus: DataFrame, threshold: float,
                   F.col("n2").alias("nb"))
     scored = (cand.join(va, "id_a").join(vb, "id_b")
               .select("id_a", "id_b",
-                      (dot_expr(F.col("va"), F.col("vb"))
+                      (dot_expr_n(F.col("va"), F.col("vb"), dims)
                        / F.sqrt(F.col("na") * F.col("nb"))).alias("cos_raw")))
     return (scored.filter(F.col("cos_raw") >= threshold)
             .select("id_a", "id_b", F.round("cos_raw", 8).alias("cosine")))

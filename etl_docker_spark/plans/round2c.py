@@ -254,10 +254,11 @@ def e07_hyperplane_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Sign-bit (random-hyperplane) LSH near-dup pairs, cosine >= 0.4.
 
     The second classic cosine-ANN family beside the IVF grid (e02): md5-
-    derived int16 hyperplanes, floor-quantized components, 16-bit
-    signatures banded 4x4. Candidates = band collisions (recall < 1 by
-    design, like every LSH); survivors verified by exact cosine so the
-    gate pins values.
+    derived int16 hyperplanes, floor-quantized components, 32-bit
+    signatures banded 4x8 (8-bit band keys keep random-pair collisions
+    ~0.4%/band — the 4-bit original admitted ~6% and went quadratic at
+    10x corpus). Candidates = band collisions (recall < 1 by design, like
+    every LSH); survivors verified by exact cosine so the gate pins values.
     """
     from etl_docker_spark.llm.similarity import hyperplane_lsh_pairs
 
@@ -271,15 +272,26 @@ E07_SQL = f"""
 WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
 comps AS (
   SELECT id, d,
-         CAST(floor(CAST(v[d] AS DOUBLE) * 1024) AS BIGINT) AS qd
+         CAST(floor(CAST(v[d] AS DOUBLE) * 1024) AS BIGINT) + 1048576 AS qd
   FROM e, (SELECT unnest(generate_series(1, 64)) AS d)
+),
+stats AS (
+  SELECT d, SUM(qd) // COUNT(*) AS mu,
+         1048576 // greatest(greatest(MAX(qd) - SUM(qd) // COUNT(*),
+                                      SUM(qd) // COUNT(*) - MIN(qd)), 1)
+           AS m
+  FROM comps GROUP BY d
+),
+cc AS (
+  SELECT id, comps.d, (qd - mu) * m AS z
+  FROM comps JOIN stats USING (d)
 ),
 proj AS (
   SELECT id, p,
          SUM((CAST('0x' || substring(md5('hp_' || CAST(p AS VARCHAR) || '_'
                                          || CAST(d AS VARCHAR)), 1, 4)
-                   AS INT) - 32768) * qd) AS s
-  FROM comps, (SELECT unnest(generate_series(0, 15)) AS p)
+                   AS INT) - 32768) * z) AS s
+  FROM cc, (SELECT unnest(generate_series(0, 31)) AS p)
   GROUP BY id, p
 ),
 sig AS (
@@ -289,7 +301,7 @@ sig AS (
   FROM proj GROUP BY id
 ),
 bt AS (
-  SELECT id, b AS band_idx, (sig >> (b * 4)) & 15 AS key
+  SELECT id, b AS band_idx, (sig >> (b * 8)) & 255 AS key
   FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)
 ),
 cand AS (

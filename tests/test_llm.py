@@ -285,8 +285,9 @@ def test_pii_scrub_idempotent_and_ordered(spark):
 
 
 def test_hyperplane_lsh_finds_true_near_dups(spark):
-    """A vector and its tiny perturbation share all 16 sign bits, so the
-    pair must surface; candidates never include low-cosine survivors."""
+    """A vector and its tiny perturbation share all 32 (whitened) sign
+    bits, so the pair must surface; candidates never include low-cosine
+    survivors."""
     import random
 
     from etl_docker_spark.llm.similarity import hyperplane_lsh_pairs
