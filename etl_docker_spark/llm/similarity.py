@@ -75,27 +75,44 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / F.sqrt(norm2_expr(a) * norm2_expr(b))
 
 
+def cosine_expr_n(a: Column, b: Column, n: int) -> Column:
+    """Codegen cosine for a known vector width (see dot_expr_n)."""
+    return dot_expr_n(a, b, n) / F.sqrt(norm2_expr_n(a, n) * norm2_expr_n(b, n))
+
+
+def _dot_fns(ndims: int | None):
+    """(dot, norm2) pair: codegen-unrolled when the caller knows the vector
+    width, interpreted HOF fold otherwise — value-identical either way."""
+    if ndims is None:
+        return dot_expr, norm2_expr
+    return (lambda a, b: dot_expr_n(a, b, ndims)), (lambda a: norm2_expr_n(a, ndims))
+
+
 def brute_force_knn(corpus: DataFrame, queries: DataFrame, k: int,
-                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    ndims: int | None = None) -> DataFrame:
     """Exact top-k cosine neighbors per query (self-matches excluded).
 
     Output: (query_id, neighbor_id, cosine, rank), rank 1..k, ties broken by
-    neighbor id so results are total-ordered and reproducible.
+    neighbor id so results are total-ordered and reproducible. Pass `ndims`
+    when the vector width is known to unroll the dots into whole-stage
+    codegen (value-identical; ~interpreted-HOF cost otherwise).
     """
+    dot, norm2 = _dot_fns(ndims)
     # norms are folded ONCE per row before the join — the pair loop then does
     # a single dot product instead of three; a narrow scan fans out so the
     # dot-product work parallelizes even from a single-file input
     corpus = fan_out(corpus)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-                       norm2_expr(F.col(vec_col)).alias("qn2"))
+                       norm2(F.col(vec_col)).alias("qn2"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-                      norm2_expr(F.col(vec_col)).alias("cn2"))
+                      norm2(F.col(vec_col)).alias("cn2"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            (dot_expr(F.col("qv"), F.col("cv"))
+            (dot(F.col("qv"), F.col("cv"))
              / F.sqrt(F.col("qn2") * F.col("cn2"))).alias("cosine"),
         )
     )
@@ -133,7 +150,7 @@ def probe_cells(b1: Column, b2: Column, probes: int) -> Column:
 def bucketed_knn(corpus: DataFrame, queries: DataFrame, k: int,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  dims: tuple[int, int] = (1, 2), scale: float = 4.0,
-                 probes: int = 0) -> DataFrame:
+                 probes: int = 0, ndims: int | None = None) -> DataFrame:
     """IVF-style approximate top-k: candidates share one of the query's
     probed coarse cells; exact cosine ranks within candidates.
 
@@ -143,15 +160,16 @@ def bucketed_knn(corpus: DataFrame, queries: DataFrame, k: int,
     (e03/e04 measure it). The floor-grid keeps every variant
     deterministic and oracle-checkable.
     """
+    dot, norm2 = _dot_fns(ndims)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        norm2_expr(F.col(vec_col)).alias("cn2"),
+        norm2(F.col(vec_col)).alias("cn2"),
         bucket_expr(F.col(vec_col), dims[0], scale).alias("b1"),
         bucket_expr(F.col(vec_col), dims[1], scale).alias("b2"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        norm2_expr(F.col(vec_col)).alias("qn2"),
+        norm2(F.col(vec_col)).alias("qn2"),
         bucket_expr(F.col(vec_col), dims[0], scale).alias("b1"),
         bucket_expr(F.col(vec_col), dims[1], scale).alias("b2"),
     )
@@ -165,7 +183,7 @@ def bucketed_knn(corpus: DataFrame, queries: DataFrame, k: int,
         c.join(F.broadcast(q), ["b1", "b2"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id",
-                (dot_expr(F.col("qv"), F.col("cv"))
+                (dot(F.col("qv"), F.col("cv"))
                  / F.sqrt(F.col("qn2") * F.col("cn2"))).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -178,7 +196,8 @@ def bucketed_near_dup_pairs(corpus: DataFrame, threshold: float,
                             id_col: str = "vec_id", vec_col: str = "embedding",
                             dims: tuple[int, int] = (1, 2), scale: float = 4.0,
                             cell_cap: int | None = None,
-                            refine_dims: tuple[int, ...] = (3, 4, 5, 6)) -> DataFrame:
+                            refine_dims: tuple[int, ...] = (3, 4, 5, 6),
+                            ndims: int | None = None) -> DataFrame:
     """IVF-bucketed near-duplicate pairs with cosine >= threshold.
 
     Pairs are only compared within the same coarse bucket (recall<1 by
@@ -200,10 +219,11 @@ def bucketed_near_dup_pairs(corpus: DataFrame, threshold: float,
     OUTPUT is itself quadratic, i.e. the residual cost is proportional to
     the answer, not to an artifact of coarse bucketing.
     """
+    dot, norm2 = _dot_fns(ndims)
     corpus = fan_out(corpus)
     base_cols = [
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        norm2_expr(F.col(vec_col)).alias("n2"),
+        norm2(F.col(vec_col)).alias("n2"),
         bucket_expr(F.col(vec_col), dims[0], scale).alias("b1"),
         bucket_expr(F.col(vec_col), dims[1], scale).alias("b2"),
     ]
@@ -222,7 +242,7 @@ def bucketed_near_dup_pairs(corpus: DataFrame, threshold: float,
                       F.col("a.id") < F.col("b.id")])
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            (dot_expr(F.col("a.v"), F.col("b.v"))
+            (dot(F.col("a.v"), F.col("b.v"))
              / F.sqrt(F.col("a.n2") * F.col("b.n2"))).alias("cosine"),
         )
     )
