@@ -17,6 +17,7 @@ from etl_docker_spark.plans.round2c import ROUND2C
 from etl_docker_spark.plans.round2d import ROUND2D
 from etl_docker_spark.plans.round2e import ROUND2E
 from etl_docker_spark.plans.round2f import ROUND2F
+from etl_docker_spark.plans.round2g import ROUND2G
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
@@ -31,7 +32,7 @@ class QuerySpec:
 def _build() -> dict[str, QuerySpec]:
     specs: dict[str, QuerySpec] = {}
     for table in (RELATIONAL, LLM_QUERIES, ADVANCED, EXTENDED, ROUND2,
-                  ROUND2B, ROUND2C, ROUND2D, ROUND2E, ROUND2F):
+                  ROUND2B, ROUND2C, ROUND2D, ROUND2E, ROUND2F, ROUND2G):
         for name, (builder, oracle) in table.items():
             specs[name] = QuerySpec(name, builder, oracle)
     return specs
