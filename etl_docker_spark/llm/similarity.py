@@ -48,71 +48,41 @@ def norm2_expr(a: Column) -> Column:
     return dot_expr(a, a)
 
 
-def dot_expr_n(a: Column, b: Column, n: int) -> Column:
-    """Codegen-friendly dot product for a KNOWN vector width `n`.
-
-    `zip_with`/`aggregate` higher-order functions are evaluated interpreted
-    (outside whole-stage codegen), which dominates wall time when the dot
-    sits on the hot side of a verify join with millions of candidate pairs.
-    Unrolling to a left-deep `0.0 + a[1]*b[1] + ... + a[n]*b[n]` chain keeps
-    the IEEE addition sequence bit-identical to the sequential fold of
-    `dot_expr` (same accumulation order, same casts) while compiling into
-    the surrounding codegen stage — so swapping one for the other can never
-    change a gate-pinned cosine value.
-    """
-    acc: Column = F.lit(0.0)
-    for i in range(1, n + 1):
-        acc = acc + (F.element_at(a, i).cast("double")
-                     * F.element_at(b, i).cast("double"))
-    return acc
-
-
-def norm2_expr_n(a: Column, n: int) -> Column:
-    return dot_expr_n(a, a, n)
-
-
 def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / F.sqrt(norm2_expr(a) * norm2_expr(b))
 
 
-def cosine_expr_n(a: Column, b: Column, n: int) -> Column:
-    """Codegen cosine for a known vector width (see dot_expr_n)."""
-    return dot_expr_n(a, b, n) / F.sqrt(norm2_expr_n(a, n) * norm2_expr_n(b, n))
-
-
-def _dot_fns(ndims: int | None):
-    """(dot, norm2) pair: codegen-unrolled when the caller knows the vector
-    width, interpreted HOF fold otherwise — value-identical either way."""
-    if ndims is None:
-        return dot_expr, norm2_expr
-    return (lambda a, b: dot_expr_n(a, b, ndims)), (lambda a: norm2_expr_n(a, ndims))
+# MEASURED, do not "optimize": unrolling these folds into a 64-term
+# `a[1]*b[1] + ... + a[64]*b[64]` chain to get them inside whole-stage
+# codegen was tried and is ~6x SLOWER on the pair-verify joins (e02 12s ->
+# 77s, e07 6s -> 39s at a 20k-vector corpus): the ~400-node expression
+# tree blows the codegen budget for the join stage, the whole stage falls
+# back to interpreted per-node eval, and the HOF evaluator's tight array
+# loop wins decisively. Keep the zip_with/aggregate fold; keep pair counts
+# bounded by candidate generation instead.
 
 
 def brute_force_knn(corpus: DataFrame, queries: DataFrame, k: int,
-                    id_col: str = "vec_id", vec_col: str = "embedding",
-                    ndims: int | None = None) -> DataFrame:
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors per query (self-matches excluded).
 
     Output: (query_id, neighbor_id, cosine, rank), rank 1..k, ties broken by
-    neighbor id so results are total-ordered and reproducible. Pass `ndims`
-    when the vector width is known to unroll the dots into whole-stage
-    codegen (value-identical; ~interpreted-HOF cost otherwise).
+    neighbor id so results are total-ordered and reproducible.
     """
-    dot, norm2 = _dot_fns(ndims)
     # norms are folded ONCE per row before the join — the pair loop then does
     # a single dot product instead of three; a narrow scan fans out so the
     # dot-product work parallelizes even from a single-file input
     corpus = fan_out(corpus)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-                       norm2(F.col(vec_col)).alias("qn2"))
+                       norm2_expr(F.col(vec_col)).alias("qn2"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-                      norm2(F.col(vec_col)).alias("cn2"))
+                      norm2_expr(F.col(vec_col)).alias("cn2"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            (dot(F.col("qv"), F.col("cv"))
+            (dot_expr(F.col("qv"), F.col("cv"))
              / F.sqrt(F.col("qn2") * F.col("cn2"))).alias("cosine"),
         )
     )
@@ -150,7 +120,7 @@ def probe_cells(b1: Column, b2: Column, probes: int) -> Column:
 def bucketed_knn(corpus: DataFrame, queries: DataFrame, k: int,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  dims: tuple[int, int] = (1, 2), scale: float = 4.0,
-                 probes: int = 0, ndims: int | None = None) -> DataFrame:
+                 probes: int = 0) -> DataFrame:
     """IVF-style approximate top-k: candidates share one of the query's
     probed coarse cells; exact cosine ranks within candidates.
 
@@ -160,16 +130,15 @@ def bucketed_knn(corpus: DataFrame, queries: DataFrame, k: int,
     (e03/e04 measure it). The floor-grid keeps every variant
     deterministic and oracle-checkable.
     """
-    dot, norm2 = _dot_fns(ndims)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
-        norm2(F.col(vec_col)).alias("cn2"),
+        norm2_expr(F.col(vec_col)).alias("cn2"),
         bucket_expr(F.col(vec_col), dims[0], scale).alias("b1"),
         bucket_expr(F.col(vec_col), dims[1], scale).alias("b2"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        norm2(F.col(vec_col)).alias("qn2"),
+        norm2_expr(F.col(vec_col)).alias("qn2"),
         bucket_expr(F.col(vec_col), dims[0], scale).alias("b1"),
         bucket_expr(F.col(vec_col), dims[1], scale).alias("b2"),
     )
@@ -183,7 +152,7 @@ def bucketed_knn(corpus: DataFrame, queries: DataFrame, k: int,
         c.join(F.broadcast(q), ["b1", "b2"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id",
-                (dot(F.col("qv"), F.col("cv"))
+                (dot_expr(F.col("qv"), F.col("cv"))
                  / F.sqrt(F.col("qn2") * F.col("cn2"))).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -196,8 +165,7 @@ def bucketed_near_dup_pairs(corpus: DataFrame, threshold: float,
                             id_col: str = "vec_id", vec_col: str = "embedding",
                             dims: tuple[int, int] = (1, 2), scale: float = 4.0,
                             cell_cap: int | None = None,
-                            refine_dims: tuple[int, ...] = (3, 4, 5, 6),
-                            ndims: int | None = None) -> DataFrame:
+                            refine_dims: tuple[int, ...] = (3, 4, 5, 6)) -> DataFrame:
     """IVF-bucketed near-duplicate pairs with cosine >= threshold.
 
     Pairs are only compared within the same coarse bucket (recall<1 by
@@ -219,11 +187,10 @@ def bucketed_near_dup_pairs(corpus: DataFrame, threshold: float,
     OUTPUT is itself quadratic, i.e. the residual cost is proportional to
     the answer, not to an artifact of coarse bucketing.
     """
-    dot, norm2 = _dot_fns(ndims)
     corpus = fan_out(corpus)
     base_cols = [
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        norm2(F.col(vec_col)).alias("n2"),
+        norm2_expr(F.col(vec_col)).alias("n2"),
         bucket_expr(F.col(vec_col), dims[0], scale).alias("b1"),
         bucket_expr(F.col(vec_col), dims[1], scale).alias("b2"),
     ]
@@ -242,7 +209,7 @@ def bucketed_near_dup_pairs(corpus: DataFrame, threshold: float,
                       F.col("a.id") < F.col("b.id")])
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            (dot(F.col("a.v"), F.col("b.v"))
+            (dot_expr(F.col("a.v"), F.col("b.v"))
              / F.sqrt(F.col("a.n2") * F.col("b.n2"))).alias("cosine"),
         )
     )
@@ -302,7 +269,7 @@ def hyperplane_lsh_pairs(corpus: DataFrame, threshold: float,
         corpus = corpus.repartition(target, F.col(id_col))
     bands = planes // band_bits
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                      norm2_expr_n(F.col(vec_col), dims).alias("n2"))
+                      norm2_expr(F.col(vec_col)).alias("n2"))
     # OFFSET keeps every quantized component positive (|v| < 1024 assumed),
     # so corpus sums stay positive and integer division is engine-portable;
     # centering cancels the offset exactly
@@ -360,7 +327,7 @@ def hyperplane_lsh_pairs(corpus: DataFrame, threshold: float,
                   F.col("n2").alias("nb"))
     scored = (cand.join(va, "id_a").join(vb, "id_b")
               .select("id_a", "id_b",
-                      (dot_expr_n(F.col("va"), F.col("vb"), dims)
+                      (dot_expr(F.col("va"), F.col("vb"))
                        / F.sqrt(F.col("na") * F.col("nb"))).alias("cos_raw")))
     return (scored.filter(F.col("cos_raw") >= threshold)
             .select("id_a", "id_b", F.round("cos_raw", 8).alias("cosine")))

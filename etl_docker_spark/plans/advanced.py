@@ -322,8 +322,7 @@ def e03_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    exact = brute_force_knn(emb, queries, k=5,
-                            ndims=64).select("query_id", "neighbor_id")
+    exact = brute_force_knn(emb, queries, k=5).select("query_id", "neighbor_id")
 
     bucketed = emb.select(
         F.col("vec_id"),
@@ -388,8 +387,7 @@ def e04_multiprobe_recall(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    exact = brute_force_knn(emb, queries, k=5,
-                            ndims=64).select("query_id", "neighbor_id")
+    exact = brute_force_knn(emb, queries, k=5).select("query_id", "neighbor_id")
 
     bucketed = emb.select(
         F.col("vec_id"),

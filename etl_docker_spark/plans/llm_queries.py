@@ -223,7 +223,7 @@ def e01_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     """Exact top-5 cosine neighbors for query vectors vec_id < 8."""
     emb = t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return brute_force_knn(emb, queries, k=5, ndims=64)
+    return brute_force_knn(emb, queries, k=5)
 
 
 _DOT = ("list_reduce(list_transform(generate_series(1, len({a})), "
@@ -256,7 +256,7 @@ def e02_bucketed_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     larger/skewed corpus is split instead of going quadratic.
     """
     return bucketed_near_dup_pairs(t(spark, sf, "embeddings"), threshold=0.4,
-                                   cell_cap=256, ndims=64)
+                                   cell_cap=256)
 
 
 E02_SQL = f"""

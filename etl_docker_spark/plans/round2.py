@@ -202,13 +202,9 @@ def e05_ivf_train(spark: SparkSession, sf: str) -> DataFrame:
           .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv")))
 
     def int_dist(qv, cv):
-        # unrolled 64-term codegen chain; same left-to-right fold as the
-        # zip_with/aggregate formulation (exact integer sum either way)
-        acc = F.lit(0).cast("long")
-        for i in range(1, 65):
-            d = F.element_at(qv, i) - F.element_at(cv, i)
-            acc = acc + d * d
-        return acc
+        return F.aggregate(
+            F.zip_with(qv, cv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"), lambda a, v: a + v)
 
     from pyspark.sql import Window
 
@@ -230,14 +226,11 @@ def e05_ivf_train(spark: SparkSession, sf: str) -> DataFrame:
                   lambda s: s["m"]).alias("cv")))
 
     def dbl_dist(qv, cv):
-        # unrolled codegen chain, bit-identical accumulation order to the
-        # interpreted fold (0.0 + t1) + t2 + ... the oracle mirrors
-        acc = F.lit(0.0)
-        for i in range(1, 65):
-            d = (F.element_at(qv, i).cast("double")
-                 - F.element_at(cv, i))
-            acc = acc + d * d
-        return acc
+        return F.aggregate(
+            F.zip_with(qv, cv,
+                       lambda x, y: (x.cast("double") - y)
+                       * (x.cast("double") - y)),
+            F.lit(0.0), lambda a, v: a + v)
 
     return (a1.select("vec_id", "qv")
             .crossJoin(F.broadcast(cent_l))
@@ -489,26 +482,26 @@ def e06_trained_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
     assignment frame is localCheckpointed once and reused by both the
     corpus and query sides (single training pass).
     """
-    from etl_docker_spark.llm.similarity import norm2_expr_n
+    from etl_docker_spark.llm.similarity import norm2_expr
     from etl_docker_spark.plans._util import ensure_session_confs
 
     ensure_session_confs(spark)
     assign = e05_ivf_train(spark, sf).localCheckpoint()
     e = t(spark, sf, "embeddings").select(
-        "vec_id", "embedding", norm2_expr_n(F.col("embedding"), 64).alias("n2"))
+        "vec_id", "embedding", norm2_expr(F.col("embedding")).alias("n2"))
     ea = e.join(assign, "vec_id")
     q = (ea.filter(F.col("vec_id") < _KM_K)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("qv"),
                  F.col("n2").alias("qn2"), "cluster"))
-    from etl_docker_spark.llm.similarity import dot_expr_n
+    from etl_docker_spark.llm.similarity import dot_expr
 
     from pyspark.sql import Window
 
     scored = (ea.join(F.broadcast(q), "cluster")
               .filter(F.col("vec_id") != F.col("query_id"))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                      (dot_expr_n(F.col("qv"), F.col("embedding"), 64)
+                      (dot_expr(F.col("qv"), F.col("embedding"))
                        / F.sqrt(F.col("qn2") * F.col("n2"))).alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("neighbor_id"))

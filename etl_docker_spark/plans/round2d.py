@@ -307,7 +307,7 @@ def e08_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     k-row frames, trivially a broadcast. doc_id/vec_id share the id space
     in the corpus (TESTDATA), which is what makes the fusion meaningful.
     """
-    from etl_docker_spark.llm.similarity import cosine_expr_n
+    from etl_docker_spark.llm.similarity import cosine_expr
     from etl_docker_spark.plans.round2c import d21_bm25_search
 
     bm = (d21_bm25_search(spark, sf)
@@ -318,7 +318,7 @@ def e08_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
         F.col("embedding").alias("qv"))
     cos = (emb.crossJoin(F.broadcast(qv))
            .select(F.col("vec_id").alias("doc_id"),
-                   F.round(cosine_expr_n(F.col("embedding"), F.col("qv"), 64), 8)
+                   F.round(cosine_expr(F.col("embedding"), F.col("qv")), 8)
                    .alias("cosine")))
     wc = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
     cos_top = (cos.withColumn("cos_rank", F.row_number().over(wc).cast("long"))
