@@ -95,14 +95,41 @@ def q43_zonemap_layout(spark: SparkSession, sf: str) -> DataFrame:
     This is the WRITE-side of partition pruning at 100 TB: a fact laid out
     by repartitionByRange(l_shipdate) + sortWithinPartitions gives every
     file a tight shipdate zone, so a date-windowed query prunes ~31/32 of
-    the scan. The gate pins the exact equal-height formulation (ntile over
-    a unique total order); production writes use sampled range boundaries
-    — semantics identical, boundaries approximate.
+    the scan.
+
+    The naive formulation — ntile over one global window — sorts the whole
+    fact in a single task (measured: 8.5 s of the query's 8.5 s at 6M
+    rows). This plan computes the SAME ntile via distributed two-phase
+    ranking: row_number within each shipdate (the window partitions by
+    date, so it parallelizes), plus each date's cumulative start offset
+    from a per-date count aggregate (~2.5k rows, the only single-partition
+    window, broadcast back). The oracle stays the plain `ntile(32)` — the
+    gate itself proves the two-phase form is ntile-exact, q41-style.
     """
     li = t(spark, sf, "lineitem").select(
         "l_shipdate", "l_orderkey", "l_linenumber")
-    w = Window.orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-    return (li.withColumn("zone", F.ntile(_ZONES).over(w).cast("long"))
+    per_date = li.groupBy("l_shipdate").agg(F.count("*").alias("cnt"))
+    wd = (Window.orderBy("l_shipdate")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    starts = per_date.select(
+        "l_shipdate",
+        F.coalesce(F.sum("cnt").over(wd), F.lit(0)).alias("start"))
+    n1 = li.agg(F.count("*").alias("n"))
+    wr = Window.partitionBy("l_shipdate").orderBy("l_orderkey",
+                                                  "l_linenumber")
+    ranked = (li.withColumn("lr", F.row_number().over(wr))
+              .join(F.broadcast(starts), "l_shipdate")
+              .crossJoin(F.broadcast(n1))
+              .withColumn("r", (F.col("start") + F.col("lr")).cast("long")))
+    # ntile semantics: q = n div Z, m = n mod Z; the first m tiles hold
+    # q+1 rows, the rest q (assumes n >= Z, true for every corpus here)
+    zone = F.expr(
+        f"CASE WHEN r <= (n DIV {_ZONES} + 1) * (n % {_ZONES}) "
+        f"THEN (r - 1) DIV (n DIV {_ZONES} + 1) + 1 "
+        f"ELSE (n % {_ZONES}) "
+        f"  + (r - (n % {_ZONES}) * (n DIV {_ZONES} + 1) - 1) "
+        f"    DIV (n DIV {_ZONES}) + 1 END").cast("long")
+    return (ranked.withColumn("zone", zone)
             .groupBy("zone")
             .agg(F.count("*").alias("n_rows"),
                  F.min("l_shipdate").alias("min_shipdate"),
