@@ -161,10 +161,24 @@ _PQ_Q = 1 << 20       # same component quantization as e05
 _PQ_DIMS = 16
 
 
-def _pq_assign(sub: DataFrame, w: Window) -> DataFrame:
+def _pq_dbl_dist(qv, cv):
+    """Left-fold double squared distance over a 16-dim subvector —
+    zip_with/aggregate (HOF) on purpose: the unrolled-chain variant is
+    measurably slower (see llm/similarity.py), and the fold order is what
+    the oracle's list_reduce mirrors."""
+    return F.aggregate(
+        F.zip_with(qv, cv,
+                   lambda x, y: (x.cast("double") - y)
+                   * (x.cast("double") - y)),
+        F.lit(0.0), lambda a, v: a + v)
+
+
+def _pq_train(sub: DataFrame, w: Window) -> tuple[DataFrame, DataFrame]:
     """One subspace's k-means coding: e05's two-Lloyd-iteration scheme
     (integer first-assignment, exact-mean centroids, double re-assignment)
-    over a 16-dim quantized subvector. Input: (vec_id, qv)."""
+    over a 16-dim quantized subvector. Input: (vec_id, qv); returns
+    (codes, centroids) — codes (vec_id, cluster), centroids (cluster, cv
+    as array<double>)."""
     c0 = (sub.filter(F.col("vec_id") < _PQ_K)
           .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv")))
 
@@ -190,21 +204,30 @@ def _pq_assign(sub: DataFrame, w: Window) -> DataFrame:
                   F.array_sort(F.collect_list(F.struct("dim", "m"))),
                   lambda s: s["m"]).alias("cv")))
 
-    def dbl_dist(qv, cv):
-        acc = F.lit(0.0)
-        for i in range(1, _PQ_DIMS + 1):
-            d = F.element_at(qv, i).cast("double") - F.element_at(cv, i)
-            acc = acc + d * d
-        return acc
+    codes = (a1.select("vec_id", "qv")
+             .crossJoin(F.broadcast(cent_l))
+             .select("vec_id", "cluster",
+                     _pq_dbl_dist(F.col("qv"), F.col("cv")).alias("dist"))
+             .withColumn("rn", F.row_number().over(
+                 w.orderBy(F.asc("dist"), F.asc("cluster"))))
+             .filter(F.col("rn") == 1)
+             .select("vec_id", F.col("cluster")))
+    return codes, cent_l
 
-    return (a1.select("vec_id", "qv")
-            .crossJoin(F.broadcast(cent_l))
-            .select("vec_id", "cluster",
-                    dbl_dist(F.col("qv"), F.col("cv")).alias("dist"))
-            .withColumn("rn", F.row_number().over(
-                w.orderBy(F.asc("dist"), F.asc("cluster"))))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("cluster")))
+
+def _pq_base(spark: SparkSession, sf: str) -> DataFrame:
+    """(vec_id, qv0..qv3): the four quantized 16-dim subvectors, one
+    corpus scan, localCheckpoint'ed for reuse by every subspace pipeline."""
+    from etl_docker_spark.plans._util import ensure_session_confs
+
+    ensure_session_confs(spark)
+    return t(spark, sf, "embeddings").select(
+        "vec_id",
+        *[F.transform(
+            F.slice("embedding", s * _PQ_DIMS + 1, _PQ_DIMS),
+            lambda x: F.floor(x.cast("double") * _PQ_Q).cast("long"))
+          .alias(f"qv{s}") for s in range(_PQ_SUBS)],
+    ).localCheckpoint()
 
 
 def e09_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
@@ -219,22 +242,13 @@ def e09_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
     pipelines (one corpus scan); codebooks are k-row broadcasts — the
     corpus itself is never shuffled.
     """
-    from etl_docker_spark.plans._util import ensure_session_confs
-
-    ensure_session_confs(spark)
-    base = t(spark, sf, "embeddings").select(
-        "vec_id",
-        *[F.transform(
-            F.slice("embedding", s * _PQ_DIMS + 1, _PQ_DIMS),
-            lambda x: F.floor(x.cast("double") * _PQ_Q).cast("long"))
-          .alias(f"qv{s}") for s in range(_PQ_SUBS)],
-    ).localCheckpoint()
+    base = _pq_base(spark, sf)
     w = Window.partitionBy("vec_id")
     out = None
     for s in range(_PQ_SUBS):
-        code = (_pq_assign(
+        code, _ = _pq_train(
             base.select("vec_id", F.col(f"qv{s}").alias("qv")), w)
-            .withColumnRenamed("cluster", f"code{s}"))
+        code = code.withColumnRenamed("cluster", f"code{s}")
         out = code if out is None else out.join(code, "vec_id")
     return out.select("vec_id",
                       *[F.col(f"code{s}") for s in range(_PQ_SUBS)])
@@ -288,9 +302,103 @@ E09_SQL = ("WITH " + ",".join(_pq_sub_sql(s) for s in range(_PQ_SUBS))
              "FROM code_0 JOIN code_1 USING (vec_id) "
              "JOIN code_2 USING (vec_id) JOIN code_3 USING (vec_id)")
 
+# ---------------------------------------------------------------- e10
+
+_ADC_K = 5
+_ADC_NQ = 8  # queries = vec_id < 8, as in e01/e06
+
+
+def e10_pq_adc_search(spark: SparkSession, sf: str) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k search over the PQ
+    index — the standard way PQ-compressed corpora are actually searched
+    (Jegou et al.): each query computes a tiny distance table to every
+    subspace centroid (4 subs x 4 centroids here), and every corpus vector
+    is scored by LOOKUP of its 4 codes, never by touching the raw vector.
+
+    Scale shape: the corpus-side work is one scan of the (vec_id,
+    code0..3) frame plus 4 broadcast hash joins against
+    (queries x centroids) tables of 32 rows each — the raw embeddings are
+    only read to train codebooks and quantize queries. Per-subspace
+    centroid frames are localCheckpoint'ed (k rows) so the dtab branch
+    doesn't re-run the training pass. Exactness: centroid means and
+    fold-order distances inherit e05's discipline, so the oracle pins
+    every distance bit-for-bit; ties (vectors sharing all 4 codes have
+    identical ADC distance by construction) break by neighbor id.
+    """
+    base = _pq_base(spark, sf)
+    w = Window.partitionBy("vec_id")
+    out = None
+    dts = []
+    for s in range(_PQ_SUBS):
+        sub = base.select("vec_id", F.col(f"qv{s}").alias("qv"))
+        codes, cents = _pq_train(sub, w)
+        cents = cents.localCheckpoint()
+        q = (sub.filter(F.col("vec_id") < _ADC_NQ)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("qv").alias("qvq")))
+        dts.append(
+            q.crossJoin(F.broadcast(cents))
+            .select("query_id", F.col("cluster").alias(f"code{s}"),
+                    _pq_dbl_dist(F.col("qvq"), F.col("cv")).alias(f"d{s}")))
+        codes = codes.withColumnRenamed("cluster", f"code{s}")
+        out = codes if out is None else out.join(codes, "vec_id")
+    scored = out
+    for s, dt in enumerate(dts):
+        on = [f"code{s}"] if s == 0 else ["query_id", f"code{s}"]
+        scored = scored.join(F.broadcast(dt), on)
+    wq = Window.partitionBy("query_id")
+    return (scored.filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    (F.col("d0") + F.col("d1") + F.col("d2")
+                     + F.col("d3")).alias("adc"))
+            .withColumn("rank", F.row_number().over(
+                wq.orderBy(F.asc("adc"), F.asc("neighbor_id"))).cast("long"))
+            .filter(F.col("rank") <= _ADC_K)
+            .select("query_id", "neighbor_id",
+                    F.col("adc").alias("adc_dist"), "rank"))
+
+
+def _adc_dt_sql(s: int) -> str:
+    return f"""
+dt_{s} AS (
+  SELECT q.vec_id AS query_id, c.cluster AS code,
+         list_reduce(list_transform(generate_series(1, {_PQ_DIMS}),
+             i -> (CAST(q.qv[i] AS DOUBLE) - c.cv[i])
+                * (CAST(q.qv[i] AS DOUBLE) - c.cv[i])),
+             (a, b) -> a + b) AS d
+  FROM e{s} q, cl_{s} c WHERE q.vec_id < {_ADC_NQ}
+)"""
+
+
+E10_SQL = (
+    "WITH " + ",".join(_pq_sub_sql(s) for s in range(_PQ_SUBS))
+    + "," + ",".join(_adc_dt_sql(s) for s in range(_PQ_SUBS))
+    + f""",
+codes AS (
+  SELECT vec_id, code0, code1, code2, code3
+  FROM code_0 JOIN code_1 USING (vec_id)
+  JOIN code_2 USING (vec_id) JOIN code_3 USING (vec_id)
+),
+scored AS (
+  SELECT d0.query_id, c.vec_id AS neighbor_id,
+         d0.d + d1.d + d2.d + d3.d AS adc
+  FROM codes c
+  JOIN dt_0 d0 ON d0.code = c.code0
+  JOIN dt_1 d1 ON d1.query_id = d0.query_id AND d1.code = c.code1
+  JOIN dt_2 d2 ON d2.query_id = d0.query_id AND d2.code = c.code2
+  JOIN dt_3 d3 ON d3.query_id = d0.query_id AND d3.code = c.code3
+  WHERE c.vec_id <> d0.query_id
+)
+SELECT query_id, neighbor_id, adc AS adc_dist,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc, neighbor_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {_ADC_K}""")
+
 
 ROUND2G = {
     "d27_bpe_pair_freqs": (d27_bpe_pair_freqs, D27_SQL),
     "q43_zonemap_layout": (q43_zonemap_layout, Q43_SQL),
     "e09_pq_codes": (e09_pq_codes, E09_SQL),
+    "e10_pq_adc_search": (e10_pq_adc_search, E10_SQL),
 }

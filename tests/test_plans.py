@@ -150,7 +150,7 @@ def test_registry_complete_and_oracle_backed(spark):
     expected = {
         *(f"q{i:02d}" for i in range(1, 44)),
         *(f"d{i:02d}" for i in range(1, 28)),
-        *(f"e{i:02d}" for i in range(1, 10)),
+        *(f"e{i:02d}" for i in range(1, 11)),
         *(f"s{i:02d}" for i in range(1, 9)),
         "g01",
     }
