@@ -18,6 +18,7 @@ from etl_docker_spark.plans.round2d import ROUND2D
 from etl_docker_spark.plans.round2e import ROUND2E
 from etl_docker_spark.plans.round2f import ROUND2F
 from etl_docker_spark.plans.round2g import ROUND2G
+from etl_docker_spark.plans.round2h import ROUND2H
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
@@ -32,7 +33,8 @@ class QuerySpec:
 def _build() -> dict[str, QuerySpec]:
     specs: dict[str, QuerySpec] = {}
     for table in (RELATIONAL, LLM_QUERIES, ADVANCED, EXTENDED, ROUND2,
-                  ROUND2B, ROUND2C, ROUND2D, ROUND2E, ROUND2F, ROUND2G):
+                  ROUND2B, ROUND2C, ROUND2D, ROUND2E, ROUND2F, ROUND2G,
+                  ROUND2H):
         for name, (builder, oracle) in table.items():
             specs[name] = QuerySpec(name, builder, oracle)
     return specs
