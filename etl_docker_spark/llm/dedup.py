@@ -215,6 +215,13 @@ def simhash_table(df: "DataFrame", id_col: str, text_col: str,
     explode tokens -> one md5 digest per token (two 32-bit hex halves) ->
     64 conditional SUMs in one partial-aggregated groupBy -> assemble the
     word from the lane signs. Identical output to simhash64.
+
+    MEASURED, do not "optimize": dictionary-encoding the digests (md5 once
+    per distinct token TYPE, occurrences re-join their bits) is ~2.4x
+    SLOWER at ~sf1 (d07 2.8s -> 7.3s, d11 3.5s -> 8.3s): the
+    distinct+join barrier breaks the single fused scan->explode->aggregate
+    stage, and inline md5 inside that stage is nowhere near the bound.
+    Keep the straight-line pass.
     """
     toks = df.select(
         F.col(id_col).alias("__id"),
