@@ -203,6 +203,11 @@ def bucketed_near_dup_pairs(corpus: DataFrame, threshold: float,
             *[bucket_expr(F.col(vec_col), d, scale).alias(f"c{i + 1}")
               for i, d in enumerate(refine_dims)],
         ), cell_cap, len(refine_dims))
+    # both sides of the self-join consume e; without pinning, the whole
+    # norms+bucketing(+refinement) pipeline runs twice — ~20% of query wall
+    # at ~sf1. On a cluster this is a persist(DISK_ONLY)-sized decision;
+    # localCheckpoint keeps it deterministic here.
+    e = e.localCheckpoint()
     a, b = e.alias("a"), e.alias("b")
     pairs = (
         a.join(b, on=[F.col("a.cell") == F.col("b.cell"),

@@ -98,14 +98,14 @@ def d28_hll_sketch(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.lit("*ALL*").alias("lang"), "n_grams", "exact_distinct")
     exs = ex.unionByName(ex_all)
 
-    full = exs.select(
-        "lang", "n_grams", "exact_distinct",
-        F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))).alias("bucket"))
-    joined = (full.join(regs, ["lang", "bucket"], "left")
-              .withColumn("m0", F.coalesce("m_rho", F.lit(0))))
-    s = (joined.groupBy("lang", "n_grams", "exact_distinct")
-         .agg(F.expr(f"sum(shiftleft(cast(1 as bigint), {_HLL_RHO_MAX} - m0))")
-              .alias("z")))
+    # empty registers contribute 2^RHO_MAX each — the fill is arithmetic
+    # (M - observed registers), no bucket-completion join
+    z = (regs.groupBy("lang")
+         .agg((F.expr(f"sum(shiftleft(cast(1 as bigint),"
+                      f" {_HLL_RHO_MAX} - m_rho))")
+               + (F.lit(_HLL_M) - F.count("*"))
+               * F.lit(1 << _HLL_RHO_MAX).cast("long")).alias("z")))
+    s = exs.join(z, "lang")
     est = F.floor(F.lit(float(_HLL_ALPHA_NUM)) / F.col("z")).cast("long")
     return (s.withColumn("hll_estimate", est)
             .select(
@@ -146,18 +146,16 @@ ex AS (
   UNION ALL
   SELECT '*ALL*', COUNT(*), COUNT(DISTINCT g) FROM r
 ),
-fl AS (
-  SELECT ex.lang, ex.n_grams, ex.exact_distinct, u.bucket
-  FROM ex, (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS bucket) u
-),
-j AS (
-  SELECT f.lang, f.n_grams, f.exact_distinct, COALESCE(regs.m_rho, 0) AS m0
-  FROM fl f LEFT JOIN regs ON f.lang = regs.lang AND f.bucket = regs.bucket
+z AS (
+  SELECT lang,
+         SUM(CAST(1 AS BIGINT) << ({_HLL_RHO_MAX} - m_rho))
+           + ({_HLL_M} - COUNT(*))
+             * (CAST(1 AS BIGINT) << {_HLL_RHO_MAX}) AS z
+  FROM regs GROUP BY lang
 ),
 s AS (
-  SELECT lang, n_grams, exact_distinct,
-         SUM(CAST(1 AS BIGINT) << ({_HLL_RHO_MAX} - m0)) AS z
-  FROM j GROUP BY lang, n_grams, exact_distinct
+  SELECT ex.lang, ex.n_grams, ex.exact_distinct, z.z
+  FROM ex JOIN z USING (lang)
 ),
 est AS (
   SELECT lang, n_grams, exact_distinct,
@@ -409,6 +407,87 @@ FROM probed GROUP BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------- s09
+
+
+def s09_stream_hll_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming HLL: distinct-user estimate per event type, maintained
+    INCREMENTALLY through the streaming engine — the register table
+    (event_type, bucket, max rho) is a streaming groupBy-MAX whose state is
+    exactly the 64-number sketch, so arbitrary stream length accumulates
+    into bounded state (the reason HLL is the streaming cardinality tool).
+    The estimate is assembled from the final register table in batch; the
+    oracle computes the identical deterministic sketch over the batch
+    events view — equality proves the incremental register maintenance
+    exactly reproduces the batch sketch (d28's mergeability, now across
+    micro-batches instead of partitions).
+    """
+    from etl_docker_spark.plans._util import stream_state_partitions
+    from etl_docker_spark.plans.advanced import (_events_stream,
+                                                 _state_partitions_for)
+
+    stream = _events_stream(spark, sf)
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")
+                                 .cast("binary")), 1, 15), 16, 10) \
+        .cast("long")
+    keyed = stream.select("event_type", h.alias("hv")).select(
+        "event_type", (F.col("hv") % _HLL_M).alias("bucket"),
+        F.expr(f"hv div {_HLL_M}").alias("wv"))
+    rho = (F.when(F.col("wv") == 0, F.lit(_HLL_RHO_MAX))
+           .otherwise(F.lit(_HLL_RHO_MAX) - F.length(F.bin(F.col("wv")))))
+    regs = (keyed.select("event_type", "bucket", rho.alias("rho"))
+            .groupBy("event_type", "bucket")
+            .agg(F.max("rho").alias("m_rho")))
+    name = f"s09_sink_{abs(hash(sf)) % 10 ** 8}"
+    with stream_state_partitions(spark, _state_partitions_for(spark, sf)):
+        q = (regs.writeStream.outputMode("complete").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        q.stop()
+    # empty registers contribute 2^RHO_MAX each, so the fill is arithmetic
+    # (M - observed) — no bucket-completion join needed
+    z = (spark.table(name).groupBy("event_type")
+         .agg((F.expr(f"sum(shiftleft(cast(1 as bigint),"
+                      f" {_HLL_RHO_MAX} - m_rho))")
+               + (F.lit(_HLL_M) - F.count("*"))
+               * F.lit(1 << _HLL_RHO_MAX).cast("long")).alias("z")))
+    return z.select(
+        "event_type",
+        F.floor(F.lit(float(_HLL_ALPHA_NUM)) / F.col("z")).cast("long")
+        .alias("hll_users"))
+
+
+S09_SQL = f"""
+WITH hashed AS (
+  SELECT event_type,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % {_HLL_M} AS bucket,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) // {_HLL_M} AS wv
+  FROM events
+),
+r AS (
+  SELECT event_type, bucket,
+         CASE WHEN wv = 0 THEN {_HLL_RHO_MAX}
+              ELSE {_HLL_RHO_MAX} - length(bin(wv)) END AS rho
+  FROM hashed
+),
+reg AS (
+  SELECT event_type, bucket, MAX(rho) AS m_rho
+  FROM r GROUP BY event_type, bucket
+),
+s AS (
+  SELECT event_type,
+         SUM(CAST(1 AS BIGINT) << ({_HLL_RHO_MAX} - m_rho))
+           + ({_HLL_M} - COUNT(*))
+             * (CAST(1 AS BIGINT) << {_HLL_RHO_MAX}) AS z
+  FROM reg GROUP BY event_type
+)
+SELECT event_type,
+       CAST(FLOOR({_HLL_ALPHA_NUM} / z) AS BIGINT) AS hll_users
+FROM s
+"""
+
 # ---------------------------------------------------------------- e11
 
 
@@ -525,4 +604,5 @@ ROUND2H = {
     "d30_bpe_merge_steps": (d30_bpe_merge_steps, D30_SQL),
     "q44_bloom_prune_stats": (q44_bloom_prune_stats, Q44_SQL),
     "e11_ivfpq_search": (e11_ivfpq_search, _e11_sql()),
+    "s09_stream_hll_users": (s09_stream_hll_users, S09_SQL),
 }

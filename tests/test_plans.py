@@ -151,7 +151,7 @@ def test_registry_complete_and_oracle_backed(spark):
         *(f"q{i:02d}" for i in range(1, 45)),
         *(f"d{i:02d}" for i in range(1, 31)),
         *(f"e{i:02d}" for i in range(1, 12)),
-        *(f"s{i:02d}" for i in range(1, 9)),
+        *(f"s{i:02d}" for i in range(1, 10)),
         "g01",
     }
     assert {n.split("_")[0] for n in qs} == expected
