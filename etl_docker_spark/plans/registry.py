@@ -19,6 +19,7 @@ from etl_docker_spark.plans.round2e import ROUND2E
 from etl_docker_spark.plans.round2f import ROUND2F
 from etl_docker_spark.plans.round2g import ROUND2G
 from etl_docker_spark.plans.round2h import ROUND2H
+from etl_docker_spark.plans.round2i import ROUND2I
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
@@ -34,7 +35,7 @@ def _build() -> dict[str, QuerySpec]:
     specs: dict[str, QuerySpec] = {}
     for table in (RELATIONAL, LLM_QUERIES, ADVANCED, EXTENDED, ROUND2,
                   ROUND2B, ROUND2C, ROUND2D, ROUND2E, ROUND2F, ROUND2G,
-                  ROUND2H):
+                  ROUND2H, ROUND2I):
         for name, (builder, oracle) in table.items():
             specs[name] = QuerySpec(name, builder, oracle)
     return specs

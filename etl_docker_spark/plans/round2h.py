@@ -554,7 +554,10 @@ def e11_ivfpq_search(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("adc").alias("adc_dist"), "rank"))
 
 
-def _e11_sql() -> str:
+def ivfpq_common_sql() -> str:
+    """The WITH-prefix shared by e11/e12: e05's coarse training through
+    `assign`, the 4 PQ subspace codebooks and codes, per-query distance
+    tables, and the routed `adc_top` result (e11's output shape)."""
     from etl_docker_spark.plans.round2 import E05_SQL
     from etl_docker_spark.plans.round2g import (_ADC_K, _ADC_NQ, _PQ_SUBS,
                                                 _adc_dt_sql, _pq_sub_sql)
@@ -580,7 +583,7 @@ qa AS (
   SELECT vec_id AS query_id, cluster AS qcell FROM assign
   WHERE vec_id < {_ADC_NQ}
 ),
-scored AS (
+adc_scored AS (
   SELECT qa.query_id, c.vec_id AS neighbor_id,
          d0.d + d1.d + d2.d + d3.d AS adc
   FROM codes c
@@ -590,12 +593,20 @@ scored AS (
   JOIN dt_1 d1 ON d1.query_id = qa.query_id AND d1.code = c.code1
   JOIN dt_2 d2 ON d2.query_id = qa.query_id AND d2.code = c.code2
   JOIN dt_3 d3 ON d3.query_id = qa.query_id AND d3.code = c.code3
-)
-SELECT query_id, neighbor_id, adc AS adc_dist,
-       CAST(row_number() OVER (PARTITION BY query_id
-                               ORDER BY adc, neighbor_id) AS BIGINT) AS rank
-FROM scored
-QUALIFY rank <= {_ADC_K}""")
+),
+adc_top AS (
+  SELECT query_id, neighbor_id, adc AS adc_dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc, neighbor_id) AS BIGINT)
+             AS rank
+  FROM adc_scored
+  QUALIFY rank <= {_ADC_K}
+)""")
+
+
+def _e11_sql() -> str:
+    return (ivfpq_common_sql()
+            + "\nSELECT query_id, neighbor_id, adc_dist, rank FROM adc_top")
 
 
 ROUND2H = {
