@@ -256,9 +256,70 @@ FROM (SELECT DISTINCT query_id FROM exact_top) q
 LEFT JOIN matched m ON m.query_id = q.query_id""")
 
 
+# ---------------------------------------------------------------- q47
+
+
+def q47_global_outlier_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: per market segment, count customers whose account
+    balance exceeds the GLOBAL positive-balance average AND who have
+    placed no order since 2001 — a global scalar subquery feeding a filter
+    plus an anti-join, the decorrelation pattern Q22 exists to test. (Q22
+    proper windows the anti-join by time; this corpus has no order-less
+    customers at all, so the time window is what keeps the result
+    non-trivial.)
+
+    Plan shape: the scalar aggregate is one map-side-combined pass
+    broadcast into the filter (one row); the no-orders condition is a
+    broadcast anti-join on the distinct order custkeys. The big side
+    (customer) is scanned once, never shuffled — the groupBy shuffles only
+    surviving (segment, balance) rows. The "above average" compare is
+    exact integer CROSS-MULTIPLICATION (bal*n > sum over scale-4 fixed
+    point) — engine decimal division rounds differently engine-to-engine
+    and a half-ulp would flip boundary rows.
+    """
+    cust = t(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        (F.col("c_acctbal").cast("decimal(18,4)") * 10000).cast("long")
+        .alias("bal_i"))
+    avg_pos = (cust.filter(F.col("c_acctbal") > 0)
+               .agg(F.sum("bal_i").alias("s"), F.count("*").alias("n")))
+    ok = (t(spark, sf, "orders")
+          .filter(F.col("o_orderdate") >= F.lit("2001-01-01"))
+          .select("o_custkey").distinct())
+    rich = (cust.crossJoin(F.broadcast(avg_pos))
+            .filter(F.col("bal_i") * F.col("n") > F.col("s"))
+            .join(F.broadcast(ok),
+                  cust.c_custkey == ok.o_custkey, "left_anti"))
+    return (rich.groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count("*").alias("n_customers"),
+                 dsum("c_acctbal").alias("total_balance")))
+
+
+Q47_SQL = """
+WITH cb AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 10000 AS BIGINT) AS bal_i
+  FROM customer
+),
+avg_pos AS (
+  SELECT SUM(bal_i) AS s, COUNT(*) AS n FROM cb WHERE c_acctbal > 0
+)
+SELECT c_mktsegment AS segment, COUNT(*) AS n_customers,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
+           AS total_balance
+FROM cb c
+WHERE c.bal_i * (SELECT n FROM avg_pos) > (SELECT s FROM avg_pos)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= DATE '2001-01-01')
+GROUP BY c_mktsegment
+"""
+
+
 ROUND2I = {
     "q45_sessionize": (q45_sessionize, Q45_SQL),
     "q46_incremental_agg": (q46_incremental_agg, Q46_SQL),
     "d31_weighted_sample": (d31_weighted_sample, D31_SQL),
     "e12_ivfpq_recall": (e12_ivfpq_recall, _e12_sql()),
+    "q47_global_outlier_customers": (q47_global_outlier_customers, Q47_SQL),
 }
