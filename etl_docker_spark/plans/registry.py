@@ -20,6 +20,8 @@ from etl_docker_spark.plans.round2f import ROUND2F
 from etl_docker_spark.plans.round2g import ROUND2G
 from etl_docker_spark.plans.round2h import ROUND2H
 from etl_docker_spark.plans.round2i import ROUND2I
+from etl_docker_spark.plans.round2j import ROUND2J
+from etl_docker_spark.plans.round2k import ROUND2K
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
@@ -35,7 +37,7 @@ def _build() -> dict[str, QuerySpec]:
     specs: dict[str, QuerySpec] = {}
     for table in (RELATIONAL, LLM_QUERIES, ADVANCED, EXTENDED, ROUND2,
                   ROUND2B, ROUND2C, ROUND2D, ROUND2E, ROUND2F, ROUND2G,
-                  ROUND2H, ROUND2I):
+                  ROUND2H, ROUND2I, ROUND2J, ROUND2K):
         for name, (builder, oracle) in table.items():
             specs[name] = QuerySpec(name, builder, oracle)
     return specs
