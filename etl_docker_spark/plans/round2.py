@@ -242,6 +242,18 @@ def e05_ivf_train(spark: SparkSession, sf: str) -> DataFrame:
             .select("vec_id", "cluster"))
 
 
+def e05_assignments(spark: SparkSession, sf: str) -> DataFrame:
+    """Memoized (vec_id, cluster) from e05's trained coarse quantizer —
+    the train-once/serve-many artifact every IVF-backed query (e06, e11,
+    e12, d33) routes through. First caller in a session pays the two
+    Lloyd iterations; the rest reuse the pinned frame (values are
+    deterministic, so cached == retrained bit-for-bit)."""
+    from etl_docker_spark.llm.index_cache import memo_frame
+
+    return memo_frame(spark, f"e05_assign:{sf}",
+                      lambda: e05_ivf_train(spark, sf))
+
+
 E05_SQL = f"""
 WITH e AS (
   SELECT vec_id,
@@ -486,7 +498,7 @@ def e06_trained_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
     from etl_docker_spark.plans._util import ensure_session_confs
 
     ensure_session_confs(spark)
-    assign = e05_ivf_train(spark, sf).localCheckpoint()
+    assign = e05_assignments(spark, sf)
     e = t(spark, sf, "embeddings").select(
         "vec_id", "embedding", norm2_expr(F.col("embedding")).alias("n2"))
     ea = e.join(assign, "vec_id")

@@ -509,20 +509,18 @@ def e11_ivfpq_search(spark: SparkSession, sf: str) -> DataFrame:
     quantized, fold-ordered discipline, so the oracle pins distances
     bit-for-bit; ties break by neighbor id.
     """
-    from etl_docker_spark.plans.round2 import e05_ivf_train
+    from etl_docker_spark.plans.round2 import e05_assignments
     from etl_docker_spark.plans.round2g import (_ADC_K, _ADC_NQ, _PQ_SUBS,
                                                 _pq_base, _pq_dbl_dist,
-                                                _pq_train)
+                                                _pq_trained)
 
-    assign = e05_ivf_train(spark, sf).localCheckpoint()
+    assign = e05_assignments(spark, sf)
     base = _pq_base(spark, sf)
-    w = Window.partitionBy("vec_id")
     codes_all = None
     dts = []
     for s in range(_PQ_SUBS):
         sub = base.select("vec_id", F.col(f"qv{s}").alias("qv"))
-        codes, cents = _pq_train(sub, w)
-        cents = cents.localCheckpoint()
+        codes, cents = _pq_trained(spark, sf, s)
         q = (sub.filter(F.col("vec_id") < _ADC_NQ)
              .select(F.col("vec_id").alias("query_id"),
                      F.col("qv").alias("qvq")))

@@ -47,9 +47,9 @@ def d33_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     corpus) broadcast into an anti-join-shaped left join.
     """
     from etl_docker_spark.llm.similarity import dot_expr, norm2_expr
-    from etl_docker_spark.plans.round2 import e05_ivf_train
+    from etl_docker_spark.plans.round2 import e05_assignments
 
-    assign = e05_ivf_train(spark, sf).localCheckpoint()
+    assign = e05_assignments(spark, sf)
     e = t(spark, sf, "embeddings").select(
         "vec_id", "embedding", norm2_expr(F.col("embedding")).alias("n2"))
     ea = e.join(assign, "vec_id").localCheckpoint()
