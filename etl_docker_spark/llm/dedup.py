@@ -247,7 +247,8 @@ def simhash_table(df: "DataFrame", id_col: str, text_col: str,
 
 def simhash_near_dup_pairs(df: "DataFrame", id_col: str, text_col: str,
                            threshold: int = 3, bands: int = 4,
-                           sep: str = " ") -> "DataFrame":
+                           sep: str = " ",
+                           sig: "DataFrame | None" = None) -> "DataFrame":
     """SimHash near-duplicate pairs via hamming-band LSH.
 
     Pipeline: 64-bit fingerprint per doc (simhash_table, one codegen corpus
@@ -269,9 +270,13 @@ def simhash_near_dup_pairs(df: "DataFrame", id_col: str, text_col: str,
     """
     nbits = 64 // bands
     mask = (1 << nbits) - 1
-    df = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
-    sig = simhash_table(df, id_col, text_col, sep).localCheckpoint()
+    if sig is None:
+        # callers holding an already-materialized fingerprint table (e.g. a
+        # per-session memo shared with the plain simhash query) pass it via
+        # `sig` so the corpus pass isn't re-run
+        df = df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        sig = simhash_table(df, id_col, text_col, sep).localCheckpoint()
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),

@@ -155,11 +155,25 @@ def d07_simhash(spark: SparkSession, sf: str) -> DataFrame:
     column-expression variant (simhash64) computes the same value but folds
     a 64-lane lambda per token — 10x slower on a corpus pass.
     """
-    docs = t(spark, sf, "documents")
-    # CPU fan-out, partitioned BY ID so simhash_table's groupBy(doc_id) over
-    # the exploded tokens inherits the partitioning and skips its shuffle
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
-    return simhash_table(docs, "doc_id", "text")
+    return _simhash_frame(spark, sf)
+
+
+def _simhash_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-session memoized (doc_id, simhash) corpus fingerprint table —
+    the md5-per-token pass is the whole cost of the simhash family, and
+    d07 (table) + d11 (pairs) share one artifact, like any fingerprint
+    store a dedup service keeps."""
+    from etl_docker_spark.llm.index_cache import memo_frame
+
+    def build() -> DataFrame:
+        docs = t(spark, sf, "documents")
+        # CPU fan-out, partitioned BY ID so simhash_table's groupBy(doc_id)
+        # over the exploded tokens inherits the partitioning, no shuffle
+        docs = docs.repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        return simhash_table(docs, "doc_id", "text")
+
+    return memo_frame(spark, f"simhash_table:{sf}", build)
 
 
 D07_SQL = """
@@ -201,7 +215,8 @@ def d11_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     see llm.dedup.simhash_near_dup_pairs)."""
     from etl_docker_spark.llm.dedup import simhash_near_dup_pairs
 
-    return simhash_near_dup_pairs(t(spark, sf, "documents"), "doc_id", "text")
+    return simhash_near_dup_pairs(t(spark, sf, "documents"), "doc_id", "text",
+                                  sig=_simhash_frame(spark, sf))
 
 
 # the D07 fingerprint pipeline (same CTEs) + banding, candidates, verify
@@ -519,13 +534,20 @@ def d08_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     Output: (doc_id, cluster_id) for every doc in at least one pair,
     cluster_id = min doc_id of its component.
     """
-    from etl_docker_spark.llm import minhash_lsh_pairs
+    from etl_docker_spark.llm.index_cache import memo_frame
     from etl_docker_spark.operators.graph import connected_components
+    from etl_docker_spark.plans.llm_queries import minhash_pairs_frame
 
-    pairs = minhash_lsh_pairs(t(spark, sf, "documents"), "doc_id", "text")
-    labels = connected_components(pairs, src="doc_a", dst="doc_b")
-    return labels.select(F.col("node").alias("doc_id"),
-                         F.col("label").alias("cluster_id"))
+    def build() -> DataFrame:
+        pairs = minhash_pairs_frame(spark, sf)
+        labels = connected_components(pairs, src="doc_a", dst="doc_b")
+        return labels.select(F.col("node").alias("doc_id"),
+                             F.col("label").alias("cluster_id"))
+
+    # memoized as a frame of its own: d14 consumes the cluster table, and
+    # the label-propagation loop (driver-side iteration) shouldn't re-run
+    # for it
+    return memo_frame(spark, f"d08_clusters:{sf}", build)
 
 
 # the D06 pipeline (same CTEs) + recursive reachability for components

@@ -179,8 +179,16 @@ def d21_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: one corpus pass explodes tokens pre-filtered to the query
     terms (pushdown-friendly), doc-frequency and corpus totals are tiny
     aggregates broadcast back, and the final top-k is a single window over
-    candidate docs only.
+    candidate docs only. The 10-row result memoizes per session — e08
+    fuses it with the vector ranking without re-running the corpus pass.
     """
+    from etl_docker_spark.llm.index_cache import memo_frame
+
+    return memo_frame(spark, f"d21_bm25:{sf}",
+                      lambda: _d21_build(spark, sf))
+
+
+def _d21_build(spark: SparkSession, sf: str) -> DataFrame:
     docs = t(spark, sf, "documents")
     toks = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("tk"))

@@ -215,9 +215,9 @@ def d24_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
     this becomes ntile over score ranges computed from a sampled CDF, or a
     per-shard ntile; the semantics pinned here stay the same.
     """
-    from etl_docker_spark.llm.text import bigram_lm_scores
+    from etl_docker_spark.plans.llm_queries import bigram_scores_frame
 
-    scored = bigram_lm_scores(t(spark, sf, "documents"))
+    scored = bigram_scores_frame(spark, sf)
     norm = F.expr("lm_score div n_bigrams")
     w = Window.orderBy(F.desc("norm_score"), F.asc("doc_id"))
     tiled = (scored.select("doc_id", "n_bigrams", norm.alias("norm_score"))

@@ -76,9 +76,31 @@ def test_d01_narrow_dedup_shuffle(spark):
     assert re.search(r"hashpartitioning\(fp", plan), plan[:500]
 
 
+def _operator_plan(spark, name: str) -> str:
+    """Plan of the RAW LSH operator over the smoke documents table.
+
+    The registry queries (d06/d11) now serve a per-session memoized frame
+    (llm/index_cache) whose plan is just the checkpoint scan; these tests
+    pin the plan of the pipeline that BUILDS that frame, so they call the
+    operator directly."""
+    from etl_docker_spark.llm.dedup import (minhash_lsh_pairs,
+                                            simhash_near_dup_pairs)
+    from etl_docker_spark.plans._util import t
+
+    docs = t(spark, SF_SMOKE, "documents")
+    if name == "d06_minhash_pairs":
+        df = minhash_lsh_pairs(docs, "doc_id", "text")
+    else:
+        df = simhash_near_dup_pairs(docs, "doc_id", "text")
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+
+
 def test_no_cartesian_products(spark):
     for name in ("d06_minhash_pairs", "e02_bucketed_near_dup", "q23_asof_last_order"):
-        plan = formatted_plan(spark, name)
+        plan = (_operator_plan(spark, name) if name == "d06_minhash_pairs"
+                else formatted_plan(spark, name))
         assert "CartesianProduct" not in plan, name
 
 
@@ -94,7 +116,7 @@ def test_lsh_single_corpus_pass(spark, name):
     """The LSH pipelines materialize one per-doc frame (localCheckpoint) and
     every downstream branch reads it: at most ONE shuffle Exchange (the
     id fan-out) and zero recomputation of the scan+hash corpus pass."""
-    plan = formatted_plan(spark, name)
+    plan = _operator_plan(spark, name)
     ops = tree_ops(plan)
     assert ops.count("Exchange") <= 1, plan
     assert ops.count("Scan parquet") <= 1, plan
