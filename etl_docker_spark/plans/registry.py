@@ -22,6 +22,7 @@ from etl_docker_spark.plans.round2h import ROUND2H
 from etl_docker_spark.plans.round2i import ROUND2I
 from etl_docker_spark.plans.round2j import ROUND2J
 from etl_docker_spark.plans.round2k import ROUND2K
+from etl_docker_spark.plans.round2l import ROUND2L
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
@@ -37,7 +38,7 @@ def _build() -> dict[str, QuerySpec]:
     specs: dict[str, QuerySpec] = {}
     for table in (RELATIONAL, LLM_QUERIES, ADVANCED, EXTENDED, ROUND2,
                   ROUND2B, ROUND2C, ROUND2D, ROUND2E, ROUND2F, ROUND2G,
-                  ROUND2H, ROUND2I, ROUND2J, ROUND2K):
+                  ROUND2H, ROUND2I, ROUND2J, ROUND2K, ROUND2L):
         for name, (builder, oracle) in table.items():
             specs[name] = QuerySpec(name, builder, oracle)
     return specs

@@ -170,10 +170,10 @@ def test_registry_complete_and_oracle_backed(spark):
     missing = set(qs) - set(oracles) - rows_only_allowed
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
-        *(f"q{i:02d}" for i in range(1, 52)),
+        *(f"q{i:02d}" for i in range(1, 54)),
         *(f"d{i:02d}" for i in range(1, 34)),
         *(f"e{i:02d}" for i in range(1, 14)),
-        *(f"s{i:02d}" for i in range(1, 10)),
+        *(f"s{i:02d}" for i in range(1, 11)),
         "g01", "g02",
     }
     assert {n.split("_")[0] for n in qs} == expected
