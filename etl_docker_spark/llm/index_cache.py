@@ -19,11 +19,16 @@ don't collide.
 
 from __future__ import annotations
 
+import threading
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _CACHE: dict[tuple[str, str], DataFrame] = {}
+# one lock per artifact key so concurrent queries serialize on the SAME
+# training pass but different artifacts still build in parallel
+_LOCKS: dict[tuple[str, str], threading.Lock] = {}
+_LOCKS_GUARD = threading.Lock()
 
 
 def memo_frame(spark: SparkSession, key: str,
@@ -31,8 +36,11 @@ def memo_frame(spark: SparkSession, key: str,
     """Return the localCheckpoint'ed result of `build()`, computed at most
     once per (Spark application, key)."""
     full = (spark.sparkContext.applicationId, key)
-    df = _CACHE.get(full)
-    if df is None:
-        df = build().localCheckpoint()
-        _CACHE[full] = df
+    with _LOCKS_GUARD:
+        lock = _LOCKS.setdefault(full, threading.Lock())
+    with lock:
+        df = _CACHE.get(full)
+        if df is None:
+            df = build().localCheckpoint()
+            _CACHE[full] = df
     return df
