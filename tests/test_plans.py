@@ -171,8 +171,8 @@ def test_registry_complete_and_oracle_backed(spark):
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
         *(f"q{i:02d}" for i in range(1, 54)),
-        *(f"d{i:02d}" for i in range(1, 34)),
-        *(f"e{i:02d}" for i in range(1, 14)),
+        *(f"d{i:02d}" for i in range(1, 35)),
+        *(f"e{i:02d}" for i in range(1, 15)),
         *(f"s{i:02d}" for i in range(1, 11)),
         "g01", "g02",
     }
