@@ -27,7 +27,19 @@ from etl_docker_spark.plans._util import t
 
 # ---------------------------------------------------------------- d33
 
-_SEM_T = 0.93  # within-cluster cosine threshold
+_SEM_T = 0.93     # within-cluster cosine threshold
+# Hot-cluster refinement cap: the within-cluster self-join is quadratic in
+# occupancy, and a k=8 quantizer's cells grow linearly with the corpus —
+# measured 809 s at ~sf1 (20k vectors, ~2.5k/cell) without a cap. Clusters
+# above the cap sub-bucket on floor-grid dims one at a time (e02's
+# _refined_cells, ONE rollup pass + broadcast hot flags). MUST stay above
+# the gate corpora's max cluster occupancy (74 at sf0.001/sf0.01) so the
+# oracle's plain within-cluster form stays bit-identical there; larger
+# corpora trade boundary-pair recall for linear cost — the same documented
+# ANN trade as e02. (At true scale you'd ALSO retrain with k ~ N/1k; the
+# cap is what makes a FIXED trained quantizer safe to serve.)
+_SEM_CAP = 128
+_SEM_REFINE_DIMS = (1, 2, 3, 4)
 
 
 def d33_semdedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -39,22 +51,30 @@ def d33_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     (min-id representative of the similarity relation) instead of the
     paper's random choice, so the gate can pin values.
 
-    Scale shape: the quadratic compare is confined to k-means cells —
-    data-adapted partitions whose occupancy is balanced by construction
-    (the trained answer to e02's static-grid hot cells). Assignments ride
+    Scale shape: the quadratic compare is confined to k-means cells,
+    sub-bucketed past _SEM_CAP occupancy (see above); assignments ride
     one id-equi join onto the vectors; the within-cell self-join shuffles
-    on the cell key; losers (a distinct id set, tiny relative to the
-    corpus) broadcast into an anti-join-shaped left join.
+    on the effective cell key; losers (a distinct id set, tiny relative
+    to the corpus) broadcast into an anti-join-shaped left join.
     """
-    from etl_docker_spark.llm.similarity import dot_expr, norm2_expr
+    from etl_docker_spark.llm.similarity import (_refined_cells, bucket_expr,
+                                                 dot_expr, norm2_expr)
     from etl_docker_spark.plans.round2 import e05_assignments
 
     assign = e05_assignments(spark, sf)
     e = t(spark, sf, "embeddings").select(
         "vec_id", "embedding", norm2_expr(F.col("embedding")).alias("n2"))
-    ea = e.join(assign, "vec_id").localCheckpoint()
+    keyed = (e.join(assign, "vec_id")
+             .select("vec_id", "embedding", "n2", "cluster",
+                     F.col("cluster").alias("b1"),
+                     F.lit(0).cast("long").alias("b2"),
+                     *[bucket_expr(F.col("embedding"), d).alias(f"c{i + 1}")
+                       for i, d in enumerate(_SEM_REFINE_DIMS)]))
+    ea = (_refined_cells(keyed, _SEM_CAP, len(_SEM_REFINE_DIMS))
+          .select("vec_id", "embedding", "n2", "cluster", "cell")
+          .localCheckpoint())
     a, b = ea.alias("a"), ea.alias("b")
-    pairs = (a.join(b, on=[F.col("a.cluster") == F.col("b.cluster"),
+    pairs = (a.join(b, on=[F.col("a.cell") == F.col("b.cell"),
                            F.col("a.vec_id") < F.col("b.vec_id")])
              .select(F.col("b.vec_id").alias("loser"),
                      (dot_expr(F.col("a.embedding"), F.col("b.embedding"))
