@@ -38,17 +38,19 @@ def d34_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     weights; avg_weight_ppm = score div n_tokens is the resampling
     signal.
 
-    Scale shape: ONE corpus tokenization pass (checkpointed) feeds both
-    frequency tables and the scoring join; the weight table is
+    Scale shape: two fused scans of the raw corpus (frequency pass,
+    scoring pass) — deliberately NOT a checkpoint of the exploded token
+    table, which would persist a corpus-sized intermediate (d19's
+    lazy-double-branch discipline; the raw scan is the cheap thing, the
+    explosion is free inside codegen). The weight table is
     token-type-keyed (narrow) and map-side combined; scoring is a
-    token-keyed equi join followed by an exchange-free per-doc sum at
-    bench scale (broadcastable weight table), a plain shuffle join at
-    100 TB. Corpus totals ride a 1-row broadcast.
+    token-keyed equi join followed by a per-doc sum — broadcastable
+    weight table at bench scale, a plain shuffle join at 100 TB. Corpus
+    totals ride a 1-row broadcast.
     """
     docs = t(spark, sf, "documents").select("doc_id", "lang", "text")
-    toks = (docs.select("doc_id", "lang",
-                        F.explode(F.split("text", " ")).alias("tok"))
-            .localCheckpoint())
+    toks = docs.select("doc_id", "lang",
+                       F.explode(F.split("text", " ")).alias("tok"))
     freq = (toks.groupBy("tok")
             .agg(F.count("*").alias("f_corpus"),
                  F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)
