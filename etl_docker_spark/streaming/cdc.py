@@ -39,6 +39,46 @@ def merge_stream_into(stream: DataFrame, path: str, keys: Sequence[str],
     return writer.start()
 
 
+def scd2_stream_into(stream: DataFrame, path: str, keys: Sequence[str],
+                     attrs: Sequence[str], ts_col: str = "ts",
+                     checkpoint: str | None = None,
+                     trigger_once: bool = True) -> StreamingQuery:
+    """Maintain an SCD2 history table from a stream of updates.
+
+    Each micro-batch folds into the parquet history via
+    operators.scd2.scd2_apply — the warehouse's slowly-changing-dimension
+    maintenance loop run continuously. Because scd2_apply recomputes
+    valid_to/is_current over the whole version set and dedups per
+    (key, valid_from), the final history is independent of micro-batch
+    ARRIVAL ORDER and idempotent under replay — late batches insert
+    their versions into the middle of history instead of clobbering it
+    (provided (key, ts) is unique in the feed; pre-dedup upstream).
+    Snapshot-rewrite discipline as merge_upsert_path (staging tmp path);
+    on Delta this becomes a MERGE INTO with a time-travel-safe layout.
+    """
+    import os
+    import shutil
+
+    from etl_docker_spark.operators.scd2 import scd2_apply
+
+    spark = stream.sparkSession
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        history = spark.read.parquet(path) if os.path.exists(path) else None
+        new_hist = scd2_apply(history, batch, keys, attrs, ts_col)
+        tmp = f"{path}__tmp_scd2"
+        new_hist.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    writer = stream.writeStream.foreachBatch(fold)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_parquet_source(spark: SparkSession, path: str, schema) -> DataFrame:
     """File-based streaming source (one file per micro-batch by default)."""
     return spark.readStream.schema(schema).parquet(path)
