@@ -248,6 +248,36 @@ WHERE CAST(part_value_i4 AS HUGEINT) * n_parts * 10
 _G02_K = 8
 
 
+def cotrade_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """The mutual top-K co-trade edge set (a < b), memoized per session —
+    g02 (triangles) and g03 (recursive hop distances) walk the same
+    graph, and the distinct+co-pair construction is its whole cost."""
+    from etl_docker_spark.llm.index_cache import memo_frame
+
+    def build() -> DataFrame:
+        os_ = (t(spark, sf, "lineitem")
+               .select("l_orderkey", "l_suppkey").distinct())
+        pairs = (os_.alias("x")
+                 .join(os_.alias("y"),
+                       on=[F.col("x.l_orderkey") == F.col("y.l_orderkey"),
+                           F.col("x.l_suppkey") < F.col("y.l_suppkey")])
+                 .groupBy(F.col("x.l_suppkey").alias("s1"),
+                          F.col("y.l_suppkey").alias("s2"))
+                 .agg(F.count("*").alias("n")))
+        directed = pairs.unionAll(
+            pairs.select(F.col("s2").alias("s1"), F.col("s1").alias("s2"),
+                         "n"))
+        w = Window.partitionBy("s1").orderBy(F.desc("n"), F.asc("s2"))
+        top = (directed.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= _G02_K).select("s1", "s2"))
+        mutual = top.intersect(top.select(F.col("s2").alias("s1"),
+                                          F.col("s1").alias("s2")))
+        return (mutual.filter(F.col("s1") < F.col("s2"))
+                .select(F.col("s1").alias("a"), F.col("s2").alias("b")))
+
+    return memo_frame(spark, f"cotrade_edges:{sf}", build)
+
+
 def g02_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     """Triangle count over the mutual top-K co-trade graph.
 
@@ -266,24 +296,7 @@ def g02_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     checkpointed once and feeds the two wedge sides and the closing-edge
     probe. Each triangle is counted at its lowest vertex exactly once.
     """
-    os_ = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey").distinct()
-    pairs = (os_.alias("x")
-             .join(os_.alias("y"),
-                   on=[F.col("x.l_orderkey") == F.col("y.l_orderkey"),
-                       F.col("x.l_suppkey") < F.col("y.l_suppkey")])
-             .groupBy(F.col("x.l_suppkey").alias("s1"),
-                      F.col("y.l_suppkey").alias("s2"))
-             .agg(F.count("*").alias("n")))
-    directed = pairs.unionAll(
-        pairs.select(F.col("s2").alias("s1"), F.col("s1").alias("s2"), "n"))
-    w = Window.partitionBy("s1").orderBy(F.desc("n"), F.asc("s2"))
-    top = (directed.withColumn("rn", F.row_number().over(w))
-           .filter(F.col("rn") <= _G02_K).select("s1", "s2"))
-    mutual = top.intersect(top.select(F.col("s2").alias("s1"),
-                                      F.col("s1").alias("s2")))
-    edges = (mutual.filter(F.col("s1") < F.col("s2"))
-             .select(F.col("s1").alias("a"), F.col("s2").alias("b"))
-             .localCheckpoint())
+    edges = cotrade_edges(spark, sf)
     tri = (edges.alias("e1")
            .join(edges.alias("e2"), F.col("e1.a") == F.col("e2.a"))
            .filter(F.col("e1.b") < F.col("e2.b"))

@@ -46,31 +46,13 @@ GROUP BY seed, node
 
 
 def _g02_edges(spark: SparkSession, sf: str) -> DataFrame:
-    """The mutual top-K co-trade edge set (g02's construction), as BOTH
-    directions so the recursion walks undirected edges."""
-    from pyspark.sql import Window
+    """g02's memoized mutual top-K co-trade edge set, as BOTH directions
+    so the recursion walks undirected edges."""
+    from etl_docker_spark.plans.round2j import cotrade_edges
 
-    os_ = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey").distinct()
-    pairs = (os_.alias("x")
-             .join(os_.alias("y"),
-                   on=[F.col("x.l_orderkey") == F.col("y.l_orderkey"),
-                       F.col("x.l_suppkey") < F.col("y.l_suppkey")])
-             .groupBy(F.col("x.l_suppkey").alias("s1"),
-                      F.col("y.l_suppkey").alias("s2"))
-             .agg(F.count("*").alias("n")))
-    directed = pairs.unionAll(
-        pairs.select(F.col("s2").alias("s1"), F.col("s1").alias("s2"), "n"))
-    w = Window.partitionBy("s1").orderBy(F.desc("n"), F.asc("s2"))
-    from etl_docker_spark.plans.round2j import _G02_K
-
-    top = (directed.withColumn("rn", F.row_number().over(w))
-           .filter(F.col("rn") <= _G02_K).select("s1", "s2"))
-    mutual = top.intersect(top.select(F.col("s2").alias("s1"),
-                                      F.col("s1").alias("s2")))
-    und = mutual.filter(F.col("s1") < F.col("s2"))
-    return (und.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
-            .unionAll(und.select(F.col("s2").alias("a"),
-                                 F.col("s1").alias("b"))))
+    und = cotrade_edges(spark, sf)
+    return und.unionAll(und.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
 
 
 def g03_hop_distance(spark: SparkSession, sf: str) -> DataFrame:
