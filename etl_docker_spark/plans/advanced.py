@@ -173,7 +173,7 @@ def _simhash_frame(spark: SparkSession, sf: str) -> DataFrame:
             spark.sparkContext.defaultParallelism, F.col("doc_id"))
         return simhash_table(docs, "doc_id", "text")
 
-    return memo_frame(spark, f"simhash_table:{sf}", build)
+    return memo_frame(spark, f"simhash_table:{sf}", build, sf_dir=sf)
 
 
 D07_SQL = """
@@ -547,7 +547,7 @@ def d08_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     # memoized as a frame of its own: d14 consumes the cluster table, and
     # the label-propagation loop (driver-side iteration) shouldn't re-run
     # for it
-    return memo_frame(spark, f"d08_clusters:{sf}", build)
+    return memo_frame(spark, f"d08_clusters:{sf}", build, sf_dir=sf)
 
 
 # the D06 pipeline (same CTEs) + recursive reachability for components

@@ -172,7 +172,7 @@ def minhash_pairs_frame(spark: SparkSession, sf: str) -> DataFrame:
         spark, f"minhash_pairs:{sf}",
         lambda: minhash_lsh_pairs(t(spark, sf, "documents"), "doc_id",
                                   "text", num_hashes=16, bands=4,
-                                  shingle_n=3))
+                                  shingle_n=3), sf_dir=sf)
 
 
 from etl_docker_spark.llm.dedup import MINHASH_COEFFS, MINHASH_P  # noqa: E402
@@ -341,7 +341,8 @@ def bigram_scores_frame(spark: SparkSession, sf: str) -> DataFrame:
     from etl_docker_spark.llm.text import bigram_lm_scores
 
     return memo_frame(spark, f"bigram_scores:{sf}",
-                      lambda: bigram_lm_scores(t(spark, sf, "documents")))
+                      lambda: bigram_lm_scores(t(spark, sf, "documents")),
+                      sf_dir=sf)
 
 
 D10_SQL = """

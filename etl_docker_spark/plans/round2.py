@@ -251,7 +251,7 @@ def e05_assignments(spark: SparkSession, sf: str) -> DataFrame:
     from etl_docker_spark.llm.index_cache import memo_frame
 
     return memo_frame(spark, f"e05_assign:{sf}",
-                      lambda: e05_ivf_train(spark, sf))
+                      lambda: e05_ivf_train(spark, sf), sf_dir=sf)
 
 
 E05_SQL = f"""

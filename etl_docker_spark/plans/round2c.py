@@ -185,7 +185,7 @@ def d21_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     from etl_docker_spark.llm.index_cache import memo_frame
 
     return memo_frame(spark, f"d21_bm25:{sf}",
-                      lambda: _d21_build(spark, sf))
+                      lambda: _d21_build(spark, sf), sf_dir=sf)
 
 
 def _d21_build(spark: SparkSession, sf: str) -> DataFrame:

@@ -230,7 +230,7 @@ def _pq_base(spark: SparkSession, sf: str) -> DataFrame:
             F.slice("embedding", s * _PQ_DIMS + 1, _PQ_DIMS),
             lambda x: F.floor(x.cast("double") * _PQ_Q).cast("long"))
           .alias(f"qv{s}") for s in range(_PQ_SUBS)],
-    ))
+    ), sf_dir=sf)
 
 
 def _pq_trained(spark: SparkSession, sf: str,
@@ -247,7 +247,7 @@ def _pq_trained(spark: SparkSession, sf: str,
     sub = base.select("vec_id", F.col(f"qv{s}").alias("qv"))
     w = Window.partitionBy("vec_id")
     cents = memo_frame(spark, f"pq_cents:{s}:{sf}",
-                       lambda: _pq_train(sub, w)[1])
+                       lambda: _pq_train(sub, w)[1], sf_dir=sf)
 
     def build_codes() -> DataFrame:
         return (sub.crossJoin(F.broadcast(cents))
@@ -258,7 +258,8 @@ def _pq_trained(spark: SparkSession, sf: str,
                 .filter(F.col("rn") == 1)
                 .select("vec_id", F.col("cluster")))
 
-    return memo_frame(spark, f"pq_codes:{s}:{sf}", build_codes), cents
+    return memo_frame(spark, f"pq_codes:{s}:{sf}", build_codes,
+                      sf_dir=sf), cents
 
 
 def e09_pq_codes(spark: SparkSession, sf: str) -> DataFrame:

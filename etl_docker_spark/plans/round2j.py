@@ -275,7 +275,7 @@ def cotrade_edges(spark: SparkSession, sf: str) -> DataFrame:
         return (mutual.filter(F.col("s1") < F.col("s2"))
                 .select(F.col("s1").alias("a"), F.col("s2").alias("b")))
 
-    return memo_frame(spark, f"cotrade_edges:{sf}", build)
+    return memo_frame(spark, f"cotrade_edges:{sf}", build, sf_dir=sf)
 
 
 def g02_triangle_count(spark: SparkSession, sf: str) -> DataFrame:

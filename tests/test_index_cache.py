@@ -33,6 +33,79 @@ def test_memo_keys_do_not_collide(spark):
     assert a.count() == 1 and b.count() == 2
 
 
+def _mini_corpus(path) -> str:
+    import pandas as pd
+
+    d = path / "corpus"
+    d.mkdir(exist_ok=True)
+    pd.DataFrame({"k": [1, 2, 3]}).to_parquet(d / "t.parquet")
+    return str(d)
+
+
+def test_disk_tier_serves_across_sessions(spark, tmp_path, monkeypatch):
+    """Persisted artifact survives a 'new session' (in-memory memo
+    cleared): the build function must NOT run again and the served values
+    and schema must match the original build exactly."""
+    from etl_docker_spark.llm import index_cache as ic
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "cache"))
+    corpus = _mini_corpus(tmp_path)
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(4).select(
+            F.col("id").alias("v"), (F.col("id") * 2).alias("w"))
+
+    first = ic.memo_frame(spark, "disk_roundtrip", build, sf_dir=corpus)
+    want = sorted((r["v"], r["w"]) for r in first.collect())
+    schema = first.schema
+
+    ic.clear_session_memo()  # simulate a fresh session; disk survives
+    served = ic.memo_frame(spark, "disk_roundtrip", build, sf_dir=corpus)
+    assert calls["n"] == 1
+    assert sorted((r["v"], r["w"]) for r in served.collect()) == want
+    assert [(f.name, f.dataType) for f in served.schema.fields] == \
+           [(f.name, f.dataType) for f in schema.fields]
+
+
+def test_disk_tier_invalidates_on_corpus_change(spark, tmp_path,
+                                                monkeypatch):
+    import pandas as pd
+
+    from etl_docker_spark.llm import index_cache as ic
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "cache"))
+    corpus = _mini_corpus(tmp_path)
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(2)
+
+    ic.memo_frame(spark, "disk_invalidate", build, sf_dir=corpus)
+    fp1 = ic.corpus_fingerprint(corpus)
+
+    # rewrite the corpus (size change guarantees a new fingerprint even on
+    # coarse mtime filesystems)
+    pd.DataFrame({"k": [1, 2, 3, 4, 5]}).to_parquet(f"{corpus}/t.parquet")
+    ic.clear_session_memo()
+    ic.memo_frame(spark, "disk_invalidate", build, sf_dir=corpus)
+    assert ic.corpus_fingerprint(corpus) != fp1
+    assert calls["n"] == 2
+
+
+def test_no_sf_dir_means_no_disk_writes(spark, tmp_path, monkeypatch):
+    import os
+
+    from etl_docker_spark.llm import index_cache as ic
+
+    root = tmp_path / "cache"
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(root))
+    ic.memo_frame(spark, "mem_only", lambda: spark.range(1))
+    assert not os.path.exists(root)
+
+
 def test_memoized_assignments_match_fresh_training(spark):
     """The served artifact must be bit-identical to retraining from
     scratch — the property that makes memoization invisible to the
