@@ -2,10 +2,18 @@
 
 Each query executes to completion through the `noop` sink (full computation,
 no driver-side collection — the same shape as writing results to a table).
-Prints ONE JSON line: {"metric", "value", "unit": "sec", "queries", "sf"}.
+Prints ONE compact JSON line on stdout (the LAST line printed):
+{"metric", "value", "unit": "sec", "queries", "sf", ...}. Everything else
+(progress, larger-SF pointers) goes to stderr so the driver's line capture
+never truncates the payload.
 
-Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS   (default all cores).
+Env: SPARK_GRAFT_SF_DIR       (default /root/testdata/sf0.1)
+     SPARK_GRAFT_CPUS         (default all cores)
+     SPARK_GRAFT_BENCH_REPS   (default 2, best-of-N)
+     SPARK_GRAFT_ARTIFACT_DIR (index-artifact disk cache; the bench pins
+                               this to a fresh temp dir unless already set,
+                               so timings never depend on a warm cache left
+                               by a previous run — see ADVICE r2)
 """
 
 from __future__ import annotations
@@ -13,19 +21,31 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from etl_docker_spark.plans import QUERIES  # noqa: E402
-from etl_docker_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    # Pin the artifact disk cache to a throwaway dir so every bench run
+    # trains from cold and numbers are comparable across runs/machines.
+    # A caller who explicitly wants warm-cache numbers sets the env var.
+    artifact_state = "pinned-env"
+    tmp_cache = None
+    if not os.environ.get("SPARK_GRAFT_ARTIFACT_DIR"):
+        tmp_cache = tempfile.mkdtemp(prefix="bench-artifacts-")
+        os.environ["SPARK_GRAFT_ARTIFACT_DIR"] = tmp_cache
+        artifact_state = "cold"
+
+    from etl_docker_spark.plans import QUERIES
+    from etl_docker_spark.session import get_spark
 
     spark = get_spark("bench")
 
@@ -48,6 +68,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
         total += best
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
 
     out = {
         "metric": "total_query_wall_seconds",
@@ -55,21 +76,22 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "artifact_cache": artifact_state,
+        "reps": reps,
     }
-    # measured-once larger-SF numbers (full surface at ~sf1; see SCALE.md) —
-    # cached so the per-round bench stays fast. Regenerate with:
-    #   python tools/make_scale_corpus.py 10 /root/testdata/sf0.1 /tmp/scale_10x
-    #   SPARK_GRAFT_SF_DIR=/tmp/scale_10x python bench.py > BENCH_SF1.json
+    # Larger-SF numbers live in BENCH_SF1.json (measured once, see SCALE.md);
+    # reference it by PATH only — embedding the blob in the printed line made
+    # round 2's output unparseable for the driver (truncated mid-line).
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "BENCH_SF1.json")
-    if os.path.exists(cache) and "sf0.1" in os.path.normpath(sf_dir):
-        try:
-            with open(cache) as fh:
-                out["larger_sf_cached"] = json.load(fh)
-        except Exception:
-            pass
-    print(json.dumps(out))
+    if os.path.exists(cache):
+        out["larger_sf_file"] = "BENCH_SF1.json"
     spark.stop()
+    if tmp_cache:
+        shutil.rmtree(tmp_cache, ignore_errors=True)
+    sys.stdout.flush()
+    print(json.dumps(out, separators=(",", ":")))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -65,13 +65,40 @@ def _cache_root() -> str:
     return os.path.join(pkg_root, ".artifact_cache")
 
 
-def corpus_fingerprint(sf_dir: str) -> str:
-    """Stat-based fingerprint of every parquet file under sf_dir: any
-    added/removed/rewritten file changes it, invalidating the disk tier."""
+_LOGIC_HASH: str | None = None
+
+
+def _logic_hash() -> str:
+    """Content hash of every .py file in this package (the llm/ builders).
+
+    Folded into the corpus fingerprint so ANY change to index-building
+    logic — a PQ-train tweak, new minhash params, a bug fix — invalidates
+    persisted artifacts automatically, without anyone having to remember
+    to bump _FORMAT_VERSION (ADVICE r2)."""
+    global _LOGIC_HASH
+    if _LOGIC_HASH is None:
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        h = hashlib.md5()
+        for f in sorted(os.listdir(pkg_dir)):
+            if f.endswith(".py"):
+                with open(os.path.join(pkg_dir, f), "rb") as fh:
+                    h.update(f.encode())
+                    h.update(fh.read())
+        _LOGIC_HASH = h.hexdigest()[:12]
+    return _LOGIC_HASH
+
+
+def corpus_fingerprint(sf_dir: str) -> str | None:
+    """Stat-based fingerprint of every parquet file under sf_dir (plus a
+    content hash of the builder package): any added/removed/rewritten
+    corpus file OR builder-logic change invalidates the disk tier.
+
+    Returns None when no local parquet files are visible (remote URI,
+    typo'd path): a fingerprint of an empty listing would never change,
+    so the disk tier is disabled rather than served stale (ADVICE r2)."""
     real = os.path.realpath(sf_dir)
-    cached = _FP_CACHE.get(real)
-    if cached is not None:
-        return cached
+    if real in _FP_CACHE:
+        return _FP_CACHE[real] or None
     entries: list[tuple[str, int, int]] = []
     for root, _dirs, files in os.walk(real):
         for f in files:
@@ -80,31 +107,71 @@ def corpus_fingerprint(sf_dir: str) -> str:
                 st = os.stat(p)
                 entries.append((os.path.relpath(p, real), st.st_size,
                                 st.st_mtime_ns))
-    payload = json.dumps([_FORMAT_VERSION, real, sorted(entries)])
+    if not entries:
+        _FP_CACHE[real] = ""
+        return None
+    payload = json.dumps([_FORMAT_VERSION, _logic_hash(), real,
+                          sorted(entries)])
     fp = hashlib.md5(payload.encode()).hexdigest()[:16]
     _FP_CACHE[real] = fp
     return fp
 
 
-def _artifact_dir(key: str, sf_dir: str) -> str:
+def _artifact_dir(key: str, sf_dir: str) -> str | None:
+    fp = corpus_fingerprint(sf_dir)
+    if fp is None:
+        return None
     slug = re.sub(r"[^A-Za-z0-9_.-]", "_", key)[:60]
     kh = hashlib.md5(key.encode()).hexdigest()[:8]
-    return os.path.join(_cache_root(), corpus_fingerprint(sf_dir),
-                        f"{slug}-{kh}")
+    return os.path.join(_cache_root(), fp, f"{slug}-{kh}")
 
 
 def _disk_load(spark: SparkSession, key: str, sf_dir: str) -> DataFrame | None:
     path = _artifact_dir(key, sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    if path is None or not os.path.exists(os.path.join(path, "_SUCCESS")):
         return None
-    return spark.read.parquet(path)
+    try:
+        df = spark.read.parquet(path)
+        df.limit(1).count()  # force footer read: surfaces truncation now
+        return df
+    except Exception:
+        # corrupt/truncated/schema-drifted artifact: drop it and retrain
+        # instead of failing the query forever (ADVICE r2)
+        shutil.rmtree(path, ignore_errors=True)
+        return None
+
+
+def _sweep_stale_tmp(parent: str) -> None:
+    """Remove orphaned '<artifact>.tmp-<pid>' dirs left by crashed sessions
+    (pid no longer alive). Best-effort; races are harmless because a live
+    writer's pid is alive by definition."""
+    try:
+        for entry in os.listdir(parent):
+            m = re.search(r"\.tmp-(\d+)$", entry)
+            if not m:
+                continue
+            pid = int(m.group(1))
+            if pid == os.getpid():
+                continue
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(parent, entry),
+                              ignore_errors=True)
+            except OSError:
+                pass  # alive but not ours, or no permission: leave it
+    except OSError:
+        pass
 
 
 def _disk_store(df: DataFrame, key: str, sf_dir: str) -> None:
     path = _artifact_dir(key, sf_dir)
+    if path is None:
+        return
     tmp = f"{path}.tmp-{os.getpid()}"
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        _sweep_stale_tmp(os.path.dirname(path))
         df.write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, path)

@@ -47,25 +47,47 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+_ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                     "RocksDBStateStoreProvider")
+
+
 @contextmanager
 def stream_state_partitions(spark: SparkSession, n: int | None = None):
-    """Scope `spark.sql.shuffle.partitions` down for a streaming query.
+    """Scope streaming state-store knobs for a gate query.
 
-    Stateful streaming sizes its state-store instances (and their per-batch
-    load/commit cost) to the shuffle-partition count, so the right number
-    tracks STATE volume, not CPU count. The gate queries keep tiny state
-    (hundreds of keys), where the default 32 stores are pure overhead —
-    ~3x of each query's wall time. On a real cluster the same knob is sized
-    up with expected key cardinality ($SPARK_GRAFT_STREAM_PARTITIONS).
+    - `spark.sql.shuffle.partitions`: stateful streaming sizes its
+      state-store instances (and their per-batch load/commit cost) to the
+      shuffle-partition count, so the right number tracks STATE volume, not
+      CPU count. The gate queries keep tiny state (hundreds of keys), where
+      the default 32 stores are pure overhead — ~3x of each query's wall
+      time. On a real cluster the same knob is sized up with expected key
+      cardinality ($SPARK_GRAFT_STREAM_PARTITIONS).
+    - state-store provider: RocksDB by default ($SPARK_GRAFT_STATE_STORE=
+      hdfs to fall back). The default HDFS-backed store keeps every
+      versioned key in JVM heap — at 100 TB/day state (dedup horizons,
+      stream-stream join buffers) that OOMs; RocksDB spills to local SSD
+      and bounds heap. Results are provider-independent (the s-family gate
+      queries prove bit-equality; see tests/test_streaming_rocksdb.py).
     """
     env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
     n = int(env) if env else (n or 4)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    want_rocks = os.environ.get("SPARK_GRAFT_STATE_STORE", "rocksdb") \
+        .lower() != "hdfs"
     before = spark.conf.get("spark.sql.shuffle.partitions")
+    before_provider = spark.conf.get(provider_key, None)
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    if want_rocks:
+        spark.conf.set(provider_key, _ROCKSDB_PROVIDER)
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+        if want_rocks:
+            if before_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, before_provider)
 
 
 def ensure_session_confs(spark: SparkSession) -> None:
