@@ -6,6 +6,11 @@ order-insensitive value hash (columns sorted by name, rows sorted, values
 stringified with repr-level precision).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+
+Env: SPARK_GRAFT_ORACLE_JSON=<path> — also write a machine-readable result
+file ({"sf_dir", "n_pass", "n_rows_only", "failures", "queries": {name:
+{"status", "rows"}}}), the per-round full-surface artifact the judge reads
+(VERDICT r2 item 2).
 """
 
 from __future__ import annotations
@@ -51,6 +56,12 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
+
+    def record(name, status, rows=None, detail=None):
+        results[name] = {"status": status, "rows": rows}
+        if detail:
+            results[name]["detail"] = detail
     for name, builder in qs.items():
         if only and name not in only:
             continue
@@ -60,9 +71,11 @@ def main() -> int:
             srows = canon([tuple(r[c] for c in scols) for r in sdf.collect()])
         except Exception as exc:
             failures.append(name)
+            record(name, "fail", detail=f"spark error: {exc}")
             print(f"FAIL  {name}: spark error: {exc}")
             continue
         if name not in oracles:
+            record(name, "rows_only", len(srows))
             print(f"ok?   {name}: rows={len(srows)} (no oracle — rows-only)")
             continue
         try:
@@ -71,6 +84,7 @@ def main() -> int:
             drows_raw = cur.fetchall()
         except Exception as exc:
             failures.append(name)
+            record(name, "fail", detail=f"duckdb error: {exc}")
             print(f"FAIL  {name}: duckdb error: {exc}")
             continue
         dorder = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
@@ -78,20 +92,39 @@ def main() -> int:
         drows = canon([tuple(row[i] for i in dorder) for row in drows_raw])
         if scols != dcols:
             failures.append(name)
+            record(name, "fail", detail=f"columns spark={scols} duck={dcols}")
             print(f"FAIL  {name}: columns differ\n  spark={scols}\n  duck ={dcols}")
             continue
         if len(srows) != len(drows):
             failures.append(name)
+            record(name, "fail", detail=f"rowcount spark={len(srows)} duck={len(drows)}")
             print(f"FAIL  {name}: rowcount spark={len(srows)} duck={len(drows)}")
             continue
         if srows != drows:
             failures.append(name)
             diff = [(a, b) for a, b in zip(srows, drows) if a != b][:3]
+            record(name, "fail", detail=f"value mismatch: {diff}")
             print(f"FAIL  {name}: value mismatch, first diffs: {diff}")
             continue
+        record(name, "pass", len(srows))
         print(f"PASS  {name}: rows={len(srows)}")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    out_path = os.environ.get("SPARK_GRAFT_ORACLE_JSON")
+    if out_path:
+        import json
+        summary = {
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "n_pass": sum(1 for r in results.values() if r["status"] == "pass"),
+            "n_rows_only": sum(1 for r in results.values()
+                               if r["status"] == "rows_only"),
+            "failures": failures,
+            "queries": results,
+        }
+        with open(out_path, "w") as fh:
+            json.dump(summary, fh, indent=1, sort_keys=True)
+        print(f"wrote {out_path}")
     spark.stop()
     return 1 if failures else 0
 
