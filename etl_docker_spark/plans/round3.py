@@ -1,0 +1,234 @@
+"""Round-3 queries: approximate-accuracy family with in-query tolerance
+gates, mergeable-sketch shard unification, and the row-level quarantine
+path under the oracle gate (VERDICT r2 items 5, 6, 8).
+
+Tolerance-gate pattern: an approximate operator can't hash-match an exact
+oracle, but the BOUND on its error can. The Spark side computes both the
+estimate and the exact answer and surfaces `<bound holds>` as a boolean
+column; the oracle computes the exact answer and emits literal TRUE. The
+value-hash then passes iff the estimator honored its published error bound
+on this corpus — a stronger statement than rows-only, with no tolerance
+logic hidden in the harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_docker_spark.plans._util import dsum, t
+
+# ---------------------------------------------------------------- q58
+
+_Q58_RSD = 0.01      # requested HLL++ relative standard deviation
+_Q58_TOL = 0.05      # gate: |est - exact| / exact <= 5σ equivalent
+
+
+def q58_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct (HLL++) vs exact, gated on relative error.
+
+    One pass computes both: the exact distinct (shuffle of distinct
+    (event_type, user_id) pairs) and the HLL register merge (constant
+    state per group — the 100 TB path, where the exact twin would be the
+    bottleneck and exists here only as the gate's measuring stick).
+    """
+    ev = t(spark, sf, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=_Q58_RSD).alias("apx"))
+    return agg.select(
+        "event_type", "exact_users",
+        (F.abs(F.col("apx") - F.col("exact_users"))
+         <= F.lit(_Q58_TOL) * F.col("exact_users")).alias("within_tol"))
+
+
+Q58_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_tol
+FROM events GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------- q59
+
+_Q59_QS = (0.5, 0.9, 0.99)
+_Q59_ACCURACY = 10000   # GK sketch: rank error <= n / accuracy
+_Q59_DELTA = 0.005      # gate: observed rank within q +/- 0.5%
+
+
+def q59_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna) vs exact rank bounds.
+
+    The estimate must be a data value whose rank falls within
+    (q ± delta)·n; the exact bound values come from a row_number sort.
+    At scale only the sketch side survives (constant memory per group);
+    the exact sort is the gate's yardstick.
+    """
+    ev = t(spark, sf, "events").select("event_type", "value")
+    n = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    apx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", list(_Q59_QS), _Q59_ACCURACY)
+        .alias("apx"))
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = (ev.withColumn("rn", F.row_number().over(w))
+              .join(F.broadcast(n), "event_type"))
+    bound_aggs = []
+    for i, q in enumerate(_Q59_QS):
+        lo_rank = F.greatest(
+            F.floor(F.lit(q - _Q59_DELTA) * F.col("n")), F.lit(1))
+        hi_rank = F.least(
+            F.ceil(F.lit(q + _Q59_DELTA) * F.col("n")), F.col("n"))
+        bound_aggs.append(F.max(F.when(F.col("rn") == lo_rank,
+                                       F.col("value"))).alias(f"lo{i}"))
+        bound_aggs.append(F.max(F.when(F.col("rn") == hi_rank,
+                                       F.col("value"))).alias(f"hi{i}"))
+    bounds = ranked.groupBy("event_type").agg(*bound_aggs)
+    joined = n.join(apx, "event_type").join(bounds, "event_type")
+    oks = [((F.col("apx")[i] >= F.col(f"lo{i}"))
+            & (F.col("apx")[i] <= F.col(f"hi{i}")))
+           .alias(f"p{int(q * 100)}_ok")
+           for i, q in enumerate(_Q59_QS)]
+    return joined.select("event_type", "n", *oks)
+
+
+Q59_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM events GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------- d36
+
+_D36_K = 64
+_D36_SHARDS = 16
+_D36_RANGE = float(1 << 32)
+
+
+def d36_sketch_shard_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV sketch union across shards == sketch of the union (per lang).
+
+    The mergeability property that makes sketches the 100 TB answer:
+    each shard (here pmod(h, 16) — in production, each partition/day/
+    datacenter) keeps only its k smallest hashes; the k smallest of the
+    union of those k-sets is EXACTLY the k smallest of the full corpus,
+    so a tree of unions over shard sketches reproduces the global
+    estimate bit-for-bit without ever re-touching raw data. The query
+    computes both paths and surfaces their equality; the estimate itself
+    is deterministic (shared md5 hash), so the oracle recomputes it.
+    """
+    du = (t(spark, sf, "documents")
+          .select("lang",
+                  F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+                  .cast("long").alias("h"))
+          .distinct())
+    sharded = du.withColumn("shard", F.pmod("h", F.lit(_D36_SHARDS)))
+    w_shard = Window.partitionBy("lang", "shard").orderBy("h")
+    survivors = (sharded.withColumn("rn", F.row_number().over(w_shard))
+                 .filter(F.col("rn") <= _D36_K).drop("rn", "shard"))
+    w_lang = Window.partitionBy("lang").orderBy("h")
+    merged = (survivors.withColumn("rn", F.row_number().over(w_lang))
+              .groupBy("lang")
+              .agg(F.max(F.when(F.col("rn") == _D36_K, F.col("h")))
+                   .alias("hk_merged")))
+    global_ = (du.withColumn("rn", F.row_number().over(w_lang))
+               .groupBy("lang")
+               .agg(F.max(F.when(F.col("rn") == _D36_K, F.col("h")))
+                    .alias("hk_global"),
+                    F.count("*").cast("long").alias("exact_distinct")))
+    est = (F.when(F.col("exact_distinct") < _D36_K,
+                  F.col("exact_distinct").cast("double"))
+           .otherwise(F.lit(float(_D36_K - 1) * _D36_RANGE)
+                      / F.col("hk_global")))
+    return (global_.join(merged, "lang", "left")
+            .select("lang", "exact_distinct",
+                    est.alias("est_distinct"),
+                    ((F.col("exact_distinct") < _D36_K)
+                     | (F.col("hk_merged") == F.col("hk_global")))
+                    .alias("merge_matches_global")))
+
+
+D36_SQL = f"""
+WITH du AS (
+  SELECT DISTINCT lang,
+         CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) AS h
+  FROM documents
+),
+r AS (
+  SELECT lang, h,
+         row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+  FROM du
+),
+g AS (
+  SELECT lang,
+         MAX(CASE WHEN rn = {_D36_K} THEN h END) AS hk,
+         CAST(COUNT(*) AS BIGINT) AS exact_distinct
+  FROM r GROUP BY lang
+)
+SELECT lang, exact_distinct,
+       CASE WHEN exact_distinct < {_D36_K}
+            THEN CAST(exact_distinct AS DOUBLE)
+            ELSE {float(_D36_K - 1) * _D36_RANGE} / hk
+       END AS est_distinct,
+       TRUE AS merge_matches_global
+FROM g
+"""
+
+# ---------------------------------------------------------------- q60
+
+
+def q60_quarantine_routing(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level quarantine under the gate (K7/K8 as a running query).
+
+    Malformed rows (business rule: error events, or payload k out of
+    range) are routed to a quarantine parquet dir by
+    sinks.writers.route_rows_to_quarantine; the clean side aggregates
+    per type and carries the quarantine count READ BACK FROM DISK — so
+    equality with the filter-twin oracle proves the router dropped
+    nothing, duplicated nothing, and persisted every bad row.
+    """
+    import shutil
+    import tempfile
+
+    from etl_docker_spark.sinks.writers import route_rows_to_quarantine
+
+    ev = t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    valid = (F.col("event_type") != "error") & (k <= 90)
+    work = tempfile.mkdtemp(prefix="q60_")
+    try:
+        clean = route_rows_to_quarantine(
+            ev, valid, f"{work}/quarantine", log_path=f"{work}/audit",
+            load_table="events")
+        n_quarantined = spark.read.parquet(f"{work}/quarantine").count()
+        out = (clean.groupBy("event_type")
+               .agg(F.count("*").alias("n_clean"),
+                    dsum("value").alias("total_value"))
+               .withColumn("n_quarantined",
+                           F.lit(n_quarantined).cast("long")))
+        return out.localCheckpoint()  # pin before the workdir is deleted
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+Q60_SQL = """
+WITH bad AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c FROM events
+  WHERE event_type = 'error'
+     OR CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+)
+SELECT event_type, COUNT(*) AS n_clean,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
+         AS total_value,
+       (SELECT c FROM bad) AS n_quarantined
+FROM events
+WHERE NOT (event_type = 'error'
+           OR CAST(json_extract_string(props, '$.k') AS BIGINT) > 90)
+GROUP BY event_type
+"""
+
+
+ROUND3 = {
+    "q58_approx_distinct": (q58_approx_distinct, Q58_SQL),
+    "q59_approx_percentile": (q59_approx_percentile, Q59_SQL),
+    "d36_sketch_shard_merge": (d36_sketch_shard_merge, D36_SQL),
+    "q60_quarantine_routing": (q60_quarantine_routing, Q60_SQL),
+}

@@ -87,3 +87,27 @@ def write_with_quarantine(spark: SparkSession, df: DataFrame, path: str,
             pass  # quarantine itself failed; the audit row still records the error
         audit_log_entry(spark, log_path, load_table, 0, None, False, err, source_url)
         return False
+
+
+def route_rows_to_quarantine(df: DataFrame, valid, quarantine_dir: str,
+                             log_path: str | None = None,
+                             load_table: str = "unknown") -> DataFrame:
+    """K7 at ROW granularity: split `df` on the `valid` boolean column
+    expression, persist the invalid rows to a quarantine parquet dir for
+    manual replay, and return the clean frame.
+
+    The reference quarantines whole failed batches (CotyData_IPN.py:190);
+    at 100 TB one malformed row must not poison a partition-sized batch, so
+    the router is a single filter pass each way — no shuffle, predicate
+    evaluated scan-side twice (cheaper than caching the full input just to
+    split it once). An audit row records the quarantine count when
+    `log_path` is given.
+    """
+    spark = df.sparkSession
+    bad = df.filter(~valid)
+    bad.write.mode("overwrite").parquet(quarantine_dir)
+    n_bad = spark.read.parquet(quarantine_dir).count()
+    if log_path is not None:
+        audit_log_entry(spark, log_path, load_table, None, n_bad,
+                        False, f"{n_bad} rows quarantined")
+    return df.filter(valid)
