@@ -232,3 +232,102 @@ ROUND3 = {
     "d36_sketch_shard_merge": (d36_sketch_shard_merge, D36_SQL),
     "q60_quarantine_routing": (q60_quarantine_routing, Q60_SQL),
 }
+
+# ---------------------------------------------------------------- d37
+
+_D37_TRAIN_PCT, _D37_VAL_PCT = 80, 10  # remainder = test
+
+
+def d37_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test split by content-free hash bucketing.
+
+    The split a 100 TB curation pipeline actually ships: bucket =
+    md5(doc_id) % 100 -> 80/10/10. Hash-of-key (not rand()) makes the
+    assignment reproducible across runs, engines, and re-partitions, and
+    adding documents never reassigns existing ones — the properties that
+    keep eval sets uncontaminated as the corpus grows. Disjointness and
+    completeness hold by construction; the gate pins the per-(lang,
+    split) counts and char mass against the oracle's identical bucketing.
+    """
+    docs = t(spark, sf, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long")
+    bucket = F.pmod(h, F.lit(100))
+    split = (F.when(bucket < _D37_TRAIN_PCT, "train")
+             .when(bucket < _D37_TRAIN_PCT + _D37_VAL_PCT, "val")
+             .otherwise("test"))
+    return (docs.select("lang", "n_chars", split.alias("split"))
+            .groupBy("lang", "split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars")))
+
+
+D37_SQL = f"""
+WITH b AS (
+  SELECT lang, n_chars,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < {_D37_TRAIN_PCT} THEN 'train'
+            WHEN bucket < {_D37_TRAIN_PCT + _D37_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM b GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------- d38
+
+_D38_QUOTA = 50
+
+
+def d38_source_quota(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source quota sampling: keep at most K docs per source, chosen
+    by deterministic hash order (uniform without replacement, stable
+    under re-runs and corpus growth at the kept end).
+
+    The anti-domination step of corpus curation — one crawl domain must
+    not swamp the mixture. Hash-order top-K per group is a bounded
+    per-partition heap + one shuffle on source; no global sort. The
+    over-quota mass is reported, not silently dropped.
+    """
+    docs = t(spark, sf, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long")
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    ranked = (docs.select("source", "n_chars", "doc_id", h.alias("h"))
+              .withColumn("rn", F.row_number().over(w)))
+    return (ranked.groupBy("source")
+            .agg(F.sum(F.when(F.col("rn") <= _D38_QUOTA, 1).otherwise(0))
+                 .cast("long").alias("n_kept"),
+                 F.sum(F.when(F.col("rn") <= _D38_QUOTA,
+                              F.col("n_chars")).otherwise(0))
+                 .cast("long").alias("chars_kept"),
+                 F.sum(F.when(F.col("rn") > _D38_QUOTA, 1).otherwise(0))
+                 .cast("long").alias("n_dropped")))
+
+
+D38_SQL = f"""
+WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 8) AS BIGINT), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) FILTER (rn <= {_D38_QUOTA}) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(n_chars) FILTER (rn <= {_D38_QUOTA}), 0)
+            AS BIGINT) AS chars_kept,
+       CAST(COUNT(*) FILTER (rn > {_D38_QUOTA}) AS BIGINT) AS n_dropped
+FROM r GROUP BY source
+"""
+
+ROUND3.update({
+    "d37_hash_split": (d37_hash_split, D37_SQL),
+    "d38_source_quota": (d38_source_quota, D38_SQL),
+})
