@@ -331,3 +331,78 @@ ROUND3.update({
     "d37_hash_split": (d37_hash_split, D37_SQL),
     "d38_source_quota": (d38_source_quota, D38_SQL),
 })
+
+# ---------------------------------------------------------------- e16
+
+_E16_NQ = 16
+_E16_TAU = 0.20  # synthetic embeddings are near-orthogonal; 0.2 => O(100s) pairs
+
+
+def e16_range_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Radius (range) search: ALL neighbors with cosine >= tau per query,
+    routed through e05's trained IVF cells.
+
+    The other half of the ANN workload besides top-k: dedup thresholds,
+    "find everything similar enough" retrieval, where the answer size is
+    data-dependent rather than fixed at k. Cell routing bounds candidates
+    exactly as in e06/e15 (recall<1 by design — the IVF trade); within a
+    cell the threshold prunes output, not work, so the cost model is
+    candidates-per-cell — the quantity the trained quantizer balances.
+    Reuses the memoized cell assignments (index_cache): zero training
+    cost after any e05-family query has run.
+    """
+    from etl_docker_spark.llm.similarity import dot_expr, norm2_expr
+    from etl_docker_spark.plans.round2 import e05_assignments
+
+    assign = e05_assignments(spark, sf)
+    e = t(spark, sf, "embeddings").select(
+        "vec_id", "embedding", norm2_expr(F.col("embedding")).alias("n2"))
+    ea = e.join(assign, "vec_id")
+    q = (ea.filter(F.col("vec_id") < _E16_NQ)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv"),
+                 F.col("n2").alias("qn2"), "cluster"))
+    cand = (ea.join(F.broadcast(q), "cluster")
+            .filter(F.col("vec_id") != F.col("query_id")))
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        (dot_expr(F.col("qv"), F.col("embedding"))
+         / F.sqrt(F.col("qn2") * F.col("n2"))).alias("cosine"))
+    return (scored.filter(F.col("cosine") >= _E16_TAU)
+            .select("query_id", "neighbor_id",
+                    F.round("cosine", 8).alias("cosine")))
+
+
+def _e16_sql() -> str:
+    from etl_docker_spark.plans.round2 import _DOT2, _E05_BODY
+
+    return f"""
+WITH {_E05_BODY.rsplit("SELECT vec_id, cluster FROM d2", 1)[0].strip()},
+assign AS (
+  SELECT vec_id, cluster FROM d2
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+),
+emb AS (
+  SELECT vec_id, embedding,
+         {_DOT2.format(a='embedding', b='embedding')} AS n2
+  FROM embeddings
+),
+ea AS (SELECT emb.*, assign.cluster FROM emb JOIN assign USING (vec_id)),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, n2 AS qn2, cluster
+  FROM ea WHERE vec_id < {_E16_NQ}
+),
+scored AS (
+  SELECT q.query_id, ea.vec_id AS neighbor_id,
+         {_DOT2.format(a='q.qv', b='ea.embedding')}
+           / sqrt(q.qn2 * ea.n2) AS cos_raw
+  FROM ea JOIN q ON ea.cluster = q.cluster AND ea.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, round(cos_raw, 8) AS cosine
+FROM scored WHERE cos_raw >= {_E16_TAU}
+"""
+
+
+ROUND3.update({
+    "e16_range_search": (e16_range_search, _e16_sql()),
+})
