@@ -27,14 +27,18 @@ _Q58_TOL = 0.05      # gate: |est - exact| / exact <= 5σ equivalent
 def q58_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """approx_count_distinct (HLL++) vs exact, gated on relative error.
 
-    One pass computes both: the exact distinct (shuffle of distinct
-    (event_type, user_id) pairs) and the HLL register merge (constant
-    state per group — the 100 TB path, where the exact twin would be the
-    bottleneck and exists here only as the gate's measuring stick).
+    Both sides run over the pre-deduped (event_type, user_id) pairs:
+    HLL is duplicate-insensitive, so its estimate is bit-identical on
+    distinct input, while the exact count becomes a plain count — one
+    map-side-combined dedup shuffle instead of the Expand-doubled
+    multi-distinct rewrite (2.3 s -> 1.0 s at sf0.1). At 100 TB only the
+    HLL side survives (constant register state per group); the exact twin
+    is the gate's measuring stick.
     """
     ev = t(spark, sf, "events")
-    agg = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").cast("long").alias("exact_users"),
+    du = ev.select("event_type", "user_id").distinct()
+    agg = du.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("exact_users"),
         F.approx_count_distinct("user_id", rsd=_Q58_RSD).alias("apx"))
     return agg.select(
         "event_type", "exact_users",
