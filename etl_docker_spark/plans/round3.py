@@ -410,3 +410,104 @@ FROM scored WHERE cos_raw >= {_E16_TAU}
 ROUND3.update({
     "e16_range_search": (e16_range_search, _e16_sql()),
 })
+
+# ---------------------------------------------------------------- d39
+
+_D39_STEPS = 2
+
+
+def d39_bpe_per_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language BPE training, first 2 merge steps — d30's loop with
+    the winner chosen PER LANG each step (multilingual tokenizer reality:
+    vocabularies diverge per language, and training them together in one
+    pass is one corpus scan + per-lang broadcast merges, not one job per
+    language).
+
+    Scale shape mirrors d30: the corpus collapses to (lang, word type)
+    first; each step aggregates pairs off types only and applies each
+    lang's single winning merge via a broadcast join on lang.
+    """
+    docs = t(spark, sf, "documents")
+    wf = (docs
+          .select("lang", F.explode(F.split("text", " ")).alias("w"))
+          .filter(F.length("w") >= 2)
+          .groupBy("lang", "w").agg(F.count("*").alias("f"))
+          .select("lang",
+                  F.concat(F.lit(" "),
+                           F.regexp_replace("w", "(.)", "$1 ")).alias("sp"),
+                  "f")
+          .localCheckpoint())
+    steps: list[DataFrame] = []
+    cur = wf
+    for step in range(1, _D39_STEPS + 1):
+        syms = F.split(F.trim(F.col("sp")), " ")
+        prs = (cur.filter(F.size(syms) >= 2)
+               .select("lang", "f", F.explode(F.transform(
+                   F.sequence(F.lit(1), F.size(syms) - 1),
+                   lambda i: F.struct(
+                       F.element_at(syms, i).alias("p1"),
+                       F.element_at(syms, i + 1).alias("p2"))))
+                   .alias("pr"))
+               .select("lang", F.col("pr.p1").alias("p1"),
+                       F.col("pr.p2").alias("p2"), "f"))
+        agg = prs.groupBy("lang", "p1", "p2").agg(
+            F.sum("f").alias("pair_count"))
+        top = (agg.withColumn("rn", F.row_number().over(
+            Window.partitionBy("lang")
+            .orderBy(F.desc("pair_count"), F.asc("p1"), F.asc("p2"))))
+            .filter(F.col("rn") == 1)
+            .select("lang", F.lit(step).cast("long").alias("step"),
+                    "p1", "p2", "pair_count"))
+        steps.append(top)
+        cur = (cur.join(F.broadcast(top.select("lang", "p1", "p2")), "lang")
+               .select("lang", F.replace(
+                   F.col("sp"),
+                   F.concat(F.lit(" "), F.col("p1"), F.lit(" "),
+                            F.col("p2"), F.lit(" ")),
+                   F.concat(F.lit(" "), F.col("p1"), F.col("p2"),
+                            F.lit(" "))).alias("sp"), "f"))
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def _d39_sql() -> str:
+    parts = ["""
+WITH wf0 AS (
+  SELECT lang, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sp, f
+  FROM (SELECT lang, w, COUNT(*) AS f
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE length(w) >= 2 GROUP BY lang, w)
+)"""]
+    for i in range(1, _D39_STEPS + 1):
+        parts.append(f""",
+pc{i} AS (
+  SELECT lang, t.sy[i] AS p1, t.sy[i + 1] AS p2, SUM(f) AS pair_count
+  FROM (SELECT lang, string_split(trim(sp), ' ') AS sy, f FROM wf{i - 1}) t,
+       LATERAL (SELECT unnest(generate_series(1, len(t.sy) - 1)) AS i)
+  WHERE len(t.sy) >= 2
+  GROUP BY 1, 2, 3
+),
+t{i} AS (
+  SELECT lang, CAST({i} AS BIGINT) AS step, p1, p2, pair_count FROM pc{i}
+  QUALIFY row_number() OVER (PARTITION BY lang
+                             ORDER BY pair_count DESC, p1, p2) = 1
+),
+wf{i} AS (
+  SELECT w.lang,
+         replace(w.sp, ' ' || t.p1 || ' ' || t.p2 || ' ',
+                 ' ' || t.p1 || t.p2 || ' ') AS sp, w.f
+  FROM wf{i - 1} w JOIN t{i} t USING (lang)
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT lang, step, p1, p2, pair_count FROM t{i}"
+        for i in range(1, _D39_STEPS + 1))
+    parts.append(f"\n{union}")
+    return "".join(parts)
+
+
+ROUND3.update({
+    "d39_bpe_per_lang": (d39_bpe_per_lang, _d39_sql()),
+})
