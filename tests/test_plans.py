@@ -177,3 +177,21 @@ def test_registry_complete_and_oracle_backed(spark):
         "g01", "g02", "g03",
     }
     assert {n.split("_")[0] for n in qs} == expected
+
+
+def test_q42_q58_no_expand(spark):
+    """Regression pin for the multi-distinct Expand removal: both queries
+    pre-aggregate to the distinct key grain, so Catalyst must not plan an
+    Expand node (which would duplicate every fact row per distinct set)."""
+    for name in ("q42_sole_late_supplier", "q58_approx_distinct"):
+        plan = formatted_plan(spark, name)
+        assert "Expand" not in tree_ops(plan), name
+
+
+def test_d37_d38_prune_documents_scan(spark):
+    """The curation queries never need the text column — the documents
+    scan must not read it (at 100 TB text IS the table)."""
+    for name in ("d37_hash_split", "d38_source_quota"):
+        plan = formatted_plan(spark, name)
+        for s in scan_read_schemas(plan):
+            assert "text" not in s, (name, s)
