@@ -20,6 +20,7 @@ skips them for metadata-only queries.
 from __future__ import annotations
 
 import hashlib
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -122,3 +123,69 @@ def resize_plan(media: DataFrame, max_side: int = 512) -> DataFrame:
         F.round(w * scale).cast("int").alias("target_width"),
         F.round(h * scale).cast("int").alias("target_height"),
     )
+
+
+FRAME_FP_SCHEMA = "media_id long, frame_ms long, fp string"
+
+
+def fingerprint_frames(frames: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Per-frame perceptual fingerprints over Arrow batches.
+
+    Input rows are (media_id, frame_ms, checksum) — the decode-once shape:
+    a real pipeline decodes each video ONCE (extract_features carries that
+    pass), then fingerprints frames from the decoded state; shipping the
+    raw bytes to every frame row would multiply the shuffle by the frame
+    count. decoder="real" is the pHash/frame-embedding hook; the fake is
+    a deterministic md5 of (checksum, frame_ms), so the full distributed
+    path is oracle-verifiable value-for-value.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "real frame decoders (pyav + pHash) are not available in this "
+            "container; use decoder='fake' — the plumbing is identical")
+    if decoder != "fake":
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "frame_ms": pdf["frame_ms"],
+                "fp": [hashlib.md5(f"{c}:{m}".encode()).hexdigest()
+                       for c, m in zip(pdf["checksum"], pdf["frame_ms"])],
+            })
+
+    return frames.mapInPandas(run, schema=FRAME_FP_SCHEMA)
+
+
+_CONTAINER_PAD = re.compile(rb"#PAD\d*$")
+
+
+def _demux(b: bytes | None) -> bytes:
+    return _CONTAINER_PAD.sub(b"", b or b"")
+
+
+def strip_container(media: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Container demux: (media_id, content) -> canonical STREAM bytes.
+
+    The same encoded stream ships in different containers (mp4 vs mkv,
+    varying trailer padding), so byte-level hashing misses re-encoded
+    copies; dedup must key on the demuxed stream. decoder="real" is the
+    pyav demux hook; the fake strips a trailing '#PAD<n>' marker so tests
+    and oracles can construct byte-distinct copies of one stream.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "real demuxers (pyav) are not available in this container; "
+            "use decoder='fake' — the plumbing is identical")
+    if decoder != "fake":
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": pdf["content"].map(_demux),
+            })
+
+    return media.mapInPandas(run, schema="media_id long, content binary")

@@ -511,3 +511,102 @@ wf{i} AS (
 ROUND3.update({
     "d39_bpe_per_lang": (d39_bpe_per_lang, _d39_sql()),
 })
+
+# ---------------------------------------------------------------- d40
+
+
+def d40_video_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Re-encoded-copy video dedup via decode-invariant frame signatures —
+    the multimodal dedup a byte hash CANNOT do, through the real
+    distributed decode path (three chained Arrow mapInPandas stages:
+    demux -> decode -> per-frame fingerprint).
+
+    Every document yields two byte-DISTINCT "videos": the original and a
+    re-containered copy (same stream, different trailer padding —
+    strip_container's fake demux models the mp4-vs-mkv case). Dedup keys
+    on the demuxed stream: decode once per video (extract_features ->
+    stream checksum), sample frame offsets (duration is stream-derived),
+    fingerprint each frame from the decoded state, and collapse each
+    video to the md5 of its ordered fingerprint sequence. Exactly the
+    original+copy pairs must collide: the gate pins one group per
+    document, n_videos = 2, canonical = the original id.
+
+    Scale: content bytes are touched by the demux/decode stages only and
+    never joined onto frame rows; everything downstream is (id, long,
+    32-char string) columns.
+    """
+    from etl_docker_spark.llm.multimodal import (extract_features,
+                                                 fingerprint_frames,
+                                                 sample_frames,
+                                                 strip_container)
+
+    docs = t(spark, sf, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    original = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"))
+    reenc = docs.select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("media_id"),
+        F.concat(F.encode("text", "UTF-8"),
+                 F.encode(F.lit("#PAD7"), "UTF-8")).alias("content"))
+    media = original.unionByName(reenc)
+    stream = strip_container(media)
+    feats = extract_features(stream).select("media_id", "checksum")
+    planned = feats.select(
+        "media_id", "checksum",
+        F.struct(
+            F.lit("video").alias("kind"),
+            F.lit("video/fake").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.pmod("checksum", F.lit(5000)).cast("long").alias("duration_ms"),
+        ).alias("meta"))
+    frames = (sample_frames(planned, every_ms=1000)
+              .join(planned.select("media_id", "checksum"), "media_id"))
+    fps = fingerprint_frames(frames)
+    sigs = (fps.groupBy("media_id")
+            .agg(F.md5(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("frame_ms", "fp"))),
+                    lambda x: x.fp), ""))
+                .alias("signature")))
+    return (sigs.groupBy("signature")
+            .agg(F.count("*").cast("long").alias("n_videos"),
+                 F.min("media_id").alias("canonical_id"))
+            .filter(F.col("n_videos") > 1))
+
+
+D40_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) AS cs
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000 AS media_id,
+         CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) AS cs
+  FROM documents
+),
+fr AS (
+  SELECT media_id, cs,
+         unnest(generate_series(0, cs % 5000, 1000)) AS frame_ms
+  FROM m
+),
+fp AS (
+  SELECT media_id, frame_ms,
+         md5(CAST(cs AS VARCHAR) || ':' || CAST(frame_ms AS VARCHAR)) AS fp
+  FROM fr
+),
+sig AS (
+  SELECT media_id, md5(string_agg(fp, '' ORDER BY frame_ms)) AS signature
+  FROM fp GROUP BY media_id
+)
+SELECT signature, CAST(COUNT(*) AS BIGINT) AS n_videos,
+       MIN(media_id) AS canonical_id
+FROM sig GROUP BY signature HAVING COUNT(*) > 1
+"""
+
+ROUND3.update({
+    "d40_video_near_dup": (d40_video_near_dup, D40_SQL),
+})

@@ -50,3 +50,20 @@ def test_resize_plan(spark, media):
     assert (out[1].target_width, out[1].target_height) == (512, 384)
     assert (out[3].target_width, out[3].target_height) == (512, 288)
     assert (out[4].target_width, out[4].target_height) == (100, 100)  # untouched
+
+
+def test_strip_container_normalizes_reencodes(spark):
+    """Demux removes container framing so byte-distinct re-encodes of one
+    stream checksum identically; untouched payloads pass through."""
+    from etl_docker_spark.llm.multimodal import extract_features, strip_container
+
+    rows = [(1, b"streambytes"), (2, b"streambytes#PAD42"),
+            (3, b"other"), (4, b"mid#PAD7marker#PAD")]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    feats = {r["media_id"]: r["checksum"]
+             for r in extract_features(strip_container(media)).collect()}
+    assert feats[1] == feats[2]          # re-encode collapses
+    assert feats[1] != feats[3]
+    # only a TRAILING marker is container framing; interior bytes survive
+    from etl_docker_spark.llm.multimodal import _checksum
+    assert feats[4] == _checksum(b"mid#PAD7marker")
