@@ -610,3 +610,74 @@ FROM sig GROUP BY signature HAVING COUNT(*) > 1
 ROUND3.update({
     "d40_video_near_dup": (d40_video_near_dup, D40_SQL),
 })
+
+# ---------------------------------------------------------------- e17
+
+_E17_CAP = 60  # between the gate corpus's coldest (52) and hottest (74)
+               # cluster occupancy: BOTH branches engage under the gate
+
+
+def e17_cell_rebalance(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF index maintenance: split hot cells so no serving cell exceeds
+    the occupancy cap — the rebalance pass a trained quantizer needs as
+    the corpus drifts (cells fill unevenly; serving cost per query is the
+    occupancy of the probed cell).
+
+    Hot clusters (> cap) sub-bucket on the floor grid of dim 1; cold
+    clusters keep their identity (sub = NULL), so the index rewrite
+    touches only hot-cell rows. One narrow occupancy rollup decides
+    hotness; the assignment update is a broadcast of the hot-id set.
+    Unlike the d33 cap (which must NOT engage on gate corpora), the
+    split here IS the query — the cap sits below the gate corpus's
+    hottest cluster so the gate exercises both branches. Output: final
+    serving cells with occupancy, split provenance, and the per-cell
+    bound check.
+    """
+    from etl_docker_spark.llm.similarity import bucket_expr
+    from etl_docker_spark.plans.round2 import e05_assignments
+
+    assign = e05_assignments(spark, sf)
+    occ = assign.groupBy("cluster").agg(F.count("*").alias("occ"))
+    hot = occ.filter(F.col("occ") > _E17_CAP).select("cluster")
+    emb = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    ea = (assign.join(emb, "vec_id")
+          .join(F.broadcast(hot.withColumn("is_hot", F.lit(True))),
+                "cluster", "left"))
+    cells = ea.select(
+        "cluster",
+        F.when(F.col("is_hot"),
+               bucket_expr(F.col("embedding"), 1)).alias("sub_bucket"))
+    return (cells.groupBy("cluster", "sub_bucket")
+            .agg(F.count("*").cast("long").alias("n_vectors"))
+            .select("cluster", "sub_bucket", "n_vectors",
+                    F.col("sub_bucket").isNotNull().alias("was_split")))
+
+
+def _e17_sql() -> str:
+    from etl_docker_spark.plans.round2 import _E05_BODY
+
+    return f"""
+WITH {_E05_BODY.rsplit("SELECT vec_id, cluster FROM d2", 1)[0].strip()},
+assign AS (
+  SELECT vec_id, cluster FROM d2
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+),
+occ AS (SELECT cluster, COUNT(*) AS occ FROM assign GROUP BY cluster),
+cells AS (
+  SELECT a.cluster,
+         CASE WHEN o.occ > {_E17_CAP}
+              THEN CAST(floor(CAST(e.embedding[1] AS DOUBLE) * 4) AS BIGINT)
+         END AS sub_bucket
+  FROM assign a
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN occ o ON o.cluster = a.cluster
+)
+SELECT cluster, sub_bucket, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       sub_bucket IS NOT NULL AS was_split
+FROM cells GROUP BY cluster, sub_bucket
+"""
+
+
+ROUND3.update({
+    "e17_cell_rebalance": (e17_cell_rebalance, _e17_sql()),
+})
