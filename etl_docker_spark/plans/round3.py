@@ -681,3 +681,69 @@ FROM cells GROUP BY cluster, sub_bucket
 ROUND3.update({
     "e17_cell_rebalance": (e17_cell_rebalance, _e17_sql()),
 })
+
+# ---------------------------------------------------------------- d41
+
+
+def d41_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus snapshot diff: crawl N vs N-1 classified per document as
+    added / removed / changed / unchanged, rolled up per lang — the
+    primitive that makes every downstream pass incremental (re-embed,
+    re-dedup, re-score only the changed slice instead of 100 TB).
+
+    Snapshots derive deterministically from one table: v1 drops
+    doc_id%10==0, v2 drops %10==1 and revises the text of %10==2. The
+    diff is a digest-based full outer join on doc_id — digests (16
+    bytes), never text, are what shuffles; at scale both sides are
+    digest manifests, the cheapest possible representation of "what
+    changed".
+    """
+    docs = t(spark, sf, "documents").select(
+        "doc_id", "lang", F.md5("text").alias("digest"))
+    v1 = docs.filter(F.pmod("doc_id", F.lit(10)) != 0)
+    v2 = (docs.filter(F.pmod("doc_id", F.lit(10)) != 1)
+          .withColumn("digest",
+                      F.when(F.pmod("doc_id", F.lit(10)) == 2,
+                             F.md5(F.concat(F.col("digest"),
+                                            F.lit(":rev2"))))
+                      .otherwise(F.col("digest"))))
+    j = (v1.select("doc_id", "lang", F.col("digest").alias("d1"))
+         .join(v2.select("doc_id", "lang", F.col("digest").alias("d2")),
+               ["doc_id", "lang"], "full_outer"))
+    status = (F.when(F.col("d1").isNull(), "added")
+              .when(F.col("d2").isNull(), "removed")
+              .when(F.col("d1") != F.col("d2"), "changed")
+              .otherwise("unchanged"))
+    return (j.select("lang", status.alias("status"))
+            .groupBy("lang", "status")
+            .agg(F.count("*").alias("n_docs")))
+
+
+D41_SQL = """
+WITH d AS (
+  SELECT doc_id, lang, md5(text) AS digest FROM documents
+),
+v1 AS (SELECT * FROM d WHERE doc_id % 10 <> 0),
+v2 AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 10 = 2 THEN md5(digest || ':rev2')
+              ELSE digest END AS digest
+  FROM d WHERE doc_id % 10 <> 1
+),
+j AS (
+  SELECT COALESCE(v1.lang, v2.lang) AS lang, v1.digest AS d1,
+         v2.digest AS d2
+  FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+)
+SELECT lang,
+       CASE WHEN d1 IS NULL THEN 'added'
+            WHEN d2 IS NULL THEN 'removed'
+            WHEN d1 <> d2 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       COUNT(*) AS n_docs
+FROM j GROUP BY 1, 2
+"""
+
+ROUND3.update({
+    "d41_snapshot_diff": (d41_snapshot_diff, D41_SQL),
+})
