@@ -97,3 +97,49 @@ def test_merge_upsert_idempotent(spark, rows):
     once = merge_upsert(target, updates, ["k"], order_by=[F.desc("ver"), F.desc("v")])
     twice = merge_upsert(once, updates, ["k"], order_by=[F.desc("ver"), F.desc("v")])
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@SETTINGS
+@given(ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=60,
+                    unique=True),
+       mod=st.integers(2, 9))
+def test_quarantine_router_partitions_input(spark, tmp_path_factory, ids, mod):
+    """route_rows_to_quarantine is a PARTITION of its input for any rule:
+    clean ∪ quarantined == input, clean ∩ quarantined == ∅."""
+    from etl_docker_spark.sinks.writers import route_rows_to_quarantine
+
+    qdir = str(tmp_path_factory.mktemp("quar"))
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    clean = route_rows_to_quarantine(
+        df, F.pmod("id", F.lit(mod)) != 0, qdir)
+    got_clean = {r["id"] for r in clean.collect()}
+    got_bad = {r["id"] for r in spark.read.parquet(qdir).collect()}
+    assert got_clean | got_bad == set(ids)
+    assert got_clean & got_bad == set()
+    assert got_bad == {i for i in ids if i % mod == 0}
+
+
+@SETTINGS
+@given(ids=st.lists(st.integers(0, 100_000), min_size=1, max_size=80,
+                    unique=True))
+def test_hash_split_is_stable_under_growth(spark, ids):
+    """d37's property: a document's split assignment depends only on its
+    own id — adding documents never reassigns existing ones (eval-set
+    stability), and the three splits partition the corpus."""
+    from pyspark.sql import functions as F2
+
+    h = F2.conv(F2.substring(F2.md5(F2.col("doc_id").cast("string")), 1, 8),
+                16, 10).cast("long")
+    bucket = F2.pmod(h, F2.lit(100))
+    split = (F2.when(bucket < 80, "train")
+             .when(bucket < 90, "val").otherwise("test"))
+
+    def assign(subset):
+        df = spark.createDataFrame([(i,) for i in subset], "doc_id long")
+        return {r["doc_id"]: r["s"]
+                for r in df.select("doc_id", split.alias("s")).collect()}
+
+    full = assign(ids)
+    half = assign(ids[: max(1, len(ids) // 2)])
+    assert all(full[k] == v for k, v in half.items())
+    assert set(full.values()) <= {"train", "val", "test"}
