@@ -747,3 +747,72 @@ FROM j GROUP BY 1, 2
 ROUND3.update({
     "d41_snapshot_diff": (d41_snapshot_diff, D41_SQL),
 })
+
+# ---------------------------------------------------------------- q61
+
+
+def q61_jsonl_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """File-based JSONL ingestion with bad-record quarantine under the
+    gate (sources/files.py): events serialize to JSON lines — rows with
+    event_id % 37 == 0 deliberately truncated mid-object — land in a drop
+    dir, and ONE permissive scan splits parsed rows from corrupt lines.
+    Clean rows aggregate per type; the corrupt count rides every row.
+    Equality with the filter-twin oracle proves the scan parsed every
+    good line, rejected every bad one, and lost nothing.
+
+    Amounts travel as integer micros (pre-serialization round), so no
+    double makes a text round-trip.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from etl_docker_spark.sources.files import read_jsonl_with_quarantine
+
+    ev = t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("micros"))
+    payload = F.to_json(F.struct("event_id", "user_id", "event_type",
+                                 "micros"))
+    line = F.when(F.pmod("event_id", F.lit(37)) == 0,
+                  F.concat(F.lit('{"event_id":'),
+                           F.col("event_id").cast("string"))
+                  ).otherwise(payload)
+    work = tempfile.mkdtemp(prefix="q61_")
+    try:
+        ev.select(line.alias("value")).write.mode("overwrite").text(work)
+        schema = T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("micros", T.LongType()),
+        ])
+        clean, corrupt = read_jsonl_with_quarantine(spark, work, schema)
+        n_corrupt = corrupt.count()
+        out = (clean.groupBy("event_type")
+               .agg(F.count("*").alias("n_events"),
+                    F.sum("micros").alias("sum_micros"),
+                    F.countDistinct("user_id").cast("long")
+                    .alias("n_users"))
+               .withColumn("n_corrupt", F.lit(n_corrupt).cast("long")))
+        return out.localCheckpoint()  # pin before the drop dir is deleted
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+Q61_SQL = """
+WITH bad AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c FROM events WHERE event_id % 37 = 0
+)
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CAST(round(value * 100, 0) AS BIGINT)) AS sum_micros,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       (SELECT c FROM bad) AS n_corrupt
+FROM events WHERE event_id % 37 <> 0
+GROUP BY event_type
+"""
+
+ROUND3.update({
+    "q61_jsonl_ingest": (q61_jsonl_ingest, Q61_SQL),
+})

@@ -215,3 +215,47 @@ def test_catalog_round_trips_through_paginated_read(spark, name):
     assert df.schema == schema
     rows = df.collect()
     assert len(rows) == 6
+
+
+def test_csv_read_with_quarantine(spark, tmp_path):
+    """PERMISSIVE CSV ingest: typed rows parse, malformed lines (bad type
+    / wrong arity) land verbatim in the corrupt frame; nothing is lost."""
+    from pyspark.sql import types as T
+
+    from etl_docker_spark.sources.files import read_csv_with_quarantine
+
+    p = tmp_path / "drop"
+    p.mkdir()
+    (p / "a.csv").write_text(
+        "id,name,amount\n"
+        "1,alpha,10.5\n"
+        "2,beta,not_a_number\n"
+        "3,gamma,7.25\n")
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("amount", T.DoubleType()),
+    ])
+    clean, corrupt = read_csv_with_quarantine(spark, str(p), schema)
+    assert sorted(map(tuple, clean.collect())) == [
+        (1, "alpha", 10.5), (3, "gamma", 7.25)]
+    bad = corrupt.collect()
+    assert len(bad) == 1 and "not_a_number" in bad[0]["_corrupt_record"]
+    # total conservation
+    assert clean.count() + corrupt.count() == 3
+
+
+def test_jsonl_quarantine_count_safe(spark, tmp_path):
+    """corrupt.count() works (the materialize step sidesteps Spark's
+    corrupt-column-only pruning restriction)."""
+    from pyspark.sql import types as T
+
+    from etl_docker_spark.sources.files import read_jsonl_with_quarantine
+
+    p = tmp_path / "j"
+    p.mkdir()
+    (p / "x.json").write_text('{"a": 1}\n{"a": 2\nnot json\n{"a": 3}\n')
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    clean, corrupt = read_jsonl_with_quarantine(spark, str(p), schema)
+    assert corrupt.count() == 2
+    assert sorted(r["a"] for r in clean.collect()) == [1, 3]
