@@ -816,3 +816,67 @@ GROUP BY event_type
 ROUND3.update({
     "q61_jsonl_ingest": (q61_jsonl_ingest, Q61_SQL),
 })
+
+# ---------------------------------------------------------------- q62
+
+_Q62_N_WIN = 40      # maintenance windows: start = t0 + i*17h, length 9h
+
+
+def q62_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch interval (range-containment) join, bucketized: events counted
+    into overlapping maintenance windows.
+
+    The naive formulation — join on `ts BETWEEN w_start AND w_end` — has
+    no equi-key, so Spark plans a broadcast nested loop: every event
+    row probed against every window, O(|events|·|windows|) at 100 TB.
+    The scale pattern: bucket BOTH sides by calendar day (windows explode
+    to the days they touch — bounded fan-out because window length is
+    bounded), equi-join on the day, then apply the precise containment
+    as a post-filter. The join becomes a hash join on a bounded key,
+    pinned by tests/test_plans.py (no BroadcastNestedLoop, no cartesian).
+    Distinct users per window via the pair-grain pre-aggregation (no
+    Expand — same discipline as q42/q58).
+    """
+    win = spark.range(_Q62_N_WIN).select(
+        F.col("id").alias("win_id"),
+        F.expr("timestamp'2024-01-01 00:00:00' "
+               "+ make_interval(0, 0, 0, 0, id * 17, 0, 0)").alias("w_start"),
+        F.expr("timestamp'2024-01-01 00:00:00' "
+               "+ make_interval(0, 0, 0, 0, id * 17 + 9, 0, 0)").alias("w_end"))
+    win_days = win.select(
+        "win_id", "w_start", "w_end",
+        F.explode(F.sequence(F.to_date("w_start"), F.to_date("w_end")))
+        .alias("day"))
+    ev = (t(spark, sf, "events")
+          .select("user_id", "ts", F.to_date("ts").alias("day")))
+    hits = (ev.join(F.broadcast(win_days), "day")
+            .filter((F.col("ts") >= F.col("w_start"))
+                    & (F.col("ts") < F.col("w_end"))))
+    per_pair = (hits.groupBy("win_id", "w_start", "user_id")
+                .agg(F.count("*").alias("cnt")))
+    return (per_pair.groupBy("win_id", "w_start")
+            .agg(F.sum("cnt").alias("n_events"),
+                 F.count("*").cast("long").alias("n_users")))
+
+
+Q62_SQL = f"""
+WITH win AS (
+  SELECT i AS win_id,
+         TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 17 HOUR AS w_start,
+         TIMESTAMP '2024-01-01 00:00:00' + (i * 17 + 9) * INTERVAL 1 HOUR
+           AS w_end
+  FROM (SELECT unnest(generate_series(0, {_Q62_N_WIN - 1})) AS i)
+),
+hits AS (
+  SELECT w.win_id, w.w_start, e.user_id
+  FROM events e JOIN win w
+    ON e.ts >= w.w_start AND e.ts < w.w_end
+)
+SELECT win_id, w_start, COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM hits GROUP BY win_id, w_start
+"""
+
+ROUND3.update({
+    "q62_interval_join": (q62_interval_join, Q62_SQL),
+})

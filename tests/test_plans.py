@@ -170,7 +170,7 @@ def test_registry_complete_and_oracle_backed(spark):
     missing = set(qs) - set(oracles) - rows_only_allowed
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
-        *(f"q{i:02d}" for i in range(1, 62)),
+        *(f"q{i:02d}" for i in range(1, 63)),
         *(f"d{i:02d}" for i in range(1, 42)),
         *(f"e{i:02d}" for i in range(1, 18)),
         *(f"s{i:02d}" for i in range(1, 12)),
@@ -195,3 +195,13 @@ def test_d37_d38_prune_documents_scan(spark):
         plan = formatted_plan(spark, name)
         for s in scan_read_schemas(plan):
             assert "text" not in s, (name, s)
+
+
+def test_q62_interval_join_is_hash_not_nested_loop(spark):
+    """The bucketized interval join must plan an equi hash join on the
+    day key — a BETWEEN-only formulation degrades to a nested loop that
+    probes every event against every window."""
+    plan = formatted_plan(spark, "q62_interval_join")
+    ops = tree_ops(plan)
+    assert "BroadcastNestedLoopJoin" not in ops and            "CartesianProduct" not in ops, ops
+    assert "BroadcastHashJoin" in ops, ops
