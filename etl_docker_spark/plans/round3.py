@@ -880,3 +880,67 @@ FROM hits GROUP BY win_id, w_start
 ROUND3.update({
     "q62_interval_join": (q62_interval_join, Q62_SQL),
 })
+
+# ---------------------------------------------------------------- d42
+
+
+def d42_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom aggregation through the sanctioned escape hatch: weighted
+    median per event type as an Arrow-batched GROUPED_AGG pandas UDF.
+
+    The demonstration case for semantics outside the built-in aggregate
+    set (per-key custom models, business-rule accumulators): Spark plans
+    AggregateInPandas — each group's (value, weight) columns arrive as
+    Arrow arrays, one Python call per group, no per-row interpreter
+    round-trips. Weighted median = smallest value whose cumulative weight
+    reaches half the total (per-distinct-value cumulation, so within-tie
+    row order cannot matter); weights derive from user_id so the oracle
+    recomputes them. The SQL twin is a RANGE-frame window cumsum —
+    expressible, but the UDF path is what generalizes when the
+    accumulator is not.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: `from __future__ import annotations`
+    # stringifies hints, so signature inference can't see pd.Series here
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmedian(v, w):
+        per_val = (pd.DataFrame({"v": v, "w": w})
+                   .groupby("v", sort=True)["w"].sum())
+        cum = per_val.cumsum()
+        total = int(cum.iloc[-1])
+        return float(cum.index[(2 * cum) >= total][0])
+
+    ev = t(spark, sf, "events").select(
+        "event_type", "value",
+        (F.pmod("user_id", F.lit(7)) + 1).cast("long").alias("w"))
+    # a GROUPED_AGG UDF cannot mix with JVM aggregates in one agg();
+    # total_weight comes from a separate JVM-side rollup joined back
+    med = ev.groupBy("event_type").agg(wmedian("value", "w").alias("w_median"))
+    tot = ev.groupBy("event_type").agg(F.sum("w").alias("total_weight"))
+    return med.join(tot, "event_type")
+
+
+D42_SQL = """
+WITH t AS (
+  SELECT event_type, value, (user_id % 7) + 1 AS w FROM events
+),
+c AS (
+  SELECT event_type, value,
+         SUM(w) OVER (PARTITION BY event_type ORDER BY value
+                      RANGE UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER (PARTITION BY event_type) AS tot
+  FROM t
+)
+SELECT event_type,
+       MIN(value) FILTER (2 * cum >= tot) AS w_median,
+       CAST((SELECT SUM((user_id % 7) + 1) FROM events e2
+             WHERE e2.event_type = c.event_type) AS BIGINT)
+         AS total_weight
+FROM c GROUP BY event_type
+"""
+
+ROUND3.update({
+    "d42_weighted_median": (d42_weighted_median, D42_SQL),
+})
