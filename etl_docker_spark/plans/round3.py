@@ -944,3 +944,83 @@ FROM c GROUP BY event_type
 ROUND3.update({
     "d42_weighted_median": (d42_weighted_median, D42_SQL),
 })
+
+# ---------------------------------------------------------------- s12
+
+
+def s12_stream_jsonl_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING file ingest with bad-record accounting: the q61 drop dir
+    (JSONL, ~1/37 lines truncated) consumed through the streaming engine
+    in three micro-batches, corrupt lines folded into a '_CORRUPT' group
+    of the same aggregation — one stream, no second scan.
+
+    Streaming PERMISSIVE parsing uses the same corrupt-record column as
+    the batch reader (sources/files.py); equality with the batch filter
+    twin proves the stream parsed every good line, rejected every bad
+    one, and counted each exactly once across batches.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from etl_docker_spark.plans._util import stream_state_partitions
+    from etl_docker_spark.sources.files import CORRUPT_COL
+
+    ev = t(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("micros"))
+    payload = F.to_json(F.struct("event_id", "event_type", "micros"))
+    line = F.when(F.pmod("event_id", F.lit(37)) == 0,
+                  F.concat(F.lit('{"event_id":'),
+                           F.col("event_id").cast("string"))
+                  ).otherwise(payload)
+    work = tempfile.mkdtemp(prefix="s12_")
+    try:
+        # three files -> three micro-batches (maxFilesPerTrigger=1)
+        (ev.select(line.alias("value"))
+         .repartitionByRange(3, "event_id")
+         .write.mode("overwrite").text(work))
+        schema = T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("micros", T.LongType()),
+            T.StructField(CORRUPT_COL, T.StringType()),
+        ])
+        stream = (spark.readStream.schema(schema)
+                  .option("mode", "PERMISSIVE")
+                  .option("columnNameOfCorruptRecord", CORRUPT_COL)
+                  .option("maxFilesPerTrigger", "1")
+                  .json(work))
+        grouped = (stream
+                   .select(F.when(F.col(CORRUPT_COL).isNotNull(),
+                                  F.lit("_CORRUPT"))
+                           .otherwise(F.col("event_type")).alias("grp"),
+                           F.coalesce("micros", F.lit(0)).alias("micros"))
+                   .groupBy("grp")
+                   .agg(F.count("*").alias("n_lines"),
+                        F.sum("micros").alias("sum_micros")))
+        name = f"s12_sink_{abs(hash(sf)) % 10 ** 8}"
+        with stream_state_partitions(spark, 4):
+            q = (grouped.writeStream.outputMode("complete").format("memory")
+                 .queryName(name).trigger(availableNow=True).start())
+            q.awaitTermination(300)
+            q.stop()
+        return spark.table(name).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+S12_SQL = """
+SELECT CASE WHEN event_id % 37 = 0 THEN '_CORRUPT' ELSE event_type END
+         AS grp,
+       COUNT(*) AS n_lines,
+       SUM(CASE WHEN event_id % 37 = 0 THEN 0
+                ELSE CAST(round(value * 100, 0) AS BIGINT) END)
+         AS sum_micros
+FROM events GROUP BY 1
+"""
+
+ROUND3.update({
+    "s12_stream_jsonl_ingest": (s12_stream_jsonl_ingest, S12_SQL),
+})
