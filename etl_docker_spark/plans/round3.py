@@ -1024,3 +1024,109 @@ FROM events GROUP BY 1
 ROUND3.update({
     "s12_stream_jsonl_ingest": (s12_stream_jsonl_ingest, S12_SQL),
 })
+
+# ---------------------------------------------------------------- q63
+
+
+def q63_set_operations(spark: SparkSession, sf: str) -> DataFrame:
+    """ANSI set-operation surface: INTERSECT and EXCEPT (set semantics)
+    over customer key sets, with the counts of each region surfaced.
+
+    Catalyst compiles INTERSECT to a left-semi and EXCEPT to a left-anti
+    join over distinct inputs — the same physical shapes as q04/q05, but
+    the declarative set-op form is its own API surface (and dedups both
+    sides first, which the raw joins do not). Sets: customers with 1995
+    orders vs customers with URGENT-priority orders ever.
+    """
+    t(spark, sf, "orders").createOrReplaceTempView("q63_orders")
+    return spark.sql("""
+        WITH o95 AS (
+          SELECT o_custkey FROM q63_orders
+          WHERE o_orderdate >= DATE'1995-01-01'
+            AND o_orderdate < DATE'1996-01-01'
+        ),
+        urgent AS (
+          SELECT o_custkey FROM q63_orders
+          WHERE o_orderpriority = '1-URGENT'
+        )
+        SELECT 'both' AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM (SELECT * FROM o95 INTERSECT SELECT * FROM urgent)
+        UNION ALL
+        SELECT '1995_only', CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT * FROM o95 EXCEPT SELECT * FROM urgent)
+        UNION ALL
+        SELECT 'urgent_only', CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT * FROM urgent EXCEPT SELECT * FROM o95)
+    """)
+
+
+Q63_SQL = """
+WITH o95 AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01'
+    AND o_orderdate < DATE '1996-01-01'
+),
+urgent AS (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT 'both' AS segment, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM (SELECT * FROM o95 INTERSECT SELECT * FROM urgent)
+UNION ALL
+SELECT '1995_only', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT * FROM o95 EXCEPT SELECT * FROM urgent)
+UNION ALL
+SELECT 'urgent_only', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT * FROM urgent EXCEPT SELECT * FROM o95)
+"""
+
+# ---------------------------------------------------------------- q64
+
+
+def q64_mode_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered-set aggregation with PINNED tie-breaking: the modal order
+    priority per order status, plus its frequency and share.
+
+    Engine mode() functions break frequency ties arbitrarily (Spark's
+    mode() and DuckDB's mode() may disagree), so the deterministic form
+    is count + rank with an explicit lexicographic tiebreak — the only
+    portable contract, and the same cost (one narrow rollup + a
+    per-group top-1).
+    """
+    o = t(spark, sf, "orders")
+    counts = (o.groupBy("o_orderstatus", "o_orderpriority")
+              .agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("cnt"), F.asc("o_orderpriority"))
+    tot = (o.groupBy("o_orderstatus")
+           .agg(F.count("*").alias("total")))
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn")
+            .join(tot, "o_orderstatus")
+            .select("o_orderstatus",
+                    F.col("o_orderpriority").alias("modal_priority"),
+                    F.col("cnt").alias("n_orders"),
+                    F.expr("cnt * 1000000L div total")
+                    .cast("long").alias("share_ppm")))
+
+
+Q64_SQL = """
+WITH counts AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+  FROM orders GROUP BY 1, 2
+),
+tot AS (
+  SELECT o_orderstatus, COUNT(*) AS total FROM orders GROUP BY 1
+)
+SELECT c.o_orderstatus, c.o_orderpriority AS modal_priority,
+       c.cnt AS n_orders,
+       CAST(c.cnt * 1000000 // t.total AS BIGINT) AS share_ppm
+FROM counts c JOIN tot t USING (o_orderstatus)
+QUALIFY row_number() OVER (PARTITION BY c.o_orderstatus
+                           ORDER BY c.cnt DESC, c.o_orderpriority) = 1
+"""
+
+ROUND3.update({
+    "q63_set_operations": (q63_set_operations, Q63_SQL),
+    "q64_mode_per_group": (q64_mode_per_group, Q64_SQL),
+})
