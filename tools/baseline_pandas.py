@@ -156,6 +156,64 @@ def main() -> None:
         np.argwhere(c[iu] >= 0.4)
     timings["e02_bucketed_near_dup"] = round(time.perf_counter() - t0, 3)
 
+    # ---- round-3 ops
+
+    t0 = time.perf_counter()
+    b = documents.doc_id.map(
+        lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100)
+    split = np.where(b < 80, "train", np.where(b < 90, "val", "test"))
+    documents.assign(split=split).groupby(["lang", "split"]).agg(
+        n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum"))
+    timings["d37_hash_split"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    d = documents.assign(digest=digest)
+    v1 = d[d.doc_id % 10 != 0][["doc_id", "lang", "digest"]]
+    v2 = d[d.doc_id % 10 != 1][["doc_id", "lang", "digest"]].copy()
+    rev = v2.doc_id % 10 == 2
+    v2.loc[rev, "digest"] = v2.loc[rev, "digest"].map(
+        lambda x: hashlib.md5((x + ":rev2").encode()).hexdigest())
+    j = v1.merge(v2, on=["doc_id", "lang"], how="outer",
+                 suffixes=("_1", "_2"))
+    status = np.where(j.digest_1.isna(), "added",
+                      np.where(j.digest_2.isna(), "removed",
+                               np.where(j.digest_1 != j.digest_2,
+                                        "changed", "unchanged")))
+    j.assign(status=status).groupby(["lang", "status"]).size()
+    timings["d41_snapshot_diff"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    # q62: 17h-stride/9h windows are disjoint, so IntervalIndex routing is
+    # the idiomatic pandas formulation
+    starts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        [i * 17 for i in range(40)], "h")
+    iv = pd.IntervalIndex.from_arrays(
+        starts, starts + pd.Timedelta(hours=9), closed="left")
+    pos = iv.get_indexer(events.ts.astype('datetime64[ns]'))
+    hit = events.assign(win=pos)
+    hit[hit.win >= 0].groupby("win").agg(
+        n_events=("event_id", "size"), n_users=("user_id", "nunique"))
+    timings["q62_interval_join"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    cs = documents.text.map(
+        lambda x: int(hashlib.md5(x.encode()).hexdigest()[:8], 16))
+
+    def _vid_sig(c: int) -> str:
+        fps = [hashlib.md5(f"{c}:{ms}".encode()).hexdigest()
+               for ms in range(0, c % 5000 + 1, 1000)]
+        return hashlib.md5("".join(fps).encode()).hexdigest()
+
+    vsig = cs.map(_vid_sig)
+    sigs = pd.concat([
+        pd.DataFrame({"media_id": documents.doc_id, "sig": vsig}),
+        pd.DataFrame({"media_id": documents.doc_id + 10 ** 9, "sig": vsig}),
+    ])
+    g = sigs.groupby("sig").agg(n=("media_id", "size"),
+                                canonical=("media_id", "min"))
+    g[g.n > 1]
+    timings["d40_video_near_dup"] = round(time.perf_counter() - t0, 3)
+
     print(json.dumps({
         "metric": "pandas_singlenode_wall_seconds",
         "value": round(sum(timings.values()), 3),
