@@ -291,14 +291,21 @@ FROM documents
 
 
 def q24_cube_totals(spark: SparkSession, sf: str) -> DataFrame:
-    """CUBE grouping sets (free in Spark; absent in the reference)."""
-    from etl_docker_spark.plans._util import dsum
+    """CUBE grouping sets (free in Spark; absent in the reference).
 
-    return (
-        t(spark, sf, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
-        .agg(dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n_lines"))
-    )
+    Same base-grain discipline as q34: the fact table collapses to the
+    finest (returnflag, linestatus) grain first, and CUBE's Expand runs
+    over single-digit rows instead of the fact table (decimal partials
+    re-sum exactly, so results are bit-identical)."""
+    from etl_docker_spark.plans._util import dec
+
+    base = (t(spark, sf, "lineitem")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(dec("l_quantity")).alias("sq"),
+                 F.count("*").alias("n")))
+    return (base.cube("l_returnflag", "l_linestatus")
+            .agg(F.sum("sq").cast("double").alias("sum_qty"),
+                 F.sum("n").alias("n_lines")))
 
 
 Q24_SQL = """
