@@ -1108,3 +1108,47 @@ ROUND3.update({
     "q63_set_operations": (q63_set_operations, Q63_SQL),
     "q64_mode_per_group": (q64_mode_per_group, Q64_SQL),
 })
+
+# ---------------------------------------------------------------- q65
+
+
+def q65_ohlc_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series resample to OHLC bars: per (event_type, day) the
+    opening/closing/high/low `value` — the financial-rollup shape every
+    metrics store serves.
+
+    Open/close are order statistics over TIME, not values: they need a
+    deterministic event ordering, pinned here as (ts, event_id) — without
+    the event_id tiebreak, same-microsecond events make open/close
+    engine-dependent. The composite key is a zero-padded string (both
+    engines order it identically; DuckDB's arg_min takes no struct key).
+    One shuffle: min_by/max_by over the key, high/low/count ride the
+    same aggregation.
+    """
+    ev = t(spark, sf, "events").select(
+        "event_type", F.to_date("ts").alias("day"),
+        F.format_string("%020d:%012d", F.unix_micros("ts"),
+                        F.col("event_id")).alias("ord"),
+        "value")
+    return (ev.groupBy("event_type", "day")
+            .agg(F.min_by("value", "ord").alias("open"),
+                 F.max_by("value", "ord").alias("close"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.count("*").alias("n_events")))
+
+
+Q65_SQL = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       arg_min(value, printf('%020d:%012d', epoch_us(ts), event_id))
+         AS open,
+       arg_max(value, printf('%020d:%012d', epoch_us(ts), event_id))
+         AS close,
+       MAX(value) AS high, MIN(value) AS low,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+ROUND3.update({
+    "q65_ohlc_resample": (q65_ohlc_resample, Q65_SQL),
+})
