@@ -1152,3 +1152,107 @@ FROM events GROUP BY 1, 2
 ROUND3.update({
     "q65_ohlc_resample": (q65_ohlc_resample, Q65_SQL),
 })
+
+# ---------------------------------------------------------------- d43
+
+_D43_N = 4           # same n-gram order as d19
+_D43_PPM = 20_000    # eject from train above 2% eval-gram overlap
+
+
+def d43_clean_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Contamination-aware corpus split: d37's hash assignment composed
+    with d19's eval-overlap probe — a would-be TRAIN document whose
+    eval-4-gram overlap exceeds the threshold is ejected to 'quarantine'
+    instead (val/test keep their assignment; holding out eval look-alikes
+    from eval would bias it the other way). The hygiene pass every
+    pre-training pipeline runs between splitting and training.
+
+    Scale shape inherited from both parents: eval grams broadcast
+    (benchmarks are MBs vs 100 TB), the corpus is probed without
+    shuffling, and the split is a pure per-row hash. Output: per (lang,
+    final split) doc count and char mass — the gate proves the
+    composition end-to-end.
+    """
+    from etl_docker_spark.llm.dedup import shingle_rows
+
+    docs = t(spark, sf, "documents")
+    sh = (shingle_rows(docs, "doc_id", "text", _D43_N)
+          .withColumnRenamed("doc", "doc_id")
+          .distinct())
+    is_eval = F.pmod("doc_id", F.lit(20)) == 0
+    eval_grams = sh.filter(is_eval).select(F.col("s").alias("g")).distinct()
+    w = Window.partitionBy("doc_id")
+    corpus_sh = (sh.filter(~is_eval)
+                 .select("doc_id",
+                         F.count("*").over(w).cast("long").alias("total"),
+                         F.col("s").alias("g")))
+    contaminated = (corpus_sh.join(F.broadcast(eval_grams), "g")
+                    .groupBy("doc_id", "total")
+                    .agg(F.count("*").alias("shared"))
+                    .filter(F.expr("(1000000 * shared) div total")
+                            >= _D43_PPM)
+                    .select("doc_id"))
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long")
+    bucket = F.pmod(h, F.lit(100))
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "val").otherwise("test"))
+    assigned = (docs.filter(~is_eval)
+                .select("doc_id", "lang", "n_chars", split.alias("split"))
+                .join(F.broadcast(contaminated.withColumn(
+                    "is_dirty", F.lit(True))), "doc_id", "left"))
+    final = (F.when((F.col("split") == "train") & F.col("is_dirty"),
+                    "quarantine").otherwise(F.col("split")))
+    return (assigned.select("lang", final.alias("split"), "n_chars")
+            .groupBy("lang", "split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars")))
+
+
+D43_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(tk) - {_D43_N - 1}, 1)),
+             i -> array_to_string(tk[i:i+{_D43_N - 1}], ' '))) AS sh
+  FROM toks
+),
+ev AS (
+  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 20 = 0
+),
+cg AS (
+  SELECT doc_id, CAST(len(sh) AS BIGINT) AS total, unnest(sh) AS g
+  FROM sh WHERE doc_id % 20 != 0
+),
+dirty AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, total, COUNT(*) AS shared
+    FROM cg JOIN ev USING (g) GROUP BY doc_id, total
+  ) WHERE (1000000 * shared) // total >= {_D43_PPM}
+),
+assigned AS (
+  SELECT d.lang, d.n_chars,
+         CASE WHEN CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)),
+                                          1, 8) AS BIGINT) % 100 < 80
+              THEN 'train'
+              WHEN CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)),
+                                          1, 8) AS BIGINT) % 100 < 90
+              THEN 'val' ELSE 'test' END AS split,
+         (dirty.doc_id IS NOT NULL) AS is_dirty
+  FROM documents d LEFT JOIN dirty ON d.doc_id = dirty.doc_id
+  WHERE d.doc_id % 20 != 0
+)
+SELECT lang,
+       CASE WHEN split = 'train' AND is_dirty THEN 'quarantine'
+            ELSE split END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM assigned GROUP BY 1, 2
+"""
+
+ROUND3.update({
+    "d43_clean_split": (d43_clean_split, D43_SQL),
+})
