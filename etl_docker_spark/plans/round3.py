@@ -1256,3 +1256,67 @@ FROM assigned GROUP BY 1, 2
 ROUND3.update({
     "d43_clean_split": (d43_clean_split, D43_SQL),
 })
+
+# ---------------------------------------------------------------- q66
+
+_Q66_WINDOW_US = 3_600_000_000  # 1h attribution lookback
+
+
+def q66_last_touch_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Marketing-style last-touch attribution: each purchase credits the
+    LAST non-purchase event by the same user within the preceding hour;
+    purchases with no touch in window count as 'direct'.
+
+    One analytic pass: per-user time order (tiebroken by event_id), an
+    IGNORE NULLS last_value over the preceding frame carries the latest
+    touch forward, and the lookback bound is a microsecond comparison —
+    no self-join, no per-purchase probe. Exactly one credit per purchase
+    (conservation is part of the gate: SUM(n_purchases) is invariant).
+    """
+    ev = t(spark, sf, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros("ts").alias("us"))
+    w = (Window.partitionBy("user_id")
+         .orderBy("us", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase",
+               F.struct(F.col("us").alias("t_us"),
+                        F.col("event_type").alias("t_type"))),
+        ignorenulls=True).over(w)
+    credited = (ev.withColumn("touch", touch)
+                .filter(F.col("event_type") == "purchase")
+                .select(F.when(
+                    F.col("touch").isNotNull()
+                    & (F.col("us") - F.col("touch.t_us")
+                       <= _Q66_WINDOW_US),
+                    F.col("touch.t_type")).otherwise("direct")
+                    .alias("credited_to")))
+    return (credited.groupBy("credited_to")
+            .agg(F.count("*").alias("n_purchases")))
+
+
+Q66_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events
+),
+flagged AS (
+  SELECT user_id, event_type, us,
+         last_value(CASE WHEN event_type <> 'purchase'
+                         THEN struct_pack(t_us := us, t_type := event_type)
+                    END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM ev
+)
+SELECT CASE WHEN touch IS NOT NULL
+             AND us - touch.t_us <= {_Q66_WINDOW_US}
+            THEN touch.t_type ELSE 'direct' END AS credited_to,
+       COUNT(*) AS n_purchases
+FROM flagged WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+ROUND3.update({
+    "q66_last_touch_attribution": (q66_last_touch_attribution, Q66_SQL),
+})
