@@ -1320,3 +1320,126 @@ GROUP BY 1
 ROUND3.update({
     "q66_last_touch_attribution": (q66_last_touch_attribution, Q66_SQL),
 })
+
+# ---------------------------------------------------------------- e18
+
+_E18_NQ = 8
+_E18_K = 5
+
+
+def e18_tombstone_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Index-maintenance part 2: serving a trained ANN index under a
+    DELETION SET without rebuilding it.
+
+    Deletes against a trained index are tombstones (vec_id % 13 == 0
+    here): the index keeps the rows, the serving path excludes them with
+    a broadcast anti-join on the candidate stream BEFORE ranking — so
+    rank k is recomputed over survivors (post-filtering a stored top-k
+    would starve k), and the trained artifact is untouched. Pairs with
+    e17 (occupancy rebalance): together they are the compact-later,
+    serve-correct-now contract of a production vector index.
+    """
+    from etl_docker_spark.llm.similarity import dot_expr, norm2_expr
+    from etl_docker_spark.plans.round2 import e05_assignments
+
+    assign = e05_assignments(spark, sf)
+    e = t(spark, sf, "embeddings").select(
+        "vec_id", "embedding", norm2_expr(F.col("embedding")).alias("n2"))
+    ea = e.join(assign, "vec_id")
+    tombstones = (ea.filter(F.pmod("vec_id", F.lit(13)) == 0)
+                  .select("vec_id"))
+    q = (ea.filter(F.col("vec_id") < _E18_NQ)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv"),
+                 F.col("n2").alias("qn2"), "cluster"))
+    cand = (ea.join(F.broadcast(tombstones), "vec_id", "left_anti")
+            .join(F.broadcast(q), "cluster")
+            .filter(F.col("vec_id") != F.col("query_id")))
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        (dot_expr(F.col("qv"), F.col("embedding"))
+         / F.sqrt(F.col("qn2") * F.col("n2"))).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= _E18_K)
+            .select("query_id", "neighbor_id",
+                    F.round("cosine", 8).alias("cosine"), "rank"))
+
+
+def _e18_sql() -> str:
+    from etl_docker_spark.plans.round2 import _DOT2, _E05_BODY
+
+    return f"""
+WITH {_E05_BODY.rsplit("SELECT vec_id, cluster FROM d2", 1)[0].strip()},
+assign AS (
+  SELECT vec_id, cluster FROM d2
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+),
+emb AS (
+  SELECT vec_id, embedding,
+         {_DOT2.format(a='embedding', b='embedding')} AS n2
+  FROM embeddings
+),
+ea AS (SELECT emb.*, assign.cluster FROM emb JOIN assign USING (vec_id)),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, n2 AS qn2, cluster
+  FROM ea WHERE vec_id < {_E18_NQ}
+),
+scored AS (
+  SELECT q.query_id, ea.vec_id AS neighbor_id,
+         {_DOT2.format(a='q.qv', b='ea.embedding')}
+           / sqrt(q.qn2 * ea.n2) AS cos_raw
+  FROM ea JOIN q ON ea.cluster = q.cluster AND ea.vec_id <> q.query_id
+  WHERE ea.vec_id % 13 <> 0
+)
+SELECT query_id, neighbor_id, round(cos_raw, 8) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id ASC)
+            AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {_E18_K}
+"""
+
+# ---------------------------------------------------------------- q67
+
+_Q67_BINS = 20
+_Q67_LO, _Q67_HI = 0.0, 500.0
+
+
+def q67_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-bin histogram per event type (width_bucket): bin index,
+    count, and exact decimal bin mass — the profiling scan behind every
+    histogram/NDV dashboard panel, as one map-side-combined aggregation.
+    Out-of-range values land in the engine-standard under/overflow bins
+    (0 and n+1), so the histogram is total: counts sum to the table.
+    """
+    ev = t(spark, sf, "events")
+    bin_ = F.width_bucket("value", F.lit(_Q67_LO), F.lit(_Q67_HI),
+                          F.lit(_Q67_BINS))
+    return (ev.groupBy("event_type", bin_.cast("long").alias("bin"))
+            .agg(F.count("*").alias("n_events"),
+                 dsum("value").alias("bin_mass")))
+
+
+# DuckDB has no width_bucket; the oracle mirrors Spark's arithmetic
+# operand-for-operand (floor((v - lo) / width) + 1, width exactly
+# representable) so boundary values bin identically in both engines.
+_Q67_WIDTH = (_Q67_HI - _Q67_LO) / _Q67_BINS
+
+Q67_SQL = f"""
+SELECT event_type,
+       CAST(CASE WHEN value < {_Q67_LO} THEN 0
+                 WHEN value >= {_Q67_HI} THEN {_Q67_BINS + 1}
+                 ELSE floor((value - {_Q67_LO}) / {_Q67_WIDTH}) + 1
+            END AS BIGINT) AS bin,
+       COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
+         AS bin_mass
+FROM events GROUP BY 1, 2
+"""
+
+ROUND3.update({
+    "e18_tombstone_search": (e18_tombstone_search, _e18_sql()),
+    "q67_value_histogram": (q67_value_histogram, Q67_SQL),
+})
