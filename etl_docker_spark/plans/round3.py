@@ -1443,3 +1443,48 @@ ROUND3.update({
     "e18_tombstone_search": (e18_tombstone_search, _e18_sql()),
     "q67_value_histogram": (q67_value_histogram, Q67_SQL),
 })
+
+# ---------------------------------------------------------------- q68
+
+
+def q68_rest_paginated_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """The paginated REST source (SURVEY S1-S4) under the oracle gate.
+
+    Runs the EXECUTOR fetch path (sources.rest.paginated_read: page rows
+    fanned across tasks, each task walking its slice via mapInPandas)
+    against the deterministic windowed fake endpoint — the modified-items
+    window 2024-03-10..2024-03-13 with as-of semantics. The feed is a
+    fixed fixture, so the oracle is its expected row set as a VALUES
+    literal: equality proves pagination (4 pages x 3 rows), predicate ->
+    param pushdown, executor-side assembly, and the as-of rule (item 1
+    arrives as its deletion snapshot; item 2 as its third revision)
+    end-to-end through the driver's gate. `sf` is unused — the endpoint
+    IS the source.
+    """
+    from etl_docker_spark.pipelines.incremental import ITEMS_WINDOWED
+    from etl_docker_spark.sources.fake_api import fetch_items_windowed
+    from etl_docker_spark.sources.rest import paginated_read
+
+    df = paginated_read(
+        spark, ITEMS_WINDOWED, fetch_items_windowed, num_pages=4,
+        predicates={"field": "modified", "date_from": "2024-03-10",
+                    "date_to": "2024-03-13"})
+    return df.select(
+        "Id", "Code", "Description", "ModificationDatetime",
+        F.col("DeletionDatetime").isNotNull().alias("is_deleted"))
+
+
+Q68_SQL = """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 'SKU-1', 'alpha v1', '2024-03-10', TRUE),
+  (CAST(2 AS BIGINT), 'SKU-2', 'beta v3', '2024-03-13', FALSE),
+  (CAST(3 AS BIGINT), 'SKU-3', 'gamma v2', '2024-03-12', FALSE),
+  (CAST(4 AS BIGINT), 'SKU-4', 'delta v1', '2024-03-11', TRUE),
+  (CAST(5 AS BIGINT), 'SKU-5', 'eps v1', '2024-03-12', FALSE),
+  (CAST(6 AS BIGINT), 'SKU-6', 'zeta v1', '2024-03-13', FALSE)
+) AS t(Id, Code, Description, ModificationDatetime, is_deleted)
+"""
+
+ROUND3.update({
+    "q68_rest_paginated_ingest": (q68_rest_paginated_ingest, Q68_SQL),
+})
