@@ -1488,3 +1488,81 @@ SELECT * FROM (VALUES
 ROUND3.update({
     "q68_rest_paginated_ingest": (q68_rest_paginated_ingest, Q68_SQL),
 })
+
+# ---------------------------------------------------------------- q69
+
+
+def q69_dag_audit_trail(spark: SparkSession, sf: str) -> DataFrame:
+    """Orchestration (O1/O3/O4/O6) under the oracle gate: a four-task DAG
+    with a REST-fed load, a deliberately failing task that succeeds on
+    RETRY, a permanently failing task, and a dependent task that must be
+    SKIPPED — gated on the resulting audit trail.
+
+    The audit log is the orchestration contract (one row per attempt
+    outcome, reference CotyData_IPN.py:19-61): the VALUES oracle pins
+    ordering-independent rows for load counts, retry success, failure
+    recording, and dependency-skip — proving the DAG semantics
+    end-to-end rather than via unit asserts. `sf` is unused.
+    """
+    import shutil
+    import tempfile
+
+    from etl_docker_spark.orchestration import JobContext, Task, run_dag
+    from etl_docker_spark.pipelines.incremental import ITEMS_WINDOWED
+    from etl_docker_spark.sources.fake_api import fetch_items_windowed
+    from etl_docker_spark.sources.rest import paginated_read_driver
+
+    work = tempfile.mkdtemp(prefix="q69_")
+    try:
+        ctx = JobContext(spark=spark, warehouse=f"{work}/wh",
+                         log_path=f"{work}/audit",
+                         quarantine=f"{work}/quar")
+
+        def load_items(c: JobContext) -> int:
+            df = paginated_read_driver(
+                c.spark, ITEMS_WINDOWED, fetch_items_windowed,
+                predicates={"field": "created", "date_from": "2024-03-10",
+                            "date_to": "2024-03-13"})
+            df.write.mode("overwrite").parquet(f"{c.warehouse}/items")
+            return df.count()
+
+        flaky_state = {"calls": 0}
+
+        def flaky(c: JobContext) -> int:
+            flaky_state["calls"] += 1
+            if flaky_state["calls"] == 1:
+                raise RuntimeError("transient")
+            return 1
+
+        def always_fails(c: JobContext) -> int:
+            raise ValueError("permanent schema drift")
+
+        run_dag(ctx, [
+            Task("load_items", load_items, retries=0),
+            Task("flaky_enrich", flaky, retries=1, retry_delay_s=0.0),
+            Task("broken_load", always_fails, retries=0),
+            Task("downstream_agg", lambda c: 0, retries=0,
+                 depends_on=("broken_load",)),
+        ])
+        audit = spark.read.parquet(ctx.log_path)
+        out = (audit.select(
+            "load_table", "status_ok", "inserted_rows",
+            F.col("error_msg").isNotNull().alias("has_error"))
+            .localCheckpoint())  # pin before the workdir is deleted
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+Q69_SQL = """
+SELECT * FROM (VALUES
+  ('load_items', TRUE, CAST(6 AS BIGINT), FALSE),
+  ('flaky_enrich', TRUE, CAST(1 AS BIGINT), FALSE),
+  ('broken_load', FALSE, CAST(0 AS BIGINT), TRUE),
+  ('downstream_agg', FALSE, CAST(NULL AS BIGINT), TRUE)
+) AS t(load_table, status_ok, inserted_rows, has_error)
+"""
+
+ROUND3.update({
+    "q69_dag_audit_trail": (q69_dag_audit_trail, Q69_SQL),
+})

@@ -170,7 +170,7 @@ def test_registry_complete_and_oracle_backed(spark):
     missing = set(qs) - set(oracles) - rows_only_allowed
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
-        *(f"q{i:02d}" for i in range(1, 69)),
+        *(f"q{i:02d}" for i in range(1, 70)),
         *(f"d{i:02d}" for i in range(1, 44)),
         *(f"e{i:02d}" for i in range(1, 19)),
         *(f"s{i:02d}" for i in range(1, 13)),
