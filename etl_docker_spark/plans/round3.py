@@ -1566,3 +1566,81 @@ SELECT * FROM (VALUES
 ROUND3.update({
     "q69_dag_audit_trail": (q69_dag_audit_trail, Q69_SQL),
 })
+
+# ---------------------------------------------------------------- d44
+
+
+def d44_vocab_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary concentration per language: how few token types cover
+    50% / 90% of all token occurrences — the integer-exact form of the
+    Zipf head/tail diagnostic (a fitted slope needs cross-engine libm
+    log(), which is NOT bit-portable; coverage thresholds are pure
+    integer cumulative sums and answer the same curation question:
+    how head-heavy is this corpus slice).
+
+    One scan collapses to (lang, token type, count); the cumulative sum
+    runs over types ranked by (count desc, token) — total-ordered so the
+    threshold crossing is engine-independent.
+    """
+    toks = (t(spark, sf, "documents")
+            .select("lang", F.explode(F.split("text", " ")).alias("tok"))
+            .filter(F.length("tok") > 0))
+    tf = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tok"))
+    ranked = (tf.withColumn("cum", F.sum("c").over(
+        w.rowsBetween(Window.unboundedPreceding, 0))))
+    totals = tf.groupBy("lang").agg(
+        F.sum("c").alias("total_occurrences"),
+        F.count("*").alias("n_types"))
+    j = ranked.join(totals, "lang")
+    return (j.groupBy("lang", "total_occurrences", "n_types")
+            .agg(F.sum(F.when(2 * F.col("cum")
+                              < F.col("total_occurrences"), 1)
+                       .otherwise(0)).alias("_below50"),
+                 F.sum(F.when(10 * F.col("cum")
+                              < 9 * F.col("total_occurrences"), 1)
+                       .otherwise(0)).alias("_below90"))
+            .select("lang",
+                    F.col("total_occurrences").cast("long")
+                    .alias("total_occurrences"),
+                    F.col("n_types").cast("long").alias("n_types"),
+                    (F.col("_below50") + 1).cast("long")
+                    .alias("types_for_50pct"),
+                    (F.col("_below90") + 1).cast("long")
+                    .alias("types_for_90pct")))
+
+
+D44_SQL = """
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (
+  SELECT lang, tok, COUNT(*) AS c FROM toks
+  WHERE length(tok) > 0 GROUP BY 1, 2
+),
+ranked AS (
+  SELECT lang, c,
+         SUM(c) OVER (PARTITION BY lang ORDER BY c DESC, tok
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tf
+),
+totals AS (
+  SELECT lang, SUM(c) AS total_occurrences, COUNT(*) AS n_types
+  FROM tf GROUP BY lang
+)
+SELECT r.lang,
+       CAST(t.total_occurrences AS BIGINT) AS total_occurrences,
+       CAST(t.n_types AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN 2 * r.cum < t.total_occurrences
+                     THEN 1 ELSE 0 END) + 1 AS BIGINT)
+         AS types_for_50pct,
+       CAST(SUM(CASE WHEN 10 * r.cum < 9 * t.total_occurrences
+                     THEN 1 ELSE 0 END) + 1 AS BIGINT)
+         AS types_for_90pct
+FROM ranked r JOIN totals t USING (lang)
+GROUP BY 1, 2, 3
+"""
+
+ROUND3.update({
+    "d44_vocab_concentration": (d44_vocab_concentration, D44_SQL),
+})
