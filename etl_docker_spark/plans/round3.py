@@ -1644,3 +1644,102 @@ GROUP BY 1, 2, 3
 ROUND3.update({
     "d44_vocab_concentration": (d44_vocab_concentration, D44_SQL),
 })
+
+# ---------------------------------------------------------------- g04
+
+_G04_K = 3        # core order
+_G04_ROUNDS = 3   # bounded unrolled peel rounds (oracle-expressible)
+
+
+def g04_kcore_peel(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded k-core decomposition on the co-trade graph: three unrolled
+    peel rounds (drop nodes with degree < k, induce, repeat), reporting
+    surviving nodes and edges after each round.
+
+    k-core is the standard graph-density filter (spam rings, community
+    cores). Full peeling is a data-dependent-depth loop (g01/g03's
+    iterate-with-cap machinery); the BOUNDED form used here is exactly
+    expressible in one static plan on BOTH engines — each round is a
+    degree rollup plus two semi-joins against the survivor set, and the
+    mutual-top-K construction bounds every degree by K so each round's
+    work only shrinks. Convergence inside the bound shows up in the
+    output itself (two equal consecutive rounds == fixpoint).
+    """
+    from etl_docker_spark.plans.round2j import cotrade_edges
+
+    edges = cotrade_edges(spark, sf)
+    cur = edges
+    rounds = []
+    for r in range(1, _G04_ROUNDS + 1):
+        deg = (cur.select(F.col("a").alias("node"))
+               .unionAll(cur.select(F.col("b").alias("node")))
+               .groupBy("node").agg(F.count("*").alias("deg")))
+        alive = deg.filter(F.col("deg") >= _G04_K).select("node")
+        cur = (cur.join(alive.withColumnRenamed("node", "a"), "a",
+                        "left_semi")
+               .join(alive.withColumnRenamed("node", "b"), "b",
+                     "left_semi"))
+        rounds.append(
+            alive.agg(F.count("*").cast("long").alias("n_nodes"))
+            .crossJoin(cur.agg(F.count("*").cast("long").alias("n_edges")))
+            .select(F.lit(r).cast("long").alias("round"),
+                    "n_nodes", "n_edges"))
+    out = rounds[0]
+    for r_df in rounds[1:]:
+        out = out.unionByName(r_df)
+    return out
+
+
+def _g04_sql() -> str:
+    from etl_docker_spark.plans.round2j import _G02_K
+
+    parts = [f"""
+WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT x.l_suppkey AS s1, y.l_suppkey AS s2, COUNT(*) AS n
+  FROM os x JOIN os y
+    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+  GROUP BY 1, 2
+),
+directed AS (
+  SELECT s1, s2, n FROM pairs
+  UNION ALL SELECT s2, s1, n FROM pairs
+),
+top AS (
+  SELECT s1, s2 FROM (
+    SELECT s1, s2,
+           row_number() OVER (PARTITION BY s1 ORDER BY n DESC, s2) AS rn
+    FROM directed) WHERE rn <= {_G02_K}
+),
+e0 AS (
+  SELECT s1 AS a, s2 AS b
+  FROM (SELECT s1, s2 FROM top
+        INTERSECT SELECT s2 AS s1, s1 AS s2 FROM top)
+  WHERE s1 < s2
+)"""]
+    for r in range(1, _G04_ROUNDS + 1):
+        parts.append(f""",
+deg{r} AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM e{r - 1}
+    UNION ALL SELECT b AS node FROM e{r - 1}
+  ) GROUP BY node
+),
+alive{r} AS (SELECT node FROM deg{r} WHERE deg >= {_G04_K}),
+e{r} AS (
+  SELECT e.a, e.b FROM e{r - 1} e
+  JOIN alive{r} x ON e.a = x.node
+  JOIN alive{r} y ON e.b = y.node
+)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, "
+        f"(SELECT CAST(COUNT(*) AS BIGINT) FROM alive{r}) AS n_nodes, "
+        f"(SELECT CAST(COUNT(*) AS BIGINT) FROM e{r}) AS n_edges"
+        for r in range(1, _G04_ROUNDS + 1))
+    parts.append("\n" + union)
+    return "".join(parts)
+
+
+ROUND3.update({
+    "g04_kcore_peel": (g04_kcore_peel, _g04_sql()),
+})

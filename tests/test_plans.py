@@ -174,7 +174,7 @@ def test_registry_complete_and_oracle_backed(spark):
         *(f"d{i:02d}" for i in range(1, 45)),
         *(f"e{i:02d}" for i in range(1, 19)),
         *(f"s{i:02d}" for i in range(1, 13)),
-        "g01", "g02", "g03",
+        "g01", "g02", "g03", "g04",
     }
     assert {n.split("_")[0] for n in qs} == expected
 
