@@ -1743,3 +1743,60 @@ e{r} AS (
 ROUND3.update({
     "g04_kcore_peel": (g04_kcore_peel, _g04_sql()),
 })
+
+# ---------------------------------------------------------------- d45
+
+
+def d45_dedup_method_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Detector agreement audit: the MinHash-LSH near-dup pair set (d06)
+    vs the SimHash pair set (d11) as a confusion summary — how many pairs
+    each method finds, how many both find, and per-method exclusives.
+
+    The evaluation every production dedup stack runs before trusting one
+    detector at 100 TB: methods have different recall surfaces (token
+    shingles vs weighted-feature bits), and their OVERLAP is the
+    high-confidence kill set while the exclusives price each method's
+    marginal contribution. Both pair frames are memoized index artifacts
+    (d06's via the pair-graph memo, d11 recomputed off the fingerprint
+    table), so this audit costs two tiny set ops on a warm session.
+    """
+    from etl_docker_spark.plans.advanced import d11_simhash_pairs
+    from etl_docker_spark.plans.llm_queries import minhash_pairs_frame
+
+    m = minhash_pairs_frame(spark, sf).select("doc_a", "doc_b")
+    s = d11_simhash_pairs(spark, sf).select("doc_a", "doc_b")
+    both = m.join(s, ["doc_a", "doc_b"])
+    return (m.agg(F.count("*").cast("long").alias("n_minhash"))
+            .crossJoin(s.agg(F.count("*").cast("long").alias("n_simhash")))
+            .crossJoin(both.agg(F.count("*").cast("long").alias("n_both")))
+            .select("n_minhash", "n_simhash", "n_both",
+                    (F.col("n_minhash") - F.col("n_both"))
+                    .alias("minhash_only"),
+                    (F.col("n_simhash") - F.col("n_both"))
+                    .alias("simhash_only")))
+
+
+def _d45_sql() -> str:
+    from etl_docker_spark.plans.advanced import D11_SQL
+    from etl_docker_spark.plans.llm_queries import D06_SQL
+
+    # DuckDB allows WITH-bearing statements as parenthesized subqueries,
+    # so each method's full oracle body nests verbatim — no duplication
+    # of the pair-construction logic.
+    return f"""
+WITH m AS (SELECT doc_a, doc_b FROM ({D06_SQL})),
+s AS (SELECT doc_a, doc_b FROM ({D11_SQL})),
+b AS (SELECT m.doc_a, m.doc_b FROM m JOIN s USING (doc_a, doc_b))
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_minhash,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_simhash,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_both,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM m)
+         - (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS minhash_only,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s)
+         - (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS simhash_only
+"""
+
+
+ROUND3.update({
+    "d45_dedup_method_agreement": (d45_dedup_method_agreement, _d45_sql()),
+})

@@ -171,7 +171,7 @@ def test_registry_complete_and_oracle_backed(spark):
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
         *(f"q{i:02d}" for i in range(1, 70)),
-        *(f"d{i:02d}" for i in range(1, 45)),
+        *(f"d{i:02d}" for i in range(1, 46)),
         *(f"e{i:02d}" for i in range(1, 19)),
         *(f"s{i:02d}" for i in range(1, 13)),
         "g01", "g02", "g03", "g04",
