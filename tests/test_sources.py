@@ -259,3 +259,47 @@ def test_jsonl_quarantine_count_safe(spark, tmp_path):
     clean, corrupt = read_jsonl_with_quarantine(spark, str(p), schema)
     assert corrupt.count() == 2
     assert sorted(r["a"] for r in clean.collect()) == [1, 3]
+
+
+def test_items_windowed_as_of_semantics():
+    """The windowed fake endpoint must never serve a version from after
+    its window end (the property the incremental pipeline's correctness
+    rests on): as-of 03-11, item 4 is its live v1 — the 03-13 deletion
+    snapshot is invisible; as-of 03-13 the deletion wins."""
+    from etl_docker_spark.sources.fake_api import fetch_items_windowed
+
+    early = {r["Id"]: r for r in fetch_items_windowed(
+        0, {"field": "created", "date_from": "2024-03-11",
+            "date_to": "2024-03-11"})}
+    assert early[4]["DeletionDatetime"] is None
+    assert early[4]["Description"] == "delta v1"
+
+    late = {r["Id"]: r for r in fetch_items_windowed(
+        0, {"field": "created", "date_from": "2024-03-11",
+            "date_to": "2024-03-13"})}
+    assert late[4]["DeletionDatetime"] == "2024-03-13"
+
+    # modified pull as-of 03-12 serves beta v2, not the future v3
+    mod = {r["Id"]: r for r in fetch_items_windowed(
+        0, {"field": "modified", "date_from": "2024-03-11",
+            "date_to": "2024-03-12"})}
+    assert mod[2]["Description"] == "beta v2"
+
+
+def test_items_windowed_pagination_is_stable():
+    """Pages partition the result set deterministically: concatenating
+    pages equals the one-shot listing, no dup/drop across boundaries."""
+    from etl_docker_spark.sources.fake_api import PAGE_SIZE, fetch_items_windowed
+
+    params = {"field": "created", "date_from": "2024-03-10",
+              "date_to": "2024-03-13"}
+    pages, i = [], 0
+    while True:
+        batch = fetch_items_windowed(i, params)
+        if not batch:
+            break
+        assert len(batch) <= PAGE_SIZE
+        pages.extend(batch)
+        i += 1
+    ids = [r["Id"] for r in pages]
+    assert ids == sorted(set(ids))  # no dup, no drop, stable order
