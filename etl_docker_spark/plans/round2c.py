@@ -178,8 +178,9 @@ def d21_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     true 100 TB the ppm products move to DECIMAL(38,0) unchanged).
     Scale shape: one corpus pass explodes tokens pre-filtered to the query
     terms (pushdown-friendly), doc-frequency and corpus totals are tiny
-    aggregates broadcast back, and the final top-k is a single window over
-    candidate docs only. The 10-row result memoizes per session — e08
+    aggregates broadcast back, and the final top-k is a distributed
+    TakeOrdered (per-partition heaps), with rank assigned on the k-row
+    result. The 10-row result memoizes per session — e08
     fuses it with the vector ranking without re-running the corpus pass.
     """
     from etl_docker_spark.llm.index_cache import memo_frame
@@ -215,9 +216,16 @@ def _d21_build(spark: SparkSession, sf: str) -> DataFrame:
             """).alias("term_score_ppm")))
     ranked = (scored.groupBy("doc_id")
               .agg(F.sum("term_score_ppm").alias("bm25_ppm")))
-    w = Window.orderBy(F.desc("bm25_ppm"), F.asc("doc_id"))
-    return (ranked.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= _BM25_K)
+    # Distributed top-k: orderBy().limit() plans TakeOrderedAndProject
+    # (per-partition heaps + k-row merge), never a corpus-wide single-task
+    # sort. The explicit rank is then a window over the k-row result only
+    # — the earlier global row_number() over ALL scored docs was the
+    # single-partition WindowExec shape that dies at 100 TB (see
+    # operators/prefix.py); same output, hash-gate-identical.
+    order = [F.desc("bm25_ppm"), F.asc("doc_id")]
+    topk = ranked.orderBy(*order).limit(_BM25_K)
+    w = Window.orderBy(*order)
+    return (topk.withColumn("rank", F.row_number().over(w).cast("long"))
             .select("doc_id", "bm25_ppm", "rank"))
 
 

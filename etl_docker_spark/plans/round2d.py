@@ -320,9 +320,13 @@ def e08_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
            .select(F.col("vec_id").alias("doc_id"),
                    F.round(cosine_expr(F.col("embedding"), F.col("qv")), 8)
                    .alias("cosine")))
-    wc = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
-    cos_top = (cos.withColumn("cos_rank", F.row_number().over(wc).cast("long"))
-               .filter(F.col("cos_rank") <= _RRF_TOP)
+    # Distributed top-k (TakeOrderedAndProject), then rank the k-row
+    # result — the earlier global row_number() over EVERY scored doc was
+    # a single-partition window over a corpus-sized frame.
+    cos_order = [F.desc("cosine"), F.asc("doc_id")]
+    wc = Window.orderBy(*cos_order)
+    cos_top = (cos.orderBy(*cos_order).limit(_RRF_TOP)
+               .withColumn("cos_rank", F.row_number().over(wc).cast("long"))
                .select("doc_id", "cos_rank"))
 
     fused = (

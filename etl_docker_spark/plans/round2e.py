@@ -210,22 +210,36 @@ def d24_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
 
     ntile(3) over (norm score desc, doc_id) gives deterministic,
     engine-identical buckets (exact rank arithmetic, no float quantile
-    interpolation). Scale: the scorer is the corpus pass (see d10); the
-    bucketing is one global sort of doc-width rows — at true corpus scale
-    this becomes ntile over score ranges computed from a sampled CDF, or a
-    per-shard ntile; the semantics pinned here stay the same.
+    interpolation). The oracle stays the plain global ntile(3); the Spark
+    plan computes the SAME tiling distributed: each doc's global rank is
+    a two-phase prefix sum over the score order (operators/prefix.py —
+    range-partition, local running count, K-row offset merge), and the
+    tile follows from rank + total count by the exact ntile formula
+    (first n%3 tiles hold one extra row), the q43 pattern. The earlier
+    single-task ntile window over the corpus-sized per-doc frame was one
+    of the three plans flagged as 100 TB scale-killers in round 3.
     """
+    from etl_docker_spark.operators.prefix import prefix_sum_ordered
     from etl_docker_spark.plans.llm_queries import bigram_scores_frame
 
     scored = bigram_scores_frame(spark, sf)
     norm = F.expr("lm_score div n_bigrams")
-    w = Window.orderBy(F.desc("norm_score"), F.asc("doc_id"))
-    tiled = (scored.select("doc_id", "n_bigrams", norm.alias("norm_score"))
-             .withColumn("tile", F.ntile(3).over(w)))
-    bucket = (F.when(F.col("tile") == 1, "head")
-              .when(F.col("tile") == 2, "middle")
+    per_doc = (scored.select("doc_id", norm.alias("norm_score"))
+               .withColumn("__one", F.lit(1)))
+    ranked = prefix_sum_ordered(
+        per_doc, [F.desc("norm_score"), F.asc("doc_id")], "__one", "r")
+    n1 = per_doc.agg(F.count("*").alias("n"))
+    # ntile(3): q = n div 3, m = n mod 3; tiles 1..m hold q+1 rows
+    tile = F.expr(
+        "CASE WHEN r <= (n DIV 3 + 1) * (n % 3) "
+        "THEN (r - 1) DIV (n DIV 3 + 1) + 1 "
+        "ELSE (n % 3) + (r - (n % 3) * (n DIV 3 + 1) - 1) DIV (n DIV 3) + 1 "
+        "END")
+    bucket = (F.when(tile == 1, "head")
+              .when(tile == 2, "middle")
               .otherwise("tail"))
-    return tiled.select("doc_id", "norm_score", bucket.alias("bucket"))
+    return (ranked.crossJoin(F.broadcast(n1))
+            .select("doc_id", "norm_score", bucket.alias("bucket")))
 
 
 D24_SQL = f"""

@@ -106,17 +106,20 @@ def d25_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
 
     Pure prefix-sum arithmetic: bin = exclusive-prefix-tokens div capacity
     — no greedy heuristic whose tie-breaks could diverge cross-engine.
-    Scale: the global ordered prefix sum is the per-SHARD operation of a
-    real pipeline (shards pack independently; doc_id here stands for the
-    shard-local order), so the single-partition window is the honest
-    semantic, not a scaling bug.
+    Scale: the ordered prefix sum runs as the two-phase distributed form
+    (operators/prefix.py — range partition, local running sum, K-row
+    offset merge), never a single-task global window; in a real pipeline
+    shards pack independently and doc_id stands for the shard-local
+    order, so the same plan serves both the global and per-shard forms.
     """
+    from etl_docker_spark.operators.prefix import prefix_sum_ordered
+
     docs = t(spark, sf, "documents")
-    w = (Window.orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    toks = (docs.select(
-        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("tok"))
-        .withColumn("cum", F.sum("tok").over(w)))
+    toks = prefix_sum_ordered(
+        docs.select("doc_id",
+                    F.size(F.split(F.col("text"), " ")).cast("long")
+                    .alias("tok")),
+        [F.asc("doc_id")], "tok", "cum")
     binned = toks.select(
         "doc_id", "tok",
         F.expr(f"(cum - tok) div {_PACK_CAPACITY}").alias("bin"))

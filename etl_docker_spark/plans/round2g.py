@@ -102,18 +102,20 @@ def q43_zonemap_layout(spark: SparkSession, sf: str) -> DataFrame:
     rows). This plan computes the SAME ntile via distributed two-phase
     ranking: row_number within each shipdate (the window partitions by
     date, so it parallelizes), plus each date's cumulative start offset
-    from a per-date count aggregate (~2.5k rows, the only single-partition
-    window, broadcast back). The oracle stays the plain `ntile(32)` — the
+    from a per-date count aggregate (~2.5k rows, prefix-summed via the
+    two-phase operators/prefix.py form, broadcast back). The oracle
+    stays the plain `ntile(32)` — the
     gate itself proves the two-phase form is ntile-exact, q41-style.
     """
+    from etl_docker_spark.operators.prefix import prefix_sum_ordered
+
     li = t(spark, sf, "lineitem").select(
         "l_shipdate", "l_orderkey", "l_linenumber")
     per_date = li.groupBy("l_shipdate").agg(F.count("*").alias("cnt"))
-    wd = (Window.orderBy("l_shipdate")
-          .rowsBetween(Window.unboundedPreceding, -1))
-    starts = per_date.select(
-        "l_shipdate",
-        F.coalesce(F.sum("cnt").over(wd), F.lit(0)).alias("start"))
+    starts = (prefix_sum_ordered(per_date, [F.asc("l_shipdate")],
+                                 "cnt", "__cum")
+              .select("l_shipdate",
+                      (F.col("__cum") - F.col("cnt")).alias("start")))
     n1 = li.agg(F.count("*").alias("n"))
     wr = Window.partitionBy("l_shipdate").orderBy("l_orderkey",
                                                   "l_linenumber")

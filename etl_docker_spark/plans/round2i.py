@@ -145,19 +145,21 @@ def d31_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
 
     The cumulative sum never becomes one global sort task: docs bucket into
     doc_id-blocks, the running sum is per-block (parallel window), and
-    block offsets come from a blocks-count-sized frame (the only global
-    window) broadcast back — two-phase prefix sum, q43's distribution
-    discipline. Integer arithmetic end to end.
+    block offsets come from the blocks-count frame prefix-summed via the
+    two-phase operators/prefix.py form (that frame grows with the corpus
+    — n_docs/block — so it must not be a global window either) and
+    broadcast back. Integer arithmetic end to end.
     """
+    from etl_docker_spark.operators.prefix import prefix_sum_ordered
+
     docs = t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
     docs = docs.withColumn("blk", F.expr(f"doc_id div {_SAMPLE_BLOCK}"))
     win = Window.partitionBy("blk").orderBy("doc_id")
     cum_in = F.sum("n_chars").over(
         win.rowsBetween(Window.unboundedPreceding, 0))
     bt = docs.groupBy("blk").agg(F.sum("n_chars").alias("bsum"))
-    woff = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = bt.select(
-        "blk", F.coalesce(F.sum("bsum").over(woff), F.lit(0)).alias("off"))
+    offsets = (prefix_sum_ordered(bt, [F.asc("blk")], "bsum", "__cum")
+               .select("blk", (F.col("__cum") - F.col("bsum")).alias("off")))
     total = docs.agg(F.sum("n_chars").alias("tot"))
     cum = (docs.withColumn("cum_in", cum_in)
            .join(F.broadcast(offsets), "blk")

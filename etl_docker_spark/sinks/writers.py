@@ -15,6 +15,7 @@ import datetime as dt
 import traceback
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 AUDIT_SCHEMA = T.StructType([
@@ -102,12 +103,21 @@ def route_rows_to_quarantine(df: DataFrame, valid, quarantine_dir: str,
     evaluated scan-side twice (cheaper than caching the full input just to
     split it once). An audit row records the quarantine count when
     `log_path` is given.
+
+    NULL predicate rows go to QUARANTINE: `valid` is three-valued, and a
+    plain filter(valid)/filter(~valid) pair silently drops NULL rows from
+    BOTH sides (ADVICE r3) — a validity check that cannot decide is a
+    failed validity check. The clean+quarantine partition invariant
+    requires a DETERMINISTIC input: the two passes re-evaluate `df`, so a
+    non-deterministic upstream (a re-fetched REST source, a sample)
+    must be localCheckpoint()ed by the caller first.
     """
     spark = df.sparkSession
-    bad = df.filter(~valid)
+    decided = F.coalesce(valid, F.lit(False))
+    bad = df.filter(~decided)
     bad.write.mode("overwrite").parquet(quarantine_dir)
     n_bad = spark.read.parquet(quarantine_dir).count()
     if log_path is not None:
         audit_log_entry(spark, log_path, load_table, None, n_bad,
                         False, f"{n_bad} rows quarantined")
-    return df.filter(valid)
+    return df.filter(decided)

@@ -179,6 +179,43 @@ def test_registry_complete_and_oracle_backed(spark):
     assert {n.split("_")[0] for n in qs} == expected
 
 
+def test_gate_window_samples_every_round(spark):
+    """The external gate checks the FIRST 50 registry entries only; pin
+    that the window is the deliberate cross-round sample from
+    registry._GATE_WINDOW (round 3's verdict: everything newer than
+    round 1 had never been under the hard gate)."""
+    import __spark_entry__ as entrymod
+
+    first50 = list(entrymod.queries())[:50]
+    # complete round-3 set present
+    r3 = {"q69_dag_audit_trail", "d45_dedup_method_agreement",
+          "e18_tombstone_search", "s12_stream_jsonl_ingest",
+          "g04_kcore_peel", "q60_quarantine_routing"}
+    assert r3 <= set(first50)
+    # round-2 cross-section incl. the round-4 global-window rewrites
+    assert {"d21_bm25_search", "e08_hybrid_rrf",
+            "d24_perplexity_buckets"} <= set(first50)
+    # round-1 anchors still sampled
+    assert {"q01_pricing_summary", "s01_stream_tumbling"} <= set(first50)
+
+
+@pytest.mark.parametrize("name", [
+    "d21_bm25_search", "e08_hybrid_rrf", "d24_perplexity_buckets",
+    "d25_sequence_packing", "q43_zonemap_layout", "d31_weighted_sample",
+    "q14_running_spend", "d18_token_budget_curation",
+])
+def test_no_unbounded_global_window(spark, name):
+    """Round-3 verdict: three queries still ranked/tiled through an
+    unpartitioned window over a corpus-sized frame — a single task sorts
+    everything at 100 TB. All were rewritten two-phase (round 4); this
+    pins the plan shape for them plus the queries that always used the
+    distributed form. The audit rule lives in tools/plan_audit.py and
+    renders as the PLANS.md global-window column."""
+    from tools.plan_audit import unbounded_global_windows
+
+    assert unbounded_global_windows(formatted_plan(spark, name)) == 0, name
+
+
 def test_q42_q58_no_expand(spark):
     """Regression pin for the multi-distinct Expand removal: both queries
     pre-aggregate to the distinct key grain, so Catalyst must not plan an

@@ -120,6 +120,30 @@ def test_quarantine_router_partitions_input(spark, tmp_path_factory, ids, mod):
 
 
 @SETTINGS
+@given(ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=60,
+                    unique=True),
+       mod=st.integers(2, 9))
+def test_quarantine_router_nullable_predicate(spark, tmp_path_factory, ids,
+                                              mod):
+    """A NULLABLE predicate must still PARTITION the input: rows where the
+    rule evaluates NULL (undecidable validity) belong in quarantine, not
+    dropped from both sides (ADVICE r3). Rule: NULL when id%mod==1."""
+    from etl_docker_spark.sinks.writers import route_rows_to_quarantine
+
+    qdir = str(tmp_path_factory.mktemp("quarnull"))
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    rule = F.when(F.pmod("id", F.lit(mod)) == 1, F.lit(None).cast("boolean")) \
+        .otherwise(F.pmod("id", F.lit(mod)) != 0)
+    clean = route_rows_to_quarantine(df, rule, qdir)
+    got_clean = {r["id"] for r in clean.collect()}
+    got_bad = {r["id"] for r in spark.read.parquet(qdir).collect()}
+    assert got_clean | got_bad == set(ids)
+    assert got_clean & got_bad == set()
+    # NULL-rule rows (id%mod==1) and invalid rows (id%mod==0) quarantined
+    assert got_bad == {i for i in ids if i % mod in (0, 1)}
+
+
+@SETTINGS
 @given(ids=st.lists(st.integers(0, 100_000), min_size=1, max_size=80,
                     unique=True))
 def test_hash_split_is_stable_under_growth(spark, ids):

@@ -28,6 +28,85 @@ def formatted_plan(df) -> str:
     return jqe.explainString(mode)
 
 
+def _top_level_lists(arguments: str) -> int:
+    """Count top-level [...] lists in a node's `Arguments:` line."""
+    depth = 0
+    lists = 0
+    for ch in arguments:
+        if ch == "[":
+            if depth == 0:
+                lists += 1
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+    return lists
+
+
+_BOUNDED_NODES = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit",
+                  "LocalLimit")
+
+
+def unbounded_global_windows(plan: str) -> int:
+    """Count WindowExec nodes that (a) have NO partition spec — the whole
+    input collapses into one task's sort — AND (b) are not bounded by
+    construction. Bounded means: a limit node (TakeOrderedAndProject /
+    GlobalLimit / …) in the window's subtree caps its input at k rows, or
+    the window orders by `__pid` (operators/prefix.py's offset-merge frame:
+    one row per shuffle partition, bounded by cluster width, not data).
+
+    An unpartitioned Window's `Arguments:` carries 2 top-level lists where
+    the second is an ORDER spec (contains ASC/DESC markers) or is empty;
+    a partitioned one carries 3 lists (exprs, partition, order), or 2
+    where the second is a bare partition-column list (partition-only
+    windows like `count(*) over (partition by k)` have no order spec).
+    Anything this returns >0 for is a single-task sort over a data-sized
+    frame — the plan shape that dies at 100 TB (round-3 verdict: d21/e08/
+    d24). tests/test_plans.py pins this to zero across the surface.
+    """
+    if "== Final Plan ==" in plan:
+        tree = plan.split("== Final Plan ==")[1].split("== Initial Plan ==")[0]
+    else:
+        tree = plan.split("\n\n")[0]
+    lines = tree.split("\n")
+
+    def indent(line: str) -> int:
+        return len(line) - len(line.lstrip(" +-:*"))
+
+    details: dict[str, str] = {}
+    for block in re.split(r"^(?=\(\d+\) )", plan, flags=re.M):
+        m = re.match(r"^\((\d+)\) Window\s*\n", block)
+        if m:
+            details[m.group(1)] = block
+    flagged = 0
+    for i, line in enumerate(lines):
+        m = re.match(r"^[\s+:*-]*Window \((\d+)\)\s*$", line)
+        if not m:
+            continue
+        detail = details.get(m.group(1), "")
+        arg = re.search(r"Arguments: (.*)", detail)
+        if not arg or _top_level_lists(arg.group(1)) != 2:
+            continue  # exprs + partition + order — parallel by key
+        # second list is the partition spec iff it has no sort direction
+        # markers (partition-only windows carry no order list at all)
+        second = arg.group(1)
+        second = second[second.rindex("], [") + 3:] if "], [" in second else ""
+        if (second.strip(" []") and " ASC" not in second
+                and " DESC" not in second):
+            continue  # partition-only window — parallel by key
+        if "__pid#" in arg.group(1) or "__pid ASC" in arg.group(1):
+            continue  # prefix-sum offset merge: one row per partition
+        my_indent = indent(line)
+        subtree = []
+        for nxt in lines[i + 1:]:
+            if nxt.strip() and indent(nxt) <= my_indent:
+                break
+            subtree.append(nxt)
+        if any(any(b in s for b in _BOUNDED_NODES) for s in subtree):
+            continue  # k-row input by construction
+        flagged += 1
+    return flagged
+
+
 def audit(plan: str) -> dict[str, object]:
     # After AQE finalization the tree renders the Final Plan followed by the
     # Initial Plan, with ONE shared details list for both id ranges. Audit
@@ -63,6 +142,7 @@ def audit(plan: str) -> dict[str, object]:
         # plan for brute-force scoring (e01/e03); CartesianProduct is not
         "bnlj": n("BroadcastNestedLoopJoin"),
         "cartesian": n("CartesianProduct") > 0,
+        "global_window": unbounded_global_windows(plan),
     }
 
 
@@ -97,8 +177,13 @@ def main() -> None:
           "(LSH single-corpus-pass, no-cartesian) and run once per "
           "session.")
     print()
-    print("| query | shuffles | bcast | shuffle-joins | wscg | pushdown | bnlj | cartesian |")
-    print("|---|---|---|---|---|---|---|---|")
+    print("global-window = unpartitioned WindowExec nodes not bounded by a "
+          "limit or the __pid offset-merge pattern (single-task sort over "
+          "a data-sized frame — must be empty everywhere; see "
+          "operators/prefix.py).")
+    print()
+    print("| query | shuffles | bcast | shuffle-joins | wscg | pushdown | bnlj | cartesian | global-window |")
+    print("|---|---|---|---|---|---|---|---|---|")
     streaming, failures = [], []
     for name, spec in QUERIES.items():
         if re.match(r"s\d", name):
@@ -113,7 +198,8 @@ def main() -> None:
             continue
         print(f"| {name} | {a['exchanges']} | {a['bhj']} | {a['smj_shj']} "
               f"| {a['codegen']} | {'✓' if a['pushed'] else '—'} "
-              f"| {a['bnlj'] or ''} | {'⚠' if a['cartesian'] else ''} |")
+              f"| {a['bnlj'] or ''} | {'⚠' if a['cartesian'] else ''} "
+              f"| {'⚠' + str(a['global_window']) if a['global_window'] else ''} |")
     print()
     if streaming:
         print(f"Streaming (audited by tests, not here): {', '.join(streaming)}.")
