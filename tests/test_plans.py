@@ -170,10 +170,10 @@ def test_registry_complete_and_oracle_backed(spark):
     missing = set(qs) - set(oracles) - rows_only_allowed
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
-        *(f"q{i:02d}" for i in range(1, 70)),
+        *(f"q{i:02d}" for i in range(1, 71)),
         *(f"d{i:02d}" for i in range(1, 46)),
         *(f"e{i:02d}" for i in range(1, 19)),
-        *(f"s{i:02d}" for i in range(1, 13)),
+        *(f"s{i:02d}" for i in range(1, 14)),
         "g01", "g02", "g03", "g04",
     }
     assert {n.split("_")[0] for n in qs} == expected
