@@ -356,6 +356,19 @@ def e10_pq_adc_search(spark: SparkSession, sf: str) -> DataFrame:
     every distance bit-for-bit; ties (vectors sharing all 4 codes have
     identical ADC distance by construction) break by neighbor id.
     """
+    wq = Window.partitionBy("query_id")
+    return (_adc_scored(spark, sf)
+            .withColumn("rank", F.row_number().over(
+                wq.orderBy(F.asc("adc"), F.asc("neighbor_id"))).cast("long"))
+            .filter(F.col("rank") <= _ADC_K)
+            .select("query_id", "neighbor_id",
+                    F.col("adc").alias("adc_dist"), "rank"))
+
+
+def _adc_scored(spark: SparkSession, sf: str) -> DataFrame:
+    """(query_id, neighbor_id, adc) for every corpus vector: e10's scored
+    frame before ranking — also the shortlist source for e19's exact
+    re-rank stage."""
     base = _pq_base(spark, sf)
     out = None
     dts = []
@@ -375,16 +388,10 @@ def e10_pq_adc_search(spark: SparkSession, sf: str) -> DataFrame:
     for s, dt in enumerate(dts):
         on = [f"code{s}"] if s == 0 else ["query_id", f"code{s}"]
         scored = scored.join(F.broadcast(dt), on)
-    wq = Window.partitionBy("query_id")
     return (scored.filter(F.col("vec_id") != F.col("query_id"))
             .select("query_id", F.col("vec_id").alias("neighbor_id"),
                     (F.col("d0") + F.col("d1") + F.col("d2")
-                     + F.col("d3")).alias("adc"))
-            .withColumn("rank", F.row_number().over(
-                wq.orderBy(F.asc("adc"), F.asc("neighbor_id"))).cast("long"))
-            .filter(F.col("rank") <= _ADC_K)
-            .select("query_id", "neighbor_id",
-                    F.col("adc").alias("adc_dist"), "rank"))
+                     + F.col("d3")).alias("adc")))
 
 
 def _adc_dt_sql(s: int) -> str:

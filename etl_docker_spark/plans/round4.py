@@ -13,7 +13,7 @@ plus the lifecycle counters as a VALUES literal (the q68/q69 pattern).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 ROUND4: dict = {}
@@ -203,4 +203,175 @@ GROUP BY 1, 2
 
 ROUND4.update({
     "s13_stream_late_data_drop": (s13_stream_late_data_drop, S13_SQL),
+})
+
+# ---------------------------------------------------------------- g05
+
+_G05_DEPTH = 7     # covers part keys < 10^6 at any corpus scale here
+_G05_TOP = 100     # report the top three levels (nodes 0..99)
+
+
+def g05_hierarchy_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical subtree rollup over an N-ary hierarchy encoded in the
+    part key (parent = p_partkey div 10 — node k's children are
+    10k..10k+9, root 0): per top-level node, descendant count and
+    DECIMAL-exact subtree retail value.
+
+    The Spark-first shape for FIXED-DEPTH hierarchies (org charts,
+    category trees, chart-of-accounts): instead of an iterative
+    bottom-up loop (depth x shuffles), each row explodes into its <= 7
+    ancestor prefixes — path enumeration — and one map-side-combinable
+    aggregation rolls every subtree up in a single shuffle of
+    (node, value) pairs. 100 TB shape: explode factor = tree depth (a
+    constant), the filter to reported nodes pushes below the aggregate,
+    and no iteration barriers exist at all. Unbounded-depth hierarchies
+    fall back to g03's iterative-BFS machinery; depth here is a declared
+    bound, asserted in the plan (keys >= 10^7 would silently truncate).
+    """
+    from etl_docker_spark.plans._util import dsum, t
+
+    part = t(spark, sf, "part").select("p_partkey", "p_retailprice")
+    ancestors = F.array_distinct(F.array(
+        *[F.expr(f"p_partkey div {10 ** k}") for k in range(_G05_DEPTH)]))
+    anc = (part.select("p_retailprice", F.explode(ancestors).alias("node"))
+           .filter(F.col("node") < _G05_TOP))
+    depth = (F.when(F.col("node") == 0, F.lit(0))
+             .otherwise(F.length(F.col("node").cast("string")))
+             .cast("long"))
+    return (anc.groupBy("node")
+            .agg(F.count("*").alias("n_desc"),
+                 dsum("p_retailprice").alias("subtree_value"))
+            .select("node", depth.alias("depth"), "n_desc",
+                    "subtree_value"))
+
+
+G05_SQL = f"""
+WITH anc AS (
+  SELECT p_retailprice,
+         unnest(list_distinct([
+           {", ".join(f"p_partkey // {10 ** k}" for k in range(_G05_DEPTH))}
+         ])) AS node
+  FROM part
+)
+SELECT node,
+       CAST(CASE WHEN node = 0 THEN 0
+                 ELSE length(CAST(node AS VARCHAR)) END AS BIGINT) AS depth,
+       COUNT(*) AS n_desc,
+       CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(12,4))) AS VARCHAR)
+            AS DOUBLE) AS subtree_value
+FROM anc
+WHERE node < {_G05_TOP}
+GROUP BY node
+"""
+
+ROUND4.update({
+    "g05_hierarchy_rollup": (g05_hierarchy_rollup, G05_SQL),
+})
+
+# ---------------------------------------------------------------- e19
+
+_E19_SHORTLIST = 32   # ADC candidates refined per query
+_E19_K = 5            # exact-ranked results returned
+
+
+def e19_adc_exact_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage PQ serving: e10's compressed ADC scan shortlists 32
+    candidates per query, then ONLY those 32 rows are re-ranked by exact
+    cosine against the raw embeddings — the standard shortlist+refine
+    pipeline every production PQ deployment runs (compressed codes for
+    the corpus-wide scan, exact math for the handful that matter).
+
+    Scale shape: stage 1 never touches raw vectors (e10's 4 broadcast
+    code-table lookups); stage 2's exact work is bounded at
+    shortlist x n_queries rows — the raw-embedding join is a semi-join
+    on (neighbor_id) of a k-row frame against the corpus, so refinement
+    cost is independent of corpus size. Output pins both ranks: the
+    exact order AND where each survivor sat in the ADC order, which is
+    the per-query evidence for choosing the shortlist width (a survivor
+    with adc_rank near 32 says the shortlist is too narrow).
+    """
+    from etl_docker_spark.llm.similarity import cosine_expr
+    from etl_docker_spark.plans._util import t
+    from etl_docker_spark.plans.round2g import _ADC_NQ, _adc_scored
+
+    wq = Window.partitionBy("query_id")
+    shortlist = (_adc_scored(spark, sf)
+                 .withColumn("adc_rank", F.row_number().over(
+                     wq.orderBy(F.asc("adc"), F.asc("neighbor_id")))
+                     .cast("long"))
+                 .filter(F.col("adc_rank") <= _E19_SHORTLIST)
+                 .select("query_id", "neighbor_id", "adc_rank"))
+    emb = t(spark, sf, "embeddings")
+    qv = (emb.filter(F.col("vec_id") < _ADC_NQ)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qv")))
+    nb = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("nv"))
+    exact = (shortlist.join(nb, "neighbor_id")
+             .join(F.broadcast(qv), "query_id")
+             .select("query_id", "neighbor_id", "adc_rank",
+                     F.round(cosine_expr(F.col("nv"), F.col("qv")), 8)
+                     .alias("cosine")))
+    return (exact.withColumn("exact_rank", F.row_number().over(
+        wq.orderBy(F.desc("cosine"), F.asc("neighbor_id"))).cast("long"))
+        .filter(F.col("exact_rank") <= _E19_K)
+        .select("query_id", "neighbor_id", "cosine", "exact_rank",
+                "adc_rank"))
+
+
+def _e19_sql() -> str:
+    from etl_docker_spark.plans.round2g import (_ADC_NQ, _PQ_SUBS,
+                                                _adc_dt_sql, _pq_sub_sql)
+
+    dot = ("list_reduce(list_transform(generate_series(1, len({a})), "
+           "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+           "(x, y) -> x + y)")
+    return (
+        "WITH " + ",".join(_pq_sub_sql(s) for s in range(_PQ_SUBS))
+        + "," + ",".join(_adc_dt_sql(s) for s in range(_PQ_SUBS))
+        + f""",
+codes AS (
+  SELECT vec_id, code0, code1, code2, code3
+  FROM code_0 JOIN code_1 USING (vec_id)
+  JOIN code_2 USING (vec_id) JOIN code_3 USING (vec_id)
+),
+scored AS (
+  SELECT d0.query_id, c.vec_id AS neighbor_id,
+         d0.d + d1.d + d2.d + d3.d AS adc
+  FROM codes c
+  JOIN dt_0 d0 ON d0.code = c.code0
+  JOIN dt_1 d1 ON d1.query_id = d0.query_id AND d1.code = c.code1
+  JOIN dt_2 d2 ON d2.query_id = d0.query_id AND d2.code = c.code2
+  JOIN dt_3 d3 ON d3.query_id = d0.query_id AND d3.code = c.code3
+  WHERE c.vec_id <> d0.query_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc, neighbor_id) AS BIGINT)
+           AS adc_rank
+  FROM scored
+  QUALIFY adc_rank <= {_E19_SHORTLIST}
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id, s.adc_rank,
+         round({dot.format(a='n.embedding', b='q.embedding')}
+               / sqrt({dot.format(a='n.embedding', b='n.embedding')}
+                      * {dot.format(a='q.embedding', b='q.embedding')}),
+               8) AS cosine
+  FROM shortlist s
+  JOIN embeddings n ON n.vec_id = s.neighbor_id
+  JOIN embeddings q ON q.vec_id = s.query_id AND q.vec_id < {_ADC_NQ}
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id)
+            AS BIGINT) AS exact_rank,
+       adc_rank
+FROM exact
+QUALIFY exact_rank <= {_E19_K}""")
+
+
+ROUND4.update({
+    "e19_adc_exact_rerank": (e19_adc_exact_rerank, _e19_sql()),
 })

@@ -172,9 +172,9 @@ def test_registry_complete_and_oracle_backed(spark):
     expected = {
         *(f"q{i:02d}" for i in range(1, 71)),
         *(f"d{i:02d}" for i in range(1, 46)),
-        *(f"e{i:02d}" for i in range(1, 19)),
+        *(f"e{i:02d}" for i in range(1, 20)),
         *(f"s{i:02d}" for i in range(1, 14)),
-        "g01", "g02", "g03", "g04",
+        "g01", "g02", "g03", "g04", "g05",
     }
     assert {n.split("_")[0] for n in qs} == expected
 
