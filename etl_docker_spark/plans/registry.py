@@ -44,25 +44,27 @@ class QuerySpec:
 # The external correctness gate samples the FIRST 50 registry entries, so
 # plain build-order listing would gate only the oldest surface forever
 # (rounds 1-3: the gate never saw anything newer than round 1). This window
-# pins the first 50 to a deliberate cross-round sample: the full round-3
-# set (newest, least externally verified), a 15-query round-2 cross-section
+# pins the first 50 to a deliberate cross-round sample: everything from
+# rounds 3-4 (newest, least externally verified), a round-2 cross-section
 # covering every operator family (including the three queries whose global
-# windows were rewritten two-phase in round 4: d21/e08/d24), and 8 round-1
+# windows were rewritten two-phase in round 4: d21/e08/d24), and 4 round-1
 # anchors. Membership is what matters, not order within the window; the
 # remaining queries follow in build order and stay covered by the
 # full-surface artifact (CORRECTNESS_full_r*.json).
 _GATE_WINDOW = [
     # round-1 anchors
     "q01_pricing_summary", "q02_revenue_by_nation",
-    "q07_latest_order_per_customer", "q12_event_daily_rollup",
-    "d01_exact_dedup", "d06_minhash_pairs", "e01_knn_bruteforce",
-    "s01_stream_tumbling",
+    "d01_exact_dedup", "s01_stream_tumbling",
     # round-2 cross-section
-    "q33_scd2_history", "q36_exact_percentiles", "q38_funnel_conversion",
-    "q41_salted_segment_revenue", "q43_zonemap_layout", "d14_dedup_corpus",
+    "q33_scd2_history", "q38_funnel_conversion",
+    "q41_salted_segment_revenue", "q43_zonemap_layout",
     "d18_token_budget_curation", "d21_bm25_search", "d24_perplexity_buckets",
     "e05_ivf_train", "e08_hybrid_rrf", "e11_ivfpq_search", "g01_pagerank",
     "g02_triangle_count", "s05_stream_stream_join",
+    # round-4, complete
+    "q70_incremental_lifecycle", "q71_relational_division",
+    "d46_minhash_estimation_error", "e19_adc_exact_rerank",
+    "s13_stream_late_data_drop", "g05_hierarchy_rollup",
     # round-3, complete
     "q58_approx_distinct", "q59_approx_percentile", "q60_quarantine_routing",
     "q61_jsonl_ingest", "q62_interval_join", "q63_set_operations",

@@ -375,3 +375,168 @@ QUALIFY exact_rank <= {_E19_K}""")
 ROUND4.update({
     "e19_adc_exact_rerank": (e19_adc_exact_rerank, _e19_sql()),
 })
+
+# ---------------------------------------------------------------- q71
+
+
+def q71_relational_division(spark: SparkSession, sf: str) -> DataFrame:
+    """Relational division ('for all'): per market segment, how many
+    ordering customers have placed orders in EVERY priority class that
+    exists corpus-wide — the classic division query (suppliers covering
+    all regions, users hitting every funnel step) that no other q-entry
+    exercises.
+
+    Scale shape: division-by-counting, never division-by-set-difference
+    — per-customer distinct-priority counts are a two-level partial
+    aggregation on the orders scan (count-distinct over a 5-value
+    column collapses map-side), the universe size is a 1-row broadcast,
+    and the segment join is a broadcast of the customer dim. ppm share
+    via integer div keeps the gate exact.
+    """
+    from etl_docker_spark.plans._util import t
+
+    orders = t(spark, sf, "orders").select("o_custkey", "o_orderpriority")
+    per_cust = (orders.groupBy("o_custkey")
+                .agg(F.countDistinct("o_orderpriority").alias("n_prio")))
+    universe = orders.agg(
+        F.countDistinct("o_orderpriority").alias("n_all"))
+    cust = t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    return (per_cust.crossJoin(F.broadcast(universe))
+            .join(F.broadcast(cust), "o_custkey")
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count("*").alias("n_customers"),
+                 F.sum(F.when(F.col("n_prio") == F.col("n_all"), 1)
+                       .otherwise(0)).cast("long").alias("n_complete"))
+            .withColumn("complete_ppm",
+                        F.expr("1000000 * n_complete div n_customers")))
+
+
+Q71_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_prio
+  FROM orders GROUP BY o_custkey
+),
+universe AS (
+  SELECT COUNT(DISTINCT o_orderpriority) AS n_all FROM orders
+)
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CASE WHEN p.n_prio = u.n_all THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_complete,
+       1000000 * CAST(SUM(CASE WHEN p.n_prio = u.n_all THEN 1 ELSE 0 END)
+                      AS BIGINT) // COUNT(*) AS complete_ppm
+FROM per_cust p, universe u
+JOIN customer c ON c.c_custkey = p.o_custkey
+GROUP BY 1, u.n_all
+"""
+
+ROUND4.update({
+    "q71_relational_division": (q71_relational_division, Q71_SQL),
+})
+
+# ---------------------------------------------------------------- d46
+
+_D46_H = 16   # signature width (d06's default)
+
+
+def d46_minhash_estimation_error(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash estimator-bias audit: for every verified near-dup pair
+    (d06), the Jaccard the 16-lane signature ESTIMATES (matching lanes /
+    16) against the exact hashed-shingle Jaccard — the per-pair error
+    that prices the signature width. d45 audits detector AGREEMENT
+    (minhash vs simhash); this audits the estimator itself: a 16-hash
+    signature quantizes Jaccard to 1/16 steps, and err_ppm is the
+    evidence for widening (or narrowing) the signature at 100 TB, where
+    signature width IS the shuffle width of the dedup pass.
+
+    Scale shape: the pair frame is the memoized d06 graph (no second
+    corpus pass for candidates); signatures are recomputed only for
+    documents that appear in a pair (left-semi pushdown before the
+    shingle explode), so the audit's cost scales with the DUPLICATE
+    population, not the corpus.
+    """
+    from etl_docker_spark.llm.dedup import (MINHASH_COEFFS, MINHASH_P,
+                                            _base_hash, shingle_rows)
+    from etl_docker_spark.plans._util import t
+    from etl_docker_spark.plans.llm_queries import minhash_pairs_frame
+
+    pairs = minhash_pairs_frame(spark, sf)
+    ids = (pairs.select(F.col("doc_a").alias("doc_id"))
+           .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+           .distinct())
+    docs = (t(spark, sf, "documents").select("doc_id", "text")
+            .join(ids, "doc_id", "left_semi"))
+    hashed = (shingle_rows(docs, "doc_id", "text", 3)
+              .select("doc", _base_hash(F.col("s")).alias("h")))
+    sig = hashed.groupBy("doc").agg(
+        *[F.min((F.lit(MINHASH_COEFFS[j][0]) * F.col("h")
+                 + F.lit(MINHASH_COEFFS[j][1])) % F.lit(MINHASH_P))
+          .alias(f"mh{j}") for j in range(_D46_H)])
+    sa = sig.select(F.col("doc").alias("doc_a"),
+                    *[F.col(f"mh{j}").alias(f"a{j}") for j in range(_D46_H)])
+    sb = sig.select(F.col("doc").alias("doc_b"),
+                    *[F.col(f"mh{j}").alias(f"b{j}") for j in range(_D46_H)])
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(_D46_H))
+    return (pairs.join(F.broadcast(sa), "doc_a")
+            .join(F.broadcast(sb), "doc_b")
+            .select("doc_a", "doc_b",
+                    F.expr("1000000 * inter_n div union_n")
+                    .alias("exact_ppm"),
+                    (F.lit(1_000_000) * matches.cast("long")
+                     / F.lit(_D46_H)).cast("long").alias("est_ppm"))
+            .withColumn("err_ppm",
+                        F.abs(F.col("est_ppm") - F.col("exact_ppm"))))
+
+
+def _d46_sql() -> str:
+    from etl_docker_spark.plans.llm_queries import D06_SQL, _MH_COLS
+
+    lanes = " + ".join(
+        f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)"
+        for j in range(_D46_H))
+    return f"""
+WITH pairs AS ({D06_SQL}),
+ids AS (
+  SELECT DISTINCT doc_a AS doc_id FROM pairs
+  UNION SELECT DISTINCT doc_b FROM pairs
+),
+toks2 AS (
+  SELECT d.doc_id, string_split(d.text, ' ') AS tk
+  FROM documents d JOIN ids USING (doc_id)
+),
+sh2 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(tk) - 2, 1)),
+             i -> array_to_string(tk[i:i+2], ' '))) AS sh
+  FROM toks2
+),
+hashed2 AS (
+  SELECT doc_id,
+         list_transform(sh, s -> CAST('0x' || substring(md5(s), 1, 8)
+                                      AS BIGINT)) AS hh
+  FROM sh2
+),
+sig AS (
+  SELECT doc_id,
+         {_MH_COLS}
+  FROM hashed2
+)
+SELECT p.doc_a, p.doc_b,
+       1000000 * p.inter_n // p.union_n AS exact_ppm,
+       CAST(1000000 * ({lanes}) / {_D46_H} AS BIGINT) AS est_ppm,
+       abs(CAST(1000000 * ({lanes}) / {_D46_H} AS BIGINT)
+           - 1000000 * p.inter_n // p.union_n) AS err_ppm
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b
+"""
+
+
+ROUND4.update({
+    "d46_minhash_estimation_error": (d46_minhash_estimation_error,
+                                     _d46_sql()),
+})

@@ -170,8 +170,8 @@ def test_registry_complete_and_oracle_backed(spark):
     missing = set(qs) - set(oracles) - rows_only_allowed
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
-        *(f"q{i:02d}" for i in range(1, 71)),
-        *(f"d{i:02d}" for i in range(1, 46)),
+        *(f"q{i:02d}" for i in range(1, 72)),
+        *(f"d{i:02d}" for i in range(1, 47)),
         *(f"e{i:02d}" for i in range(1, 20)),
         *(f"s{i:02d}" for i in range(1, 14)),
         "g01", "g02", "g03", "g04", "g05",
@@ -197,6 +197,11 @@ def test_gate_window_samples_every_round(spark):
             "d24_perplexity_buckets"} <= set(first50)
     # round-1 anchors still sampled
     assert {"q01_pricing_summary", "s01_stream_tumbling"} <= set(first50)
+    # complete round-4 set present
+    assert {"q70_incremental_lifecycle", "q71_relational_division",
+            "d46_minhash_estimation_error", "e19_adc_exact_rerank",
+            "s13_stream_late_data_drop",
+            "g05_hierarchy_rollup"} <= set(first50)
 
 
 @pytest.mark.parametrize("name", [
