@@ -102,7 +102,6 @@ ROUND4.update({
 
 _S13_SPLIT = "2024-01-16"   # events before this date arrive LATE
 _S13_BRIDGE = "2024-02-14"  # advances the (lagging) late-event watermark
-_S13_FLUSH = "2024-02-15"   # sentinel that closes every real window
 
 
 def s13_stream_late_data_drop(spark: SparkSession, sf: str) -> DataFrame:
@@ -126,11 +125,11 @@ def s13_stream_late_data_drop(spark: SparkSession, sf: str) -> DataFrame:
                input filtering.
       batch 3  events with ts <  2024-01-16 — entirely late; append
                mode must discard all of them (the engine reports them
-               via numRowsDroppedByWatermark).
-      batch 4  one far-future sentinel row (2024-02-15) that pushes the
-               watermark past every real window so the January and
-               bridge windows emit (its own window stays open and never
-               appears; the bridge window is filtered from the result).
+               via numRowsDroppedByWatermark). availableNow then runs a
+               final no-data batch whose watermark (2024-02-14, from the
+               bridge) closes every January window, so they all emit;
+               the bridge's own window ends past that watermark and
+               never appears.
 
     Oracle: the daily per-type aggregate over ONLY the on-time slice —
     if any late row survived (or any on-time row was dropped), counts
@@ -154,13 +153,12 @@ def s13_stream_late_data_drop(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(ts).cast("timestamp").alias("ts"), "event_type", "value")
 
     bridge = one_row(_S13_BRIDGE, "_bridge")
-    sentinel = one_row(_S13_FLUSH, "_flush")
 
     work = tempfile.mkdtemp(prefix="s13_")
     try:
         arrivals = os.path.join(work, "arrivals")
         os.makedirs(arrivals)
-        for i, part in enumerate((on_time, bridge, late, sentinel)):
+        for i, part in enumerate((on_time, bridge, late)):
             stage = os.path.join(work, f"stage{i}")
             part.coalesce(1).write.mode("overwrite").parquet(stage)
             src = next(f for f in os.listdir(stage)
@@ -183,7 +181,7 @@ def s13_stream_late_data_drop(spark: SparkSession, sf: str) -> DataFrame:
             q.awaitTermination(300)
             q.stop()
         return (spark.table(name)
-                .filter(~F.col("event_type").isin("_flush", "_bridge"))
+                .filter(F.col("event_type") != "_bridge")
                 .select(F.col("window_start").alias("day"), "event_type",
                         "n_events", "total_value")
                 .localCheckpoint())
