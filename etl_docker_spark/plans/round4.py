@@ -538,3 +538,124 @@ ROUND4.update({
     "d46_minhash_estimation_error": (d46_minhash_estimation_error,
                                      _d46_sql()),
 })
+
+# ---------------------------------------------------------------- s14
+
+_S14_CUTOFF = "2024-01-11"   # first 10 event days -> 10 micro-batches
+_S14_TTL_DAYS = 3
+
+
+def s14_stream_ttl_eviction(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful TTL EVICTION under the oracle gate: per-(user, event_type)
+    running totals through applyInPandasWithState where a key idle past
+    the event-time TTL has its state REMOVED — on an unbounded key space
+    this eviction is the only thing keeping streaming state bounded, and
+    no other s-query pins it (s03 keeps state forever; s13 pins the
+    late-INPUT drop, this pins the state-side eviction).
+
+    One file per calendar day (day-truncated ts, integer cents) feeds
+    10 deterministic micro-batches. Empirically pinned eviction timing
+    on this engine (see tests and the s13 lag note): the timeout fires
+    in the first data-less batch whose watermark STRICTLY exceeds
+    last_ts + ttl, and the watermark during the day-X batch is day X-1
+    (one-batch lag). With midnight-aligned days and every day present,
+    a key's state therefore restarts before activity day E iff
+    E >= last_activity + ttl_days + 3 — a pure day-arithmetic rule the
+    batch oracle replays: per key, totals of the FINAL surviving state
+    segment as of its last emission. Keys that idle out after their
+    last activity keep their last emitted row (eviction emits nothing),
+    which the oracle reproduces by construction.
+
+    Integer-cents totals (pandas int64 sums) keep cross-engine equality
+    exact — float accumulation order would diverge in the last ulp.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from etl_docker_spark.plans._util import stream_state_partitions, t
+    from etl_docker_spark.streaming.stateful import keyed_ttl_totals
+
+    ev = (t(spark, sf, "events")
+          .filter(F.col("ts") < F.lit(_S14_CUTOFF).cast("timestamp"))
+          .select(
+              F.concat_ws(":", F.col("user_id").cast("string"),
+                          "event_type").alias("state_key"),
+              F.date_trunc("day", F.col("ts")).alias("ts"),
+              F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+              F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+              .alias("dcol")))
+
+    work = tempfile.mkdtemp(prefix="s14_")
+    try:
+        staged = os.path.join(work, "staged")
+        # one writer task -> exactly one file per day partition
+        ev.coalesce(1).write.partitionBy("dcol").mode("overwrite") \
+            .parquet(staged)
+        arrivals = os.path.join(work, "arrivals")
+        os.makedirs(arrivals)
+        days = sorted(d for d in os.listdir(staged) if d.startswith("dcol="))
+        for i, d in enumerate(days):
+            src_dir = os.path.join(staged, d)
+            src = next(f for f in os.listdir(src_dir)
+                       if f.endswith(".parquet"))
+            dst = os.path.join(arrivals, f"{i:03d}.parquet")
+            shutil.copyfile(os.path.join(src_dir, src), dst)
+            os.utime(dst, (1700000000 + i * 60, 1700000000 + i * 60))
+
+        probe = spark.read.parquet(arrivals)
+        stream = (spark.readStream.schema(probe.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(arrivals))
+        out = keyed_ttl_totals(
+            stream, ttl_ms=_S14_TTL_DAYS * 86_400_000)
+        name = f"s14_sink_{abs(hash(sf)) % 10 ** 8}"
+        with stream_state_partitions(spark, 4):
+            q = (out.writeStream.outputMode("update").format("memory")
+                 .queryName(name).trigger(availableNow=True).start())
+            q.awaitTermination(300)
+            q.stop()
+        w = Window.partitionBy("state_key").orderBy(F.desc("last_ts"))
+        return (spark.table(name)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select("state_key", "n_events", "total_cents", "last_ts")
+                .localCheckpoint())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+S14_SQL = f"""
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS state_key,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE ts < TIMESTAMP '{_S14_CUTOFF} 00:00:00'
+),
+dd AS (SELECT DISTINCT state_key, d FROM ev),
+lg AS (
+  SELECT state_key, d,
+         CASE WHEN lag(d) OVER w IS NULL THEN 0
+              WHEN d >= lag(d) OVER w
+                        + INTERVAL {_S14_TTL_DAYS + 3} DAY THEN 1
+              ELSE 0 END AS restart
+  FROM dd WINDOW w AS (PARTITION BY state_key ORDER BY d)
+),
+grp AS (
+  SELECT state_key, d,
+         SUM(restart) OVER (PARTITION BY state_key ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS g
+  FROM lg
+),
+lastg AS (SELECT state_key, MAX(g) AS g FROM grp GROUP BY state_key),
+seg AS (SELECT grp.state_key, grp.d FROM grp JOIN lastg USING (state_key, g))
+SELECT e.state_key,
+       COUNT(*) AS n_events,
+       SUM(e.cents) AS total_cents,
+       MAX(e.d) AS last_ts
+FROM ev e JOIN seg USING (state_key, d)
+GROUP BY e.state_key
+"""
+
+ROUND4.update({
+    "s14_stream_ttl_eviction": (s14_stream_ttl_eviction, S14_SQL),
+})

@@ -93,3 +93,53 @@ def running_user_totals(stream: DataFrame, ttl_ms: int | None = None,
             .applyInPandasWithState(
                 _make_ttl_update(ttl_ms), OUTPUT_SCHEMA, STATE_SCHEMA,
                 "update", GroupStateTimeout.EventTimeTimeout))
+
+
+KEYED_TTL_SCHEMA = ("state_key string, n_events long, total_cents long, "
+                    "last_ts timestamp")
+KEYED_TTL_STATE = "n long, cents long"
+
+
+def _make_keyed_ttl_update(ttl_ms: int):
+    """String-keyed, integer-exact variant of the TTL update: totals in
+    cents (int64 pandas sum — no float summation-order divergence vs a
+    batch oracle), one emitted row per key per batch it has data in,
+    state REMOVED once the key idles `ttl_ms` of event time past the
+    watermark. Same timeout discipline as `_make_ttl_update`."""
+
+    def _fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+            yield  # pragma: no cover — keeps this a generator
+        n, cents = state.get if state.exists else (0, 0)
+        last_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["cents"].sum())
+            mx = pdf["ts"].max()
+            last_ts = mx if last_ts is None else max(last_ts, mx)
+        state.update((n, cents))
+        event_ms = int(last_ts.value // 1_000_000)
+        state.setTimeoutTimestamp(
+            max(event_ms, state.getCurrentWatermarkMs()) + ttl_ms)
+        yield pd.DataFrame({
+            "state_key": [key[0]], "n_events": [n], "total_cents": [cents],
+            "last_ts": [last_ts],
+        })
+
+    return _fn
+
+
+def keyed_ttl_totals(stream: DataFrame, ttl_ms: int,
+                     watermark_delay: str = "0 seconds") -> DataFrame:
+    """Per-key (string `state_key` column) running totals with event-time
+    TTL eviction — the generic form of `running_user_totals(ttl_ms=...)`
+    for composite/unbounded key spaces, where eviction is what keeps the
+    state store tracking the LIVE key set instead of history."""
+    return (stream.withWatermark("ts", watermark_delay)
+            .groupBy("state_key")
+            .applyInPandasWithState(
+                _make_keyed_ttl_update(ttl_ms), KEYED_TTL_SCHEMA,
+                KEYED_TTL_STATE, "update",
+                GroupStateTimeout.EventTimeTimeout))

@@ -173,7 +173,7 @@ def test_registry_complete_and_oracle_backed(spark):
         *(f"q{i:02d}" for i in range(1, 72)),
         *(f"d{i:02d}" for i in range(1, 47)),
         *(f"e{i:02d}" for i in range(1, 20)),
-        *(f"s{i:02d}" for i in range(1, 14)),
+        *(f"s{i:02d}" for i in range(1, 15)),
         "g01", "g02", "g03", "g04", "g05",
     }
     assert {n.split("_")[0] for n in qs} == expected
@@ -200,7 +200,7 @@ def test_gate_window_samples_every_round(spark):
     # complete round-4 set present
     assert {"q70_incremental_lifecycle", "q71_relational_division",
             "d46_minhash_estimation_error", "e19_adc_exact_rerank",
-            "s13_stream_late_data_drop",
+            "s13_stream_late_data_drop", "s14_stream_ttl_eviction",
             "g05_hierarchy_rollup"} <= set(first50)
 
 
