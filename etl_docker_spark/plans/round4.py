@@ -573,6 +573,7 @@ def s14_stream_ttl_eviction(spark: SparkSession, sf: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from etl_docker_spark.plans.advanced import _state_partitions_for
     from etl_docker_spark.plans._util import stream_state_partitions, t
     from etl_docker_spark.streaming.stateful import keyed_ttl_totals
 
@@ -609,7 +610,11 @@ def s14_stream_ttl_eviction(spark: SparkSession, sf: str) -> DataFrame:
         out = keyed_ttl_totals(
             stream, ttl_ms=_S14_TTL_DAYS * 86_400_000)
         name = f"s14_sink_{abs(hash(sf)) % 10 ** 8}"
-        with stream_state_partitions(spark, 4):
+        # Python stateful operator: the update fn runs once per key per
+        # batch, so state partitions must scale with the key population
+        # (4 partitions serialized 750k per-key invocations into 185 s
+        # at ~sf1; the adaptive count brings the same run to seconds)
+        with stream_state_partitions(spark, _state_partitions_for(spark, sf)):
             q = (out.writeStream.outputMode("update").format("memory")
                  .queryName(name).trigger(availableNow=True).start())
             q.awaitTermination(300)
