@@ -573,7 +573,6 @@ def s14_stream_ttl_eviction(spark: SparkSession, sf: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from etl_docker_spark.plans.advanced import _state_partitions_for
     from etl_docker_spark.plans._util import stream_state_partitions, t
     from etl_docker_spark.streaming.stateful import keyed_ttl_totals
 
@@ -611,10 +610,14 @@ def s14_stream_ttl_eviction(spark: SparkSession, sf: str) -> DataFrame:
             stream, ttl_ms=_S14_TTL_DAYS * 86_400_000)
         name = f"s14_sink_{abs(hash(sf)) % 10 ** 8}"
         # Python stateful operator: the update fn runs once per key per
-        # batch, so state partitions must scale with the key population
-        # (4 partitions serialized 750k per-key invocations into 185 s
-        # at ~sf1; the adaptive count brings the same run to seconds)
-        with stream_state_partitions(spark, _state_partitions_for(spark, sf)):
+        # batch, so state partitions must scale with the KEY population —
+        # which outnumbers cores at every gate size — not with source
+        # bytes (the windowed queries' heuristic). 4 partitions
+        # serialized 750k per-key invocations into 185 s at ~sf1; core
+        # count is the measured sweet spot (SCALE.md: past ~2x cores,
+        # task scheduling + state-store commits win back the losses).
+        with stream_state_partitions(
+                spark, spark.sparkContext.defaultParallelism):
             q = (out.writeStream.outputMode("update").format("memory")
                  .queryName(name).trigger(availableNow=True).start())
             q.awaitTermination(300)

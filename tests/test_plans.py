@@ -247,3 +247,34 @@ def test_q62_interval_join_is_hash_not_nested_loop(spark):
     ops = tree_ops(plan)
     assert "BroadcastNestedLoopJoin" not in ops and            "CartesianProduct" not in ops, ops
     assert "BroadcastHashJoin" in ops, ops
+
+
+def test_g05_prunes_part_scan_and_single_shuffle(spark):
+    """Path-enumeration rollup: the part scan must read only the key and
+    the rolled-up measure (at scale the dim's text columns dwarf them),
+    and the whole rollup is ONE aggregation shuffle — no joins, no
+    iteration."""
+    plan = formatted_plan(spark, "g05_hierarchy_rollup")
+    for s in scan_read_schemas(plan):
+        assert "p_name" not in s and "p_type" not in s, s
+    ops = tree_ops(plan)
+    assert ops.count("Exchange") == 1, ops
+    assert not [o for o in ops if "Join" in o], ops
+
+
+def test_q71_broadcasts_universe_and_dim(spark):
+    """Division-by-counting: the per-customer frame joins a 1-row
+    universe and the customer dim — both broadcast; the orders fact must
+    never reach a shuffle join."""
+    plan = formatted_plan(spark, "q71_relational_division")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_e19_exact_work_is_shortlist_bounded(spark):
+    """Two-stage serving: raw embeddings enter only through the
+    shortlist join (refinement cost independent of corpus size) — the
+    plan must show hash joins, never a nested-loop scan of the corpus
+    against queries."""
+    plan = formatted_plan(spark, "e19_adc_exact_rerank")
+    assert "CartesianProduct" not in plan

@@ -214,6 +214,30 @@ def main() -> None:
     g[g.n > 1]
     timings["d40_video_near_dup"] = round(time.perf_counter() - t0, 3)
 
+    # ---------------- round-4 ops ----------------
+    part = pd.read_parquet(f"{sf_dir}/part.parquet")
+
+    t0 = time.perf_counter()
+    anc = []
+    for k in range(7):
+        anc.append(pd.DataFrame({
+            "node": part.p_partkey // (10 ** k),
+            "p_partkey": part.p_partkey,
+            "v": part.p_retailprice}))
+    a = (pd.concat(anc).drop_duplicates(["node", "p_partkey"]))
+    a = a[a.node < 100]
+    a.groupby("node").agg(n_desc=("v", "size"), subtree_value=("v", "sum"))
+    timings["g05_hierarchy_rollup"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    pc = orders.groupby("o_custkey").o_orderpriority.nunique()
+    n_all = orders.o_orderpriority.nunique()
+    seg = customer.set_index("c_custkey").c_mktsegment
+    dfq = pd.DataFrame({"n_prio": pc}).join(seg.rename("segment"))
+    dfq.assign(complete=dfq.n_prio == n_all).groupby("segment").agg(
+        n_customers=("complete", "size"), n_complete=("complete", "sum"))
+    timings["q71_relational_division"] = round(time.perf_counter() - t0, 3)
+
     print(json.dumps({
         "metric": "pandas_singlenode_wall_seconds",
         "value": round(sum(timings.values()), 3),
