@@ -667,3 +667,142 @@ GROUP BY e.state_key
 ROUND4.update({
     "s14_stream_ttl_eviction": (s14_stream_ttl_eviction, S14_SQL),
 })
+
+# ---------------------------------------------------------------- e20
+
+_E20_WIDTHS = (5, 10, 32)   # shortlist widths priced against exact top-5
+_E20_K = 5
+
+
+def e20_rerank_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """The shortlist-width dial, priced: for each ADC shortlist width R,
+    recall@5 of the two-stage pipeline (e19's shape — ADC top-R, exact
+    re-rank, take 5) against the exact scan (e01). This is the number a
+    deployment reads to size R: wider shortlists cost exact-distance
+    work linearly but recover recall the compressed codes lost. One
+    candidate frame serves all widths — cosines are computed once for
+    the widest shortlist, then each width is a filter + per-query rank
+    over <= 32 rows (partitioned windows; nothing global).
+    """
+    from etl_docker_spark.llm.similarity import brute_force_knn, cosine_expr
+    from etl_docker_spark.plans._util import t
+    from etl_docker_spark.plans.round2g import _ADC_NQ, _adc_scored
+
+    emb = t(spark, sf, "embeddings")
+    wq = Window.partitionBy("query_id")
+    shortlist = (_adc_scored(spark, sf)
+                 .withColumn("adc_rank", F.row_number().over(
+                     wq.orderBy(F.asc("adc"), F.asc("neighbor_id")))
+                     .cast("long"))
+                 .filter(F.col("adc_rank") <= max(_E20_WIDTHS)))
+    nb = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("nv"))
+    qv = (emb.filter(F.col("vec_id") < _ADC_NQ)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qv")))
+    cand = (shortlist.join(nb, "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .select("query_id", "neighbor_id", "adc_rank",
+                    F.round(cosine_expr(F.col("nv"), F.col("qv")), 8)
+                    .alias("cosine"))
+            .localCheckpoint())
+    exact = (brute_force_knn(emb, emb.filter(F.col("vec_id") < _ADC_NQ),
+                             k=_E20_K)
+             .select("query_id", "neighbor_id"))
+    out = None
+    for r in _E20_WIDTHS:
+        rr = (cand.filter(F.col("adc_rank") <= r)
+              .withColumn("rn", F.row_number().over(
+                  wq.orderBy(F.desc("cosine"), F.asc("neighbor_id"))))
+              .filter(F.col("rn") <= _E20_K)
+              .select("query_id", "neighbor_id"))
+        m = (exact.join(rr, ["query_id", "neighbor_id"])
+             .agg(F.count("*").alias("total_matched"))
+             .select(F.lit(r).cast("long").alias("shortlist_width"),
+                     F.col("total_matched").cast("long"),
+                     F.expr(f"total_matched * 1000000 div "
+                            f"({_ADC_NQ} * {_E20_K})").alias("recall_ppm")))
+        out = m if out is None else out.unionByName(m)
+    return out
+
+
+def _e20_sql() -> str:
+    from etl_docker_spark.plans.round2g import (_ADC_NQ, _PQ_SUBS,
+                                                _adc_dt_sql, _pq_sub_sql)
+
+    dot = ("list_reduce(list_transform(generate_series(1, len({a})), "
+           "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+           "(x, y) -> x + y)")
+    width_rows = "\nUNION ALL\n".join(f"""
+SELECT CAST({r} AS BIGINT) AS shortlist_width,
+       CAST((SELECT COUNT(*) FROM exact5 e
+             JOIN rr_{r} USING (query_id, neighbor_id)) AS BIGINT)
+         AS total_matched,
+       (SELECT COUNT(*) FROM exact5 e
+        JOIN rr_{r} USING (query_id, neighbor_id)) * 1000000
+         // ({_ADC_NQ} * {_E20_K}) AS recall_ppm""" for r in _E20_WIDTHS)
+    rr_ctes = ",".join(f"""
+rr_{r} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM cand WHERE adc_rank <= {r}
+  ) WHERE rn <= {_E20_K}
+)""" for r in _E20_WIDTHS)
+    return (
+        "WITH " + ",".join(_pq_sub_sql(s) for s in range(_PQ_SUBS))
+        + "," + ",".join(_adc_dt_sql(s) for s in range(_PQ_SUBS))
+        + f""",
+codes AS (
+  SELECT vec_id, code0, code1, code2, code3
+  FROM code_0 JOIN code_1 USING (vec_id)
+  JOIN code_2 USING (vec_id) JOIN code_3 USING (vec_id)
+),
+scored AS (
+  SELECT d0.query_id, c.vec_id AS neighbor_id,
+         d0.d + d1.d + d2.d + d3.d AS adc
+  FROM codes c
+  JOIN dt_0 d0 ON d0.code = c.code0
+  JOIN dt_1 d1 ON d1.query_id = d0.query_id AND d1.code = c.code1
+  JOIN dt_2 d2 ON d2.query_id = d0.query_id AND d2.code = c.code2
+  JOIN dt_3 d3 ON d3.query_id = d0.query_id AND d3.code = c.code3
+  WHERE c.vec_id <> d0.query_id
+),
+sl AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc, neighbor_id) AS adc_rank
+  FROM scored QUALIFY adc_rank <= {max(_E20_WIDTHS)}
+),
+cand AS (
+  SELECT s.query_id, s.neighbor_id, s.adc_rank,
+         round({dot.format(a='n.embedding', b='q.embedding')}
+               / sqrt({dot.format(a='n.embedding', b='n.embedding')}
+                      * {dot.format(a='q.embedding', b='q.embedding')}),
+               8) AS cosine
+  FROM sl s
+  JOIN embeddings n ON n.vec_id = s.neighbor_id
+  JOIN embeddings q ON q.vec_id = s.query_id
+),
+exact5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {dot.format(a='q.embedding', b='e.embedding')}
+               / sqrt({dot.format(a='q.embedding', b='q.embedding')}
+                      * {dot.format(a='e.embedding', b='e.embedding')})
+               DESC, e.vec_id) AS rank
+    FROM embeddings e
+    CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < {_ADC_NQ}) q
+    WHERE e.vec_id <> q.vec_id
+  ) WHERE rank <= {_E20_K}
+),{rr_ctes}
+{width_rows}""")
+
+
+ROUND4.update({
+    "e20_rerank_recall_sweep": (e20_rerank_recall_sweep, _e20_sql()),
+})

@@ -172,7 +172,7 @@ def test_registry_complete_and_oracle_backed(spark):
     expected = {
         *(f"q{i:02d}" for i in range(1, 72)),
         *(f"d{i:02d}" for i in range(1, 47)),
-        *(f"e{i:02d}" for i in range(1, 20)),
+        *(f"e{i:02d}" for i in range(1, 21)),
         *(f"s{i:02d}" for i in range(1, 15)),
         "g01", "g02", "g03", "g04", "g05",
     }
