@@ -56,7 +56,7 @@ _GATE_WINDOW = [
     "q01_pricing_summary", "q02_revenue_by_nation",
     "d01_exact_dedup", "s01_stream_tumbling",
     # round-2 cross-section
-    "q33_scd2_history", "q38_funnel_conversion",
+    "q33_scd2_history",
     "q41_salted_segment_revenue", "q43_zonemap_layout",
     "d18_token_budget_curation", "d21_bm25_search", "d24_perplexity_buckets",
     "e05_ivf_train", "e08_hybrid_rrf", "e11_ivfpq_search", "g01_pagerank",
@@ -65,7 +65,7 @@ _GATE_WINDOW = [
     "q70_incremental_lifecycle", "q71_relational_division",
     "d46_minhash_estimation_error", "e19_adc_exact_rerank",
     "s13_stream_late_data_drop", "s14_stream_ttl_eviction",
-    "g05_hierarchy_rollup",
+    "s15_stream_session_close", "g05_hierarchy_rollup",
     # round-3, complete
     "q58_approx_distinct", "q59_approx_percentile", "q60_quarantine_routing",
     "q61_jsonl_ingest", "q62_interval_join", "q63_set_operations",

@@ -806,3 +806,137 @@ exact5 AS (
 ROUND4.update({
     "e20_rerank_recall_sweep": (e20_rerank_recall_sweep, _e20_sql()),
 })
+
+# ---------------------------------------------------------------- s15
+
+_S15_CUTOFF = "2024-01-11"  # same 10-day / 10-batch feed as s14
+_S15_GAP_DAYS = 3
+
+
+def s15_stream_session_close(spark: SparkSession, sf: str) -> DataFrame:
+    """EMIT-ON-TIMEOUT sessionization, gated — the inverse output
+    discipline of s14: data batches are absorbed into per-key session
+    state SILENTLY, and the only rows the sink ever receives come from
+    the timeout handler, when the watermark passes session_end + gap.
+    The state store holds exactly the open sessions; the sink holds
+    exactly the closed ones. This is the streaming shape of
+    gaps-and-islands sessionization (q22/q45's batch twin) and the last
+    classic stateful output pattern the surface didn't pin.
+
+    Deterministic closure rule on the 10-day file-per-batch feed,
+    derived from the empirically-pinned timing (strict-inequality
+    timeout + one-batch watermark lag, midnight-aligned days; verified
+    again for the emission path with a targeted prototype):
+
+      - a session followed by more key activity (gap >= gap_days + 3,
+        s14's split rule) closed mid-stream — always emitted;
+      - a key's LAST session closes only if the END-OF-STREAM watermark
+        (the last data day, via availableNow's final no-data batch)
+        strictly exceeds session_end + gap — i.e. end <= day 6 here;
+        later sessions stay open and are never emitted (a real
+        pipeline resumes them from the checkpoint on the next run).
+
+    The oracle replays exactly that: sessionize activity days by the
+    split rule, keep non-last sessions plus last sessions ending by
+    day 6, aggregate events per session.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from etl_docker_spark.plans._util import stream_state_partitions, t
+    from etl_docker_spark.streaming.stateful import session_close_stream
+
+    ev = (t(spark, sf, "events")
+          .filter(F.col("ts") < F.lit(_S15_CUTOFF).cast("timestamp"))
+          .select(
+              F.concat_ws(":", F.col("user_id").cast("string"),
+                          "event_type").alias("state_key"),
+              F.date_trunc("day", F.col("ts")).alias("ts"),
+              F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+              F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+              .alias("dcol")))
+
+    work = tempfile.mkdtemp(prefix="s15_")
+    try:
+        staged = os.path.join(work, "staged")
+        ev.coalesce(1).write.partitionBy("dcol").mode("overwrite") \
+            .parquet(staged)
+        arrivals = os.path.join(work, "arrivals")
+        os.makedirs(arrivals)
+        days = sorted(d for d in os.listdir(staged) if d.startswith("dcol="))
+        for i, d in enumerate(days):
+            src_dir = os.path.join(staged, d)
+            src = next(f for f in os.listdir(src_dir)
+                       if f.endswith(".parquet"))
+            dst = os.path.join(arrivals, f"{i:03d}.parquet")
+            shutil.copyfile(os.path.join(src_dir, src), dst)
+            os.utime(dst, (1700000000 + i * 60, 1700000000 + i * 60))
+
+        probe = spark.read.parquet(arrivals)
+        stream = (spark.readStream.schema(probe.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(arrivals))
+        out = session_close_stream(
+            stream, gap_ms=_S15_GAP_DAYS * 86_400_000)
+        name = f"s15_sink_{abs(hash(sf)) % 10 ** 8}"
+        # per-key Python stateful operator: partitions scale with the key
+        # population (= cores; see s14 and the SCALE.md partition curve)
+        with stream_state_partitions(
+                spark, spark.sparkContext.defaultParallelism):
+            q = (out.writeStream.outputMode("update").format("memory")
+                 .queryName(name).trigger(availableNow=True).start())
+            q.awaitTermination(300)
+            q.stop()
+        return (spark.table(name)
+                .select("state_key", "session_start", "session_end",
+                        "n_events", "total_cents")
+                .localCheckpoint())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+S15_SQL = f"""
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS state_key,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE ts < TIMESTAMP '{_S15_CUTOFF} 00:00:00'
+),
+dd AS (SELECT DISTINCT state_key, d FROM ev),
+lg AS (
+  SELECT state_key, d,
+         CASE WHEN lag(d) OVER w IS NULL THEN 0
+              WHEN d >= lag(d) OVER w
+                        + INTERVAL {_S15_GAP_DAYS + 3} DAY THEN 1
+              ELSE 0 END AS restart
+  FROM dd WINDOW w AS (PARTITION BY state_key ORDER BY d)
+),
+grp AS (
+  SELECT state_key, d,
+         SUM(restart) OVER (PARTITION BY state_key ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS g
+  FROM lg
+),
+lastd AS (SELECT MAX(d) AS last_day FROM ev),
+sessions AS (
+  SELECT state_key, g, MIN(d) AS session_start, MAX(d) AS session_end
+  FROM grp GROUP BY state_key, g
+),
+closed AS (
+  SELECT s.state_key, s.g, s.session_start, s.session_end
+  FROM sessions s, lastd
+  WHERE s.g < (SELECT MAX(g) FROM sessions s2
+               WHERE s2.state_key = s.state_key)
+     OR lastd.last_day > s.session_end + INTERVAL {_S15_GAP_DAYS} DAY
+)
+SELECT c.state_key, c.session_start, c.session_end,
+       COUNT(*) AS n_events, SUM(e.cents) AS total_cents
+FROM closed c
+JOIN grp ON grp.state_key = c.state_key AND grp.g = c.g
+JOIN ev e ON e.state_key = c.state_key AND e.d = grp.d
+GROUP BY c.state_key, c.session_start, c.session_end
+"""
+
+ROUND4.update({
+    "s15_stream_session_close": (s15_stream_session_close, S15_SQL),
+})

@@ -143,3 +143,62 @@ def keyed_ttl_totals(stream: DataFrame, ttl_ms: int,
                 _make_keyed_ttl_update(ttl_ms), KEYED_TTL_SCHEMA,
                 KEYED_TTL_STATE, "update",
                 GroupStateTimeout.EventTimeTimeout))
+
+
+SESSION_CLOSE_SCHEMA = ("state_key string, session_start timestamp, "
+                        "session_end timestamp, n_events long, "
+                        "total_cents long")
+SESSION_STATE = "start long, end long, n long, cents long"
+
+
+def _make_session_close_update(gap_ms: int):
+    """Emit-on-timeout sessionization: rows are ABSORBED into per-key
+    session state silently; the ONLY output happens in the timeout
+    handler, when the watermark passes session_end + gap — the closed
+    session is emitted and the state removed. A key reappearing later
+    starts a fresh session. This is the inverse output discipline of
+    the TTL-totals operator (which emits on data and evicts silently);
+    open sessions at end-of-stream are never emitted — a real pipeline
+    picks them up on the next run from the checkpoint."""
+
+    def _fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            start, end, n, cents = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "state_key": [key[0]],
+                "session_start": [pd.Timestamp(start, unit="ms")],
+                "session_end": [pd.Timestamp(end, unit="ms")],
+                "n_events": [n], "total_cents": [cents],
+            })
+            return
+        start, end, n, cents = (state.get if state.exists
+                                else (None, None, 0, 0))
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["cents"].sum())
+            lo = int(pdf["ts"].min().value // 1_000_000)
+            hi = int(pdf["ts"].max().value // 1_000_000)
+            start = lo if start is None else min(start, lo)
+            end = hi if end is None else max(end, hi)
+        state.update((start, end, n, cents))
+        state.setTimeoutTimestamp(
+            max(end, state.getCurrentWatermarkMs()) + gap_ms)
+        return
+        yield  # pragma: no cover — keeps this a generator
+
+    return _fn
+
+
+def session_close_stream(stream: DataFrame, gap_ms: int,
+                         watermark_delay: str = "0 seconds") -> DataFrame:
+    """Gap-based sessions that EMIT on close (timeout handler output):
+    the state store holds exactly the open sessions, the sink receives
+    exactly the closed ones — the streaming shape of gaps-and-islands
+    sessionization (q22/q45's batch twin)."""
+    return (stream.withWatermark("ts", watermark_delay)
+            .groupBy("state_key")
+            .applyInPandasWithState(
+                _make_session_close_update(gap_ms), SESSION_CLOSE_SCHEMA,
+                SESSION_STATE, "update",
+                GroupStateTimeout.EventTimeTimeout))

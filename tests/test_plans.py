@@ -173,7 +173,7 @@ def test_registry_complete_and_oracle_backed(spark):
         *(f"q{i:02d}" for i in range(1, 72)),
         *(f"d{i:02d}" for i in range(1, 47)),
         *(f"e{i:02d}" for i in range(1, 21)),
-        *(f"s{i:02d}" for i in range(1, 15)),
+        *(f"s{i:02d}" for i in range(1, 16)),
         "g01", "g02", "g03", "g04", "g05",
     }
     assert {n.split("_")[0] for n in qs} == expected
@@ -201,6 +201,7 @@ def test_gate_window_samples_every_round(spark):
     assert {"q70_incremental_lifecycle", "q71_relational_division",
             "d46_minhash_estimation_error", "e19_adc_exact_rerank",
             "s13_stream_late_data_drop", "s14_stream_ttl_eviction",
+            "s15_stream_session_close",
             "g05_hierarchy_rollup"} <= set(first50)
 
 
