@@ -358,3 +358,82 @@ def ngram_jaccard_pair_cols(sh_a: Column, sh_b: Column) -> Column:
     inter = F.size(F.array_intersect(sh_a, sh_b)).cast("long")
     union = (F.size(sh_a) + F.size(sh_b)).cast("long") - inter
     return inter / union
+
+
+def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                                shingle_n: int = 3) -> DataFrame:
+    """EXACT Jaccard >= 0.5 similarity self-join via prefix filtering —
+    the AllPairs/PPJoin candidate scheme (Bayardo et al. WWW'07, Xiao et
+    al. WWW'08), the third dedup family next to MinHash banding (d06,
+    approximate) and SimHash hamming bands (d07): zero false negatives,
+    no signature tuning, at the cost of verifying a provably-complete
+    candidate superset.
+
+    Principle: order every document's (hashed) shingle set by GLOBAL
+    document frequency ascending (rarest first, hash tiebreak). For
+    Jaccard threshold t, a pair with J(A,B) >= t must share at least one
+    token within the first |X| - ceil(t*|X|) + 1 tokens of EACH side's
+    ordering (if A's prefix missed every common token, the >= ceil(t*|A|)
+    shared tokens would all sit in A's ceil(t*|A|)-1 suffix slots). So a
+    prefix-to-prefix equi-join is a complete candidate generator, and the
+    inverted lists it joins hold only each doc's RAREST tokens — list
+    lengths concentrate at df ~= 1, which is what keeps the join
+    subquadratic at corpus scale (a frequent token never enters a prefix
+    unless a doc consists almost entirely of frequent tokens). The
+    length filter 2*min(|A|,|B|) >= max(|A|,|B|) (J <= min/max) prunes
+    before the distinct. Worst-case skew (one rare-ish token in MANY
+    prefixes) re-creates a quadratic block; the standard refinements
+    (positional filter, suffix filter) shrink candidates further without
+    giving up exactness, and are the documented upgrade path.
+
+    Shuffle ledger: shingle pass (id-partitioned, exchange-free groupBys)
+    -> df counts (digest-width by h) -> per-doc ordered arrays (by doc)
+    -> prefix self-join (by h, prefix rows only) -> verification joins
+    (candidate pairs only). One corpus materialization (localCheckpoint),
+    same discipline as minhash_lsh_pairs.
+
+    Returns (doc_a, doc_b, inter_n, union_n) — identical contract and
+    threshold as minhash_lsh_pairs, so the two are directly comparable;
+    this one is the ground truth.
+    """
+    shingled = shingle_rows(df, id_col, text_col, shingle_n)
+    dset = shingled.select(
+        "doc", _base_hash(F.col("s")).alias("h")).distinct()
+    freq = dset.groupBy("h").agg(F.count("*").cast("long").alias("dfreq"))
+    per_doc = (
+        dset.join(freq, "h")
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_list(
+            F.struct(F.col("dfreq").alias("f"), F.col("h").alias("h"))))
+            .alias("ord"))
+        .withColumn("sz", F.size("ord").cast("long"))
+        .localCheckpoint()
+    )
+    # t = 1/2: prefix length = sz - ceil(sz/2) + 1 = floor(sz/2) + 1
+    prefix = per_doc.select(
+        "doc", "sz",
+        F.explode(F.slice("ord", 1, (F.floor(F.col("sz") / 2) + 1)
+                          .cast("int"))).alias("p")
+    ).select("doc", "sz", F.col("p.h").alias("h"))
+    cand = (
+        prefix.alias("a").join(prefix.alias("b"), "h")
+        .filter((F.col("a.doc") < F.col("b.doc"))
+                & (F.lit(2) * F.least("a.sz", "b.sz")
+                   >= F.greatest("a.sz", "b.sz")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sets = per_doc.select(
+        "doc", F.transform("ord", lambda x: x["h"]).alias("hs"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
+    verified = (
+        cand.join(sets.select(F.col("doc").alias("doc_a"),
+                              F.col("hs").alias("hs_a")), "doc_a")
+        .join(sets.select(F.col("doc").alias("doc_b"),
+                          F.col("hs").alias("hs_b")), "doc_b")
+        .select("doc_a", "doc_b", inter.alias("inter_n"),
+                (F.size("hs_a") + F.size("hs_b")).cast("long").alias("tot"))
+        .select("doc_a", "doc_b", "inter_n",
+                (F.col("tot") - F.col("inter_n")).alias("union_n"))
+    )
+    return verified.filter(F.lit(2) * F.col("inter_n") >= F.col("union_n"))
