@@ -120,3 +120,128 @@ ROUND4B = {
     "q72_skyline_customers": (q72_skyline_customers, Q72_SQL),
     "d47_prefix_filter_jaccard": (d47_prefix_filter_jaccard, D47_SQL),
 }
+
+# ---------------------------------------------------------------- s16
+
+_S16_CUTOFF = "2024-01-11"  # same 10-day / 10-batch feed as s14/s15
+_S16_DELAY_DAYS = 2
+
+
+def s16_stream_dedup_expiry(spark: SparkSession, sf: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark STATE-EXPIRY semantics, gated. s04
+    pins plain streaming dedup (infinite state, nothing re-emits); this
+    pins the bounded-state variant every 100 TB deployment actually
+    runs: a key's dedup state lives only `delay` past its FIRST event,
+    so a key re-appearing after expiry is EMITTED AGAIN — that
+    re-emission (exactly-once only within the horizon, at-least-once
+    beyond it) is the contract under test, and what keeps dedup state
+    finite at scale.
+
+    Timing rule, pinned empirically on this engine (prototype in this
+    round's notes; same one-batch watermark lag as s13/s14):
+
+      - eviction watermark before batch i = max event time over batches
+        < i, minus delay;
+      - a key's state expires when that watermark STRICTLY exceeds
+        first_event_time + delay (dropped duplicates do NOT extend it);
+      - so with midnight-aligned day batches, a key last emitted at day
+        e re-emits at its first active day d with
+        prev_global_day(d) > e + 2*delay.
+
+    The feed is one file per calendar day (mtime-ordered,
+    maxFilesPerTrigger=1), each pre-aggregated to one row per
+    (state_key, day) so within-batch arrival order can't matter. With
+    delay=2 over a 10-day feed a key emits at most twice (a third
+    emission needs prev_global_day > day 11 — past the feed), which is
+    what lets the oracle replay the rule with two aggregation passes
+    instead of a recursive CTE.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from etl_docker_spark.plans._util import stream_state_partitions
+
+    ev = (t(spark, sf, "events")
+          .filter(F.col("ts") < F.lit(_S16_CUTOFF).cast("timestamp"))
+          .select(
+              F.concat_ws(":", F.col("user_id").cast("string"),
+                          "event_type").alias("state_key"),
+              F.date_trunc("day", F.col("ts")).alias("day"),
+              F.round(F.col("value") * 100, 0).cast("long").alias("cents")))
+    per = (ev.groupBy("state_key", "day")
+           .agg(F.count("*").cast("long").alias("n_events"),
+                F.sum("cents").alias("total_cents"))
+           .withColumn("dcol", F.date_format("day", "yyyy-MM-dd")))
+
+    work = tempfile.mkdtemp(prefix="s16_")
+    try:
+        staged = os.path.join(work, "staged")
+        per.coalesce(1).write.partitionBy("dcol").mode("overwrite") \
+            .parquet(staged)
+        arrivals = os.path.join(work, "arrivals")
+        os.makedirs(arrivals)
+        days = sorted(d for d in os.listdir(staged) if d.startswith("dcol="))
+        for i, d in enumerate(days):
+            src_dir = os.path.join(staged, d)
+            src = next(f for f in os.listdir(src_dir)
+                       if f.endswith(".parquet"))
+            dst = os.path.join(arrivals, f"{i:03d}.parquet")
+            shutil.copyfile(os.path.join(src_dir, src), dst)
+            os.utime(dst, (1700000000 + i * 60, 1700000000 + i * 60))
+
+        probe = spark.read.parquet(arrivals)
+        stream = (spark.readStream.schema(probe.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(arrivals))
+        out = (stream
+               .withWatermark("day", f"{_S16_DELAY_DAYS} days")
+               .dropDuplicatesWithinWatermark(["state_key"]))
+        name = f"s16_sink_{abs(hash(sf)) % 10 ** 8}"
+        with stream_state_partitions(
+                spark, spark.sparkContext.defaultParallelism):
+            q = (out.writeStream.outputMode("append").format("memory")
+                 .queryName(name).trigger(availableNow=True).start())
+            q.awaitTermination(300)
+            q.stop()
+        return (spark.table(name)
+                .select("state_key", "day", "n_events", "total_cents")
+                .localCheckpoint())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+S16_SQL = f"""
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS state_key,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE ts < TIMESTAMP '{_S16_CUTOFF} 00:00:00'
+),
+kd AS (
+  SELECT state_key, day, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM ev GROUP BY state_key, day
+),
+gd AS (
+  SELECT day, lag(day) OVER (ORDER BY day) AS prev_day
+  FROM (SELECT DISTINCT day FROM kd)
+),
+kdp AS (SELECT kd.*, gd.prev_day FROM kd JOIN gd USING (day)),
+first AS (SELECT state_key, MIN(day) AS d0 FROM kdp GROUP BY state_key),
+second AS (
+  SELECT k.state_key, MIN(k.day) AS d1
+  FROM kdp k JOIN first f USING (state_key)
+  WHERE k.prev_day > f.d0 + INTERVAL {2 * _S16_DELAY_DAYS} DAY
+  GROUP BY k.state_key
+)
+SELECT k.state_key, k.day, k.n_events, k.total_cents
+FROM kdp k
+JOIN first f ON f.state_key = k.state_key
+LEFT JOIN second s ON s.state_key = k.state_key
+WHERE k.day = f.d0 OR k.day = s.d1
+"""
+
+
+ROUND4B.update({
+    "s16_stream_dedup_expiry": (s16_stream_dedup_expiry, S16_SQL),
+})

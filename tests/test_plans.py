@@ -170,10 +170,10 @@ def test_registry_complete_and_oracle_backed(spark):
     missing = set(qs) - set(oracles) - rows_only_allowed
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
-        *(f"q{i:02d}" for i in range(1, 72)),
-        *(f"d{i:02d}" for i in range(1, 47)),
+        *(f"q{i:02d}" for i in range(1, 73)),
+        *(f"d{i:02d}" for i in range(1, 48)),
         *(f"e{i:02d}" for i in range(1, 21)),
-        *(f"s{i:02d}" for i in range(1, 16)),
+        *(f"s{i:02d}" for i in range(1, 17)),
         "g01", "g02", "g03", "g04", "g05",
     }
     assert {n.split("_")[0] for n in qs} == expected
@@ -199,9 +199,10 @@ def test_gate_window_samples_every_round(spark):
     assert {"q01_pricing_summary", "s01_stream_tumbling"} <= set(first50)
     # complete round-4 set present
     assert {"q70_incremental_lifecycle", "q71_relational_division",
-            "d46_minhash_estimation_error", "e19_adc_exact_rerank",
+            "q72_skyline_customers", "d46_minhash_estimation_error",
+            "d47_prefix_filter_jaccard", "e19_adc_exact_rerank",
             "s13_stream_late_data_drop", "s14_stream_ttl_eviction",
-            "s15_stream_session_close",
+            "s15_stream_session_close", "s16_stream_dedup_expiry",
             "g05_hierarchy_rollup"} <= set(first50)
 
 
