@@ -68,11 +68,11 @@ _GATE_WINDOW = [
     "d47_prefix_filter_jaccard", "e19_adc_exact_rerank",
     "s13_stream_late_data_drop", "s14_stream_ttl_eviction",
     "s15_stream_session_close", "s16_stream_dedup_expiry",
-    "g05_hierarchy_rollup",
-    # round-3 cross-section (q58/q59/q67 rotated out for the round-4b
+    "s17_stream_outer_join", "g05_hierarchy_rollup",
+    # round-3 cross-section (q58/q59/q61/q67 rotated out for the round-4b
     # queries — they stay green in the full-surface artifact)
     "q60_quarantine_routing",
-    "q61_jsonl_ingest", "q62_interval_join", "q63_set_operations",
+    "q62_interval_join", "q63_set_operations",
     "q64_mode_per_group", "q65_ohlc_resample", "q66_last_touch_attribution",
     "q68_rest_paginated_ingest",
     "q69_dag_audit_trail", "d36_sketch_shard_merge", "d37_hash_split",

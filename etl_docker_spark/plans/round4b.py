@@ -245,3 +245,102 @@ WHERE k.day = f.d0 OR k.day = s.d1
 ROUND4B.update({
     "s16_stream_dedup_expiry": (s16_stream_dedup_expiry, S16_SQL),
 })
+
+# ---------------------------------------------------------------- s17
+
+
+def s17_stream_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join, gated — the null-emission
+    timing s05's inner join can't see. An outer stream-stream join is
+    the production shape of "views that never converted": the engine
+    may only emit the null-padded row once the watermark PROVES no
+    matching purchase can still arrive, and must never emit it for a
+    view whose window the watermark hasn't closed (those stay in state
+    — at 100 TB the watermark is the only thing bounding that state).
+
+    Emission rule, pinned empirically (prototype: views at hours 0..19,
+    watermark-driving purchase at 20h, 0s delays — exactly views
+    0..12 emitted nulls):
+
+      - the global watermark is the MIN over both sides of
+        (max event time - that side's delay)
+        (spark.sql.streaming.multipleWatermarkPolicy = min, the
+        default);
+      - an unmatched view emits its null row iff
+        view_ts + 6h < final_watermark, STRICT (the boundary view at
+        exactly wm - 6h stays in state and never emits);
+      - matched rows emit as they match, independent of the rule.
+
+    Views whose window the final no-data batch leaves open simply never
+    appear — the restart-from-checkpoint analog of s15's open sessions.
+    """
+    from etl_docker_spark.plans._util import stream_state_partitions
+    from etl_docker_spark.plans.advanced import (_events_stream,
+                                                 _state_partitions_for)
+
+    ev = _events_stream(spark, sf)
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", "1 minute"))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("b_user"),
+                    F.col("event_id").alias("purchase_id"),
+                    F.col("ts").alias("buy_ts"))
+            .withWatermark("buy_ts", "1 minute"))
+    joined = (views.join(
+        buys,
+        F.expr("""v_user = b_user
+                  AND buy_ts >= view_ts
+                  AND buy_ts <= view_ts + interval 6 hours"""),
+        "leftOuter")
+        .select(F.col("v_user").alias("user_id"), "view_id", "purchase_id",
+                (F.unix_micros("buy_ts") - F.unix_micros("view_ts"))
+                .alias("delta_us")))
+    name = f"s17_sink_{abs(hash(sf)) % 10 ** 8}"
+    with stream_state_partitions(spark, _state_partitions_for(spark, sf)):
+        q = (joined.writeStream.outputMode("append").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        q.stop()
+    return spark.table(name).localCheckpoint()
+
+
+S17_SQL = """
+WITH v AS (
+  SELECT user_id, event_id AS view_id, ts AS vts
+  FROM events WHERE event_type = 'view'
+),
+b AS (
+  SELECT user_id AS bu, event_id AS purchase_id, ts AS bts
+  FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT least((SELECT MAX(vts) FROM v), (SELECT MAX(bts) FROM b))
+         - INTERVAL 1 MINUTE AS w
+),
+matched AS (
+  SELECT v.user_id, v.view_id, b.purchase_id,
+         epoch_us(b.bts) - epoch_us(v.vts) AS delta_us
+  FROM v JOIN b ON v.user_id = b.bu
+   AND b.bts >= v.vts AND b.bts <= v.vts + INTERVAL 6 HOUR
+),
+unmatched AS (
+  SELECT v.user_id, v.view_id,
+         CAST(NULL AS BIGINT) AS purchase_id,
+         CAST(NULL AS BIGINT) AS delta_us
+  FROM v, wm
+  WHERE v.vts + INTERVAL 6 HOUR < wm.w
+    AND NOT EXISTS (
+      SELECT 1 FROM b
+      WHERE b.bu = v.user_id
+        AND b.bts >= v.vts AND b.bts <= v.vts + INTERVAL 6 HOUR)
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+"""
+
+
+ROUND4B.update({
+    "s17_stream_outer_join": (s17_stream_outer_join, S17_SQL),
+})
