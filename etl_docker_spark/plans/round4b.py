@@ -344,3 +344,141 @@ SELECT * FROM matched UNION ALL SELECT * FROM unmatched
 ROUND4B.update({
     "s17_stream_outer_join": (s17_stream_outer_join, S17_SQL),
 })
+
+# ---------------------------------------------------------------- q73
+
+
+def _q73_bucketed_frames(spark: SparkSession, sf: str):
+    """Write orders+customer bucketed on the join key, return the lazy
+    co-located join (and the table names for cleanup). Separated from
+    the query so tests can pin the no-Exchange plan on the SAME frame
+    the gate runs."""
+    from etl_docker_spark.operators.skew import write_bucketed
+
+    tag = abs(hash(sf)) % 10 ** 8
+    t_ord, t_cust = f"q73_orders_{tag}", f"q73_customer_{tag}"
+    write_bucketed(
+        t(spark, sf, "orders").select("o_custkey", "o_totalprice"),
+        t_ord, ["o_custkey"], num_buckets=8, sort_by=["o_custkey"])
+    write_bucketed(
+        t(spark, sf, "customer").select("c_custkey", "c_mktsegment"),
+        t_cust, ["c_custkey"], num_buckets=8, sort_by=["c_custkey"])
+    joined = (
+        spark.table(t_ord)
+        .join(spark.table(t_cust).hint("MERGE"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").cast("long").alias("n_orders"),
+             (F.sum(dec("o_totalprice")) * 100).cast("long")
+             .alias("revenue_cents"))
+        .orderBy("c_mktsegment"))
+    return joined, (t_ord, t_cust)
+
+
+def q73_bucketed_cojoin(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed CO-LOCATED join, gated end-to-end through the write path:
+    both sides are persisted `bucketBy` the join key (8 buckets, sorted),
+    so the sort-merge join reads pre-shuffled, pre-sorted buckets and
+    plans with ZERO Exchange below the join — the shuffle is paid once
+    at write time, then never again on any number of downstream joins.
+    That trade is the core of every serious 100 TB star-schema layout;
+    `tests/test_round4b.py` pins the no-Exchange property on this exact
+    frame, and this gate pins that the bucketed write+read+join path is
+    value-identical to the logical join (the oracle never sees buckets).
+
+    The MERGE hint forces the sort-merge path (a broadcast of the small
+    gate-scale dim side would silently bypass the bucket co-location
+    this query exists to exercise)."""
+    joined, tables = _q73_bucketed_frames(spark, sf)
+    try:
+        return joined.localCheckpoint()
+    finally:
+        for tbl in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+Q73_SQL = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,4))) * 100 AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+ROUND4B.update({
+    "q73_bucketed_cojoin": (q73_bucketed_cojoin, Q73_SQL),
+})
+
+# ---------------------------------------------------------------- q74
+
+_Q74_PATCH_DAY = "2024-01-05"
+_Q74_CUTOFF = "2024-01-11"
+
+
+def q74_partition_reload(spark: SparkSession, sf: str) -> DataFrame:
+    """Dynamic-partition-overwrite incremental reload, gated end-to-end
+    through disk: the daily-reload shape every 100 TB warehouse runs.
+
+      1. full load: per-(day, event_type) counts+cents for the 10-day
+         window, written day-partitioned;
+      2. corrected re-load of ONE day (business rule change: 'view'
+         events excluded) via `overwrite_partitions_dynamic` — ONLY
+         that day's partition is rewritten (static overwrite would
+         truncate all ten);
+      3. the gated output is what a consumer READS BACK from disk.
+
+    The oracle states the expected merged table directly (patched day
+    without views, sibling days untouched) — if the dynamic overwrite
+    leaked into any other partition, or failed to replace the target
+    day, counts diverge. tests/test_formats.py pins the operator on a
+    toy frame; this pins it at gate scale through the parquet
+    round-trip."""
+    import shutil
+    import tempfile
+
+    from etl_docker_spark.sinks.writers import overwrite_partitions_dynamic
+
+    ev = (t(spark, sf, "events")
+          .filter(F.col("ts") < F.lit(_Q74_CUTOFF).cast("timestamp"))
+          .select(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                  .alias("day"), "event_type",
+                  F.round(F.col("value") * 100, 0).cast("long")
+                  .alias("cents")))
+
+    def rollup(df):
+        return df.groupBy("day", "event_type").agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("cents").alias("total_cents"))
+
+    work = tempfile.mkdtemp(prefix="q74_")
+    try:
+        rollup(ev).write.mode("overwrite").partitionBy("day").parquet(work)
+        patch = rollup(ev.filter((F.col("day") == _Q74_PATCH_DAY)
+                                 & (F.col("event_type") != "view")))
+        overwrite_partitions_dynamic(patch, work, ["day"])
+        return (spark.read.parquet(work)
+                .select("day", "event_type", "n_events", "total_cents")
+                .localCheckpoint())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+Q74_SQL = f"""
+SELECT CAST(date_trunc('day', ts) AS VARCHAR) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+WHERE ts < TIMESTAMP '{_Q74_CUTOFF} 00:00:00'
+  AND NOT (CAST(date_trunc('day', ts) AS VARCHAR) = '{_Q74_PATCH_DAY}'
+           AND event_type = 'view')
+GROUP BY day, event_type
+"""
+
+
+ROUND4B.update({
+    "q74_partition_reload": (q74_partition_reload, Q74_SQL),
+})

@@ -170,7 +170,7 @@ def test_registry_complete_and_oracle_backed(spark):
     missing = set(qs) - set(oracles) - rows_only_allowed
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
-        *(f"q{i:02d}" for i in range(1, 73)),
+        *(f"q{i:02d}" for i in range(1, 75)),
         *(f"d{i:02d}" for i in range(1, 48)),
         *(f"e{i:02d}" for i in range(1, 21)),
         *(f"s{i:02d}" for i in range(1, 18)),

@@ -101,3 +101,25 @@ def test_prefix_filter_jaccard_matches_bruteforce(spark):
            for r in prefix_filter_jaccard_pairs(df, "doc_id", "text").collect()}
     assert got == expected
     assert expected  # the planted near-dups must produce pairs
+
+
+def test_q73_gate_frame_joins_without_exchange(spark):
+    """The exact frame q73 gates must sort-merge-join the two bucketed
+    tables with no Exchange below the join (bucket co-location is the
+    point of the query; a regression to shuffle would still pass the
+    value oracle)."""
+    import re
+
+    from etl_docker_spark.plans.round4b import _q73_bucketed_frames
+
+    joined, tables = _q73_bucketed_frames(spark, "/root/testdata/sf0.001")
+    try:
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        join_section = plan.split("HashAggregate")[0]
+        assert "SortMergeJoin" in plan
+        assert not re.search(r"\(\d+\) Exchange", join_section), join_section
+    finally:
+        for tbl in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
