@@ -66,15 +66,16 @@ _GATE_WINDOW = [
     "q70_incremental_lifecycle", "q71_relational_division",
     "q72_skyline_customers", "q73_bucketed_cojoin",
     "q74_partition_reload", "d46_minhash_estimation_error",
-    "d47_prefix_filter_jaccard", "e19_adc_exact_rerank",
+    "d47_prefix_filter_jaccard", "d48_dup_cluster_agreement",
+    "e19_adc_exact_rerank",
     "s13_stream_late_data_drop", "s14_stream_ttl_eviction",
     "s15_stream_session_close", "s16_stream_dedup_expiry",
     "s17_stream_outer_join", "g05_hierarchy_rollup",
-    # round-3 cross-section (q58/q59/q61/q63/q64/q67 rotated out for the
-    # round-4b queries — they stay green in the full-surface artifact)
+    # round-3 cross-section (q58/q59/q61/q63/q64/q65/q67 rotated out for
+    # the round-4b queries — they stay green in the full-surface artifact)
     "q60_quarantine_routing",
     "q62_interval_join",
-    "q65_ohlc_resample", "q66_last_touch_attribution",
+    "q66_last_touch_attribution",
     "q68_rest_paginated_ingest",
     "q69_dag_audit_trail", "d36_sketch_shard_merge", "d37_hash_split",
     "d38_source_quota", "d39_bpe_per_lang", "d40_video_near_dup",

@@ -482,3 +482,133 @@ GROUP BY day, event_type
 ROUND4B.update({
     "q74_partition_reload": (q74_partition_reload, Q74_SQL),
 })
+
+# ---------------------------------------------------------------- d48
+
+
+def d48_dup_cluster_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-level audit of approximate vs exact dedup: connected
+    components over BOTH pair graphs — d47's exact prefix-filter join
+    and d06's MinHash-LSH survivors — with min-doc-id labels, so the
+    labelings are directly comparable. Since LSH verification is exact
+    Jaccard, the MinHash edge set is a SUBSET of the exact one; what
+    banding can lose is CONNECTIVITY (a missed edge can split a true
+    cluster even when most pairs survive). d45 audits pair-level
+    agreement; this is the cluster-level consequence — the number that
+    tells you how much corpus-dedup (d14-style keep-one-per-cluster)
+    would over-retain under the approximate graph.
+
+    Output, one row per method: docs in the pair graph, component
+    count, largest component, and docs whose label matches the exact
+    labeling (n_label_match == n_docs on the 'exact' row by
+    construction only if the minhash graph found every doc — it's the
+    shared-doc matched count on both rows, so the rows are symmetric).
+    """
+    from etl_docker_spark.llm.dedup import prefix_filter_jaccard_pairs
+    from etl_docker_spark.operators.graph import connected_components
+    from etl_docker_spark.plans.llm_queries import minhash_pairs_frame
+
+    docs = t(spark, sf, "documents")
+    lab_e = connected_components(
+        prefix_filter_jaccard_pairs(docs, "doc_id", "text", shingle_n=3),
+        src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    lab_m = connected_components(
+        minhash_pairs_frame(spark, sf),
+        src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+    agree = (lab_e.alias("e")
+             .join(lab_m.alias("m"), "doc_id")
+             .filter(F.col("e.cluster_id") == F.col("m.cluster_id"))
+             .count())
+
+    def stats(lab: DataFrame, method: str) -> DataFrame:
+        sizes = lab.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+        return (lab.agg(F.count("*").cast("long").alias("n_docs"))
+                .crossJoin(sizes.agg(
+                    F.count("*").cast("long").alias("n_clusters"),
+                    F.max("sz").cast("long").alias("max_cluster_sz")))
+                .select(F.lit(method).alias("method"), "n_docs",
+                        "n_clusters", "max_cluster_sz",
+                        F.lit(agree).cast("long").alias("n_label_match")))
+
+    return stats(lab_e, "exact").unionByName(stats(lab_m, "minhash"))
+
+
+from etl_docker_spark.plans.advanced import _D06_BODY  # noqa: E402
+
+D48_SQL = f"""
+WITH RECURSIVE {_D06_BODY}
+, mh_pairs AS (
+  SELECT doc_a, doc_b FROM ver WHERE 2 * inter_n >= total_n - inter_n
+),
+tokx AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+ex_pre AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_n
+  FROM tokx a JOIN tokx b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+ex_pairs AS (
+  SELECT p.doc_a, p.doc_b
+  FROM ex_pre p
+  JOIN hs sa ON sa.doc_id = p.doc_a
+  JOIN hs sb ON sb.doc_id = p.doc_b
+  WHERE 2 * p.inter_n >= len(sa.hs) + len(sb.hs) - p.inter_n
+),
+eedges AS (
+  SELECT doc_a AS a, doc_b AS b FROM ex_pairs
+  UNION ALL SELECT doc_b, doc_a FROM ex_pairs
+),
+ereach AS (
+  SELECT a AS node, b AS other FROM eedges
+  UNION
+  SELECT r.node, e.b FROM ereach r JOIN eedges e ON r.other = e.a
+),
+elab AS (
+  SELECT node AS doc_id, LEAST(node, MIN(other)) AS cluster_id
+  FROM ereach GROUP BY node
+),
+medges AS (
+  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+  UNION ALL SELECT doc_b, doc_a FROM mh_pairs
+),
+mreach AS (
+  SELECT a AS node, b AS other FROM medges
+  UNION
+  SELECT r.node, e.b FROM mreach r JOIN medges e ON r.other = e.a
+),
+mlab AS (
+  SELECT node AS doc_id, LEAST(node, MIN(other)) AS cluster_id
+  FROM mreach GROUP BY node
+),
+agree AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM elab e JOIN mlab m USING (doc_id)
+  WHERE e.cluster_id = m.cluster_id
+),
+estats AS (
+  SELECT 'exact' AS method,
+         CAST((SELECT COUNT(*) FROM elab) AS BIGINT) AS n_docs,
+         CAST((SELECT COUNT(DISTINCT cluster_id) FROM elab) AS BIGINT)
+           AS n_clusters,
+         CAST((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM elab
+               GROUP BY cluster_id)) AS BIGINT) AS max_cluster_sz,
+         (SELECT n FROM agree) AS n_label_match
+),
+mstats AS (
+  SELECT 'minhash' AS method,
+         CAST((SELECT COUNT(*) FROM mlab) AS BIGINT) AS n_docs,
+         CAST((SELECT COUNT(DISTINCT cluster_id) FROM mlab) AS BIGINT)
+           AS n_clusters,
+         CAST((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM mlab
+               GROUP BY cluster_id)) AS BIGINT) AS max_cluster_sz,
+         (SELECT n FROM agree) AS n_label_match
+)
+SELECT * FROM estats UNION ALL SELECT * FROM mstats
+"""
+
+
+ROUND4B.update({
+    "d48_dup_cluster_agreement": (d48_dup_cluster_agreement, D48_SQL),
+})

@@ -171,7 +171,7 @@ def test_registry_complete_and_oracle_backed(spark):
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
         *(f"q{i:02d}" for i in range(1, 75)),
-        *(f"d{i:02d}" for i in range(1, 48)),
+        *(f"d{i:02d}" for i in range(1, 49)),
         *(f"e{i:02d}" for i in range(1, 21)),
         *(f"s{i:02d}" for i in range(1, 18)),
         "g01", "g02", "g03", "g04", "g05",
