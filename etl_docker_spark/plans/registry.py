@@ -70,12 +70,12 @@ _GATE_WINDOW = [
     "e19_adc_exact_rerank",
     "s13_stream_late_data_drop", "s14_stream_ttl_eviction",
     "s15_stream_session_close", "s16_stream_dedup_expiry",
-    "s17_stream_outer_join", "g05_hierarchy_rollup",
-    # round-3 cross-section (q58/q59/q61/q63/q64/q65/q67 rotated out for
-    # the round-4b queries — they stay green in the full-surface artifact)
+    "s17_stream_outer_join", "s18_stream_checkpoint_resume",
+    "g05_hierarchy_rollup",
+    # round-3 cross-section (q58/q59/q61/q63/q64/q65/q66/q67 rotated out
+    # for the round-4b queries — they stay green in the full artifact)
     "q60_quarantine_routing",
     "q62_interval_join",
-    "q66_last_touch_attribution",
     "q68_rest_paginated_ingest",
     "q69_dag_audit_trail", "d36_sketch_shard_merge", "d37_hash_split",
     "d38_source_quota", "d39_bpe_per_lang", "d40_video_near_dup",

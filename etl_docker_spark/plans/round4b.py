@@ -612,3 +612,112 @@ SELECT * FROM estats UNION ALL SELECT * FROM mstats
 ROUND4B.update({
     "d48_dup_cluster_agreement": (d48_dup_cluster_agreement, D48_SQL),
 })
+
+# ---------------------------------------------------------------- s18
+
+_S18_CUTOFF = "2024-01-11"
+
+
+def s18_stream_checkpoint_resume(spark: SparkSession, sf: str) -> DataFrame:
+    """CHECKPOINT RECOVERY exactly-once, gated — the property every
+    other s-query assumes and none exercises: state surviving a full
+    query restart. The stream runs TWICE against the same checkpoint
+    and file sink: run 1 sees days 1-5 of the feed, terminates
+    (availableNow), run 2 starts a NEW streaming query from the same
+    checkpoint with days 6-10 added.
+
+    What the single gated output proves:
+      - no replay: run 2's source starts from the checkpointed file
+        offset — if days 1-5 were re-read, their window counts double;
+      - no state loss: day 5's window is OPEN when run 1 ends (its end
+        lies past run 1's watermark) — its correct counts exist only in
+        recovered state, and emit in run 2 when day-6 data closes it;
+      - exactly-once sink: the file sink's transaction log must commit
+        each batch once across the restart boundary.
+    Day 10's window out-lives the final watermark and never appears
+    (s15's open-session discipline).
+
+    Oracle: the batch per-day aggregate restricted to windows whose end
+    <= final watermark (max event time - 1 min) — days 1..9 on this
+    feed.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from etl_docker_spark.plans._util import dsum, stream_state_partitions
+
+    ev = (t(spark, sf, "events")
+          .filter(F.col("ts") < F.lit(_S18_CUTOFF).cast("timestamp"))
+          .select("ts", "event_type",
+                  F.round(F.col("value") * 100, 0).cast("long")
+                  .alias("cents"),
+                  F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                  .alias("dcol")))
+
+    work = tempfile.mkdtemp(prefix="s18_")
+    try:
+        staged = os.path.join(work, "staged")
+        ev.coalesce(1).write.partitionBy("dcol").mode("overwrite") \
+            .parquet(staged)
+        arrivals = os.path.join(work, "arrivals")
+        os.makedirs(arrivals)
+        ckpt = os.path.join(work, "ckpt")
+        sink = os.path.join(work, "sink")
+        days = sorted(d for d in os.listdir(staged) if d.startswith("dcol="))
+        probe_schema = None
+
+        def run_phase(phase_days, offset):
+            nonlocal probe_schema
+            for i, d in enumerate(phase_days):
+                src_dir = os.path.join(staged, d)
+                src = next(f for f in os.listdir(src_dir)
+                           if f.endswith(".parquet"))
+                dst = os.path.join(arrivals, f"{offset + i:03d}.parquet")
+                shutil.copyfile(os.path.join(src_dir, src), dst)
+                os.utime(dst, (1700000000 + (offset + i) * 60,) * 2)
+            if probe_schema is None:
+                probe_schema = spark.read.parquet(arrivals).schema
+            stream = (spark.readStream.schema(probe_schema)
+                      .option("maxFilesPerTrigger", "1").parquet(arrivals))
+            agg = (stream.withWatermark("ts", "1 minute")
+                   .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+                   .agg(F.count("*").cast("long").alias("n_events"),
+                        F.sum("cents").alias("total_cents"))
+                   .select(F.col("w.start").alias("day"), "event_type",
+                           "n_events", "total_cents"))
+            q = (agg.writeStream.outputMode("append").format("parquet")
+                 .option("path", sink).option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(300)
+            q.stop()
+
+        with stream_state_partitions(spark, 4):
+            run_phase(days[:5], 0)   # run 1: days 1-5, then terminate
+            run_phase(days[5:], 5)   # run 2: resume from checkpoint
+        return (spark.read.parquet(sink)
+                .select("day", "event_type", "n_events", "total_cents")
+                .localCheckpoint())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+S18_SQL = f"""
+WITH ev AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents, ts
+  FROM events WHERE ts < TIMESTAMP '{_S18_CUTOFF} 00:00:00'
+),
+wm AS (SELECT MAX(ts) - INTERVAL 1 MINUTE AS w FROM ev)
+SELECT e.day, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(e.cents) AS BIGINT) AS total_cents
+FROM ev e, wm
+WHERE e.day + INTERVAL 1 DAY <= wm.w
+GROUP BY e.day, e.event_type
+"""
+
+
+ROUND4B.update({
+    "s18_stream_checkpoint_resume": (s18_stream_checkpoint_resume, S18_SQL),
+})

@@ -173,7 +173,7 @@ def test_registry_complete_and_oracle_backed(spark):
         *(f"q{i:02d}" for i in range(1, 75)),
         *(f"d{i:02d}" for i in range(1, 49)),
         *(f"e{i:02d}" for i in range(1, 21)),
-        *(f"s{i:02d}" for i in range(1, 18)),
+        *(f"s{i:02d}" for i in range(1, 19)),
         "g01", "g02", "g03", "g04", "g05",
     }
     assert {n.split("_")[0] for n in qs} == expected
