@@ -361,8 +361,10 @@ def ngram_jaccard_pair_cols(sh_a: Column, sh_b: Column) -> Column:
 
 
 def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                                shingle_n: int = 3) -> DataFrame:
-    """EXACT Jaccard >= 0.5 similarity self-join via prefix filtering —
+                                shingle_n: int = 3, t_num: int = 1,
+                                t_den: int = 2) -> DataFrame:
+    """EXACT Jaccard >= t (default 1/2) similarity self-join via prefix
+    filtering —
     the AllPairs/PPJoin candidate scheme (Bayardo et al. WWW'07, Xiao et
     al. WWW'08), the third dedup family next to MinHash banding (d06,
     approximate) and SimHash hamming bands (d07): zero false negatives,
@@ -393,9 +395,13 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     same discipline as minhash_lsh_pairs.
 
     Returns (doc_a, doc_b, inter_n, union_n) — identical contract and
-    threshold as minhash_lsh_pairs, so the two are directly comparable;
-    this one is the ground truth.
+    (default) threshold as minhash_lsh_pairs, so the two are directly
+    comparable; this one is the ground truth. The threshold is the exact
+    rational t_num/t_den (all comparisons are integer cross-multiplies —
+    no float epsilon anywhere).
     """
+    if not (0 < t_num <= t_den):
+        raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
     shingled = shingle_rows(df, id_col, text_col, shingle_n)
     dset = shingled.select(
         "doc", _base_hash(F.col("s")).alias("h")).distinct()
@@ -409,17 +415,20 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         .withColumn("sz", F.size("ord").cast("long"))
         .localCheckpoint()
     )
-    # t = 1/2: prefix length = sz - ceil(sz/2) + 1 = floor(sz/2) + 1
+    # prefix length = sz - ceil(t*sz) + 1, ceil in exact int arithmetic
+    ceil_t_sz = F.floor((F.lit(t_num) * F.col("sz") + F.lit(t_den - 1))
+                        / F.lit(t_den))
     prefix = per_doc.select(
         "doc", "sz",
-        F.explode(F.slice("ord", 1, (F.floor(F.col("sz") / 2) + 1)
+        F.explode(F.slice("ord", 1, (F.col("sz") - ceil_t_sz + 1)
                           .cast("int"))).alias("p")
     ).select("doc", "sz", F.col("p.h").alias("h"))
+    # length filter: J <= min/max, so J >= t needs den*min >= num*max
     cand = (
         prefix.alias("a").join(prefix.alias("b"), "h")
         .filter((F.col("a.doc") < F.col("b.doc"))
-                & (F.lit(2) * F.least("a.sz", "b.sz")
-                   >= F.greatest("a.sz", "b.sz")))
+                & (F.lit(t_den) * F.least("a.sz", "b.sz")
+                   >= F.lit(t_num) * F.greatest("a.sz", "b.sz")))
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
@@ -436,4 +445,5 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         .select("doc_a", "doc_b", "inter_n",
                 (F.col("tot") - F.col("inter_n")).alias("union_n"))
     )
-    return verified.filter(F.lit(2) * F.col("inter_n") >= F.col("union_n"))
+    return verified.filter(
+        F.lit(t_den) * F.col("inter_n") >= F.lit(t_num) * F.col("union_n"))

@@ -123,3 +123,38 @@ def test_q73_gate_frame_joins_without_exchange(spark):
     finally:
         for tbl in tables:
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+@pytest.mark.parametrize("t_num,t_den", [(3, 10), (7, 10), (1, 1)])
+def test_prefix_filter_jaccard_general_threshold(spark, t_num, t_den):
+    """Completeness of the prefix bound at thresholds other than the
+    d47 default — same brute-force comparison, exact rational compare."""
+    import itertools
+    import random
+
+    from etl_docker_spark.llm.dedup import prefix_filter_jaccard_pairs
+
+    rng = random.Random(23 + t_num)
+    vocab = [f"w{i}" for i in range(25)]
+    docs = []
+    for i in range(30):
+        base = [rng.choice(vocab) for _ in range(rng.randint(1, 10))]
+        docs.append((i, " ".join(base)))
+        if rng.random() < 0.6:
+            mut = list(base)
+            if rng.random() < 0.7:
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            docs.append((100 + i, " ".join(mut)))
+
+    hsets = {i: _py_shingle_hashes(t) for i, t in docs}
+    expected = set()
+    for (a, ha), (b, hb) in itertools.combinations(sorted(hsets.items()), 2):
+        inter, union = len(ha & hb), len(ha | hb)
+        if t_den * inter >= t_num * union:
+            expected.add((a, b, inter, union))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(4)
+    got = {(r.doc_a, r.doc_b, r.inter_n, r.union_n)
+           for r in prefix_filter_jaccard_pairs(
+               df, "doc_id", "text", t_num=t_num, t_den=t_den).collect()}
+    assert got == expected
