@@ -31,6 +31,7 @@ from etl_docker_spark.plans.round2q import ROUND2Q
 from etl_docker_spark.plans.round3 import ROUND3
 from etl_docker_spark.plans.round4 import ROUND4
 from etl_docker_spark.plans.round4b import ROUND4B
+from etl_docker_spark.plans.round4c import ROUND4C
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
@@ -92,7 +93,7 @@ def _build() -> dict[str, QuerySpec]:
                   ROUND2B, ROUND2C, ROUND2D, ROUND2E, ROUND2F, ROUND2G,
                   ROUND2H, ROUND2I, ROUND2J, ROUND2K, ROUND2L, ROUND2M,
                   ROUND2N, ROUND2O, ROUND2P, ROUND2Q, ROUND3, ROUND4,
-                  ROUND4B):
+                  ROUND4B, ROUND4C):
         for name, (builder, oracle) in table.items():
             specs[name] = QuerySpec(name, builder, oracle)
     assert len(_GATE_WINDOW) == 50, len(_GATE_WINDOW)

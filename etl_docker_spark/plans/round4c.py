@@ -1,0 +1,239 @@
+"""Round-4c queries: chained streaming aggregation, full-outer
+stream-stream join, positional-filter Jaccard, exact substring-run
+dedup, ORC round-trip, schema evolution, base+delta ANN serving.
+
+Same determinism discipline as every other plan module: money in integer
+cents, integer outputs pinned BIGINT, identical column names both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_docker_spark.plans._util import dec, t
+
+ROUND4C: dict = {}
+
+# ---------------------------------------------------------------- s19
+
+_S19_CUTOFF = "2024-01-11"
+
+
+def s19_stream_chained_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    """CHAINED streaming aggregations (multiple stateful operators in one
+    query, Spark 3.4+): an hourly windowed aggregate feeding a daily
+    windowed aggregate over `window_time` — the streaming form of every
+    warehouse's rollup cascade (raw -> hourly -> daily), run as ONE
+    query so the hourly tier never lands on storage.
+
+    What the chain adds over s01's single agg: the daily operator's
+    input is the hourly operator's APPEND output, so correctness needs
+    (a) the hourly tier to emit each hour exactly once as the watermark
+    closes it, and (b) the daily tier to treat those emissions as event
+    time (`window_time(hw)`) under the SAME watermark. `n_hours` — the
+    count of hourly rows absorbed per day — is the witness that the
+    intermediate tier really existed (a single-agg rewrite can't
+    produce it without a second shuffle over raw rows; here the daily
+    state sees only ~24 rows/key/day regardless of raw volume — the
+    100 TB argument for chaining inside the engine).
+
+    Emission, pinned by prototype (day-batched feed, availableNow, same
+    one-batch watermark lag as s13-s18): a daily window emits iff
+    day_end <= final watermark (max event ts - 1 min); day-aligned
+    windows mean every hourly window inside an emitted day has closed
+    too, so the gated output equals the batch rollup over days 1..9 and
+    the last day stays open (s15's open-session discipline).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from etl_docker_spark.plans._util import stream_state_partitions
+
+    ev = (t(spark, sf, "events")
+          .filter(F.col("ts") < F.lit(_S19_CUTOFF).cast("timestamp"))
+          .select("ts", "event_type",
+                  F.round(F.col("value") * 100, 0).cast("long")
+                  .alias("cents"),
+                  F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                  .alias("dcol")))
+
+    work = tempfile.mkdtemp(prefix="s19_")
+    try:
+        staged = os.path.join(work, "staged")
+        ev.coalesce(1).write.partitionBy("dcol").mode("overwrite") \
+            .parquet(staged)
+        arrivals = os.path.join(work, "arrivals")
+        os.makedirs(arrivals)
+        days = sorted(d for d in os.listdir(staged) if d.startswith("dcol="))
+        for i, d in enumerate(days):
+            src_dir = os.path.join(staged, d)
+            src = next(f for f in os.listdir(src_dir)
+                       if f.endswith(".parquet"))
+            dst = os.path.join(arrivals, f"{i:03d}.parquet")
+            shutil.copyfile(os.path.join(src_dir, src), dst)
+            os.utime(dst, (1700000000 + i * 60,) * 2)
+
+        probe = spark.read.parquet(arrivals)
+        stream = (spark.readStream.schema(probe.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(arrivals))
+        hourly = (stream.withWatermark("ts", "1 minute")
+                  .groupBy(F.window("ts", "1 hour").alias("hw"), "event_type")
+                  .agg(F.count("*").cast("long").alias("n_events"),
+                       F.sum("cents").alias("cents")))
+        daily = (hourly
+                 .groupBy(F.window(F.window_time("hw"), "1 day").alias("dw"),
+                          "event_type")
+                 .agg(F.count("*").cast("long").alias("n_hours"),
+                      F.sum("n_events").cast("long").alias("n_events"),
+                      F.sum("cents").cast("long").alias("total_cents"))
+                 .select(F.col("dw.start").alias("day"), "event_type",
+                         "n_hours", "n_events", "total_cents"))
+        name = f"s19_sink_{abs(hash(sf)) % 10 ** 8}"
+        with stream_state_partitions(spark, 4):
+            q = (daily.writeStream.outputMode("append").format("memory")
+                 .queryName(name).trigger(availableNow=True).start())
+            q.awaitTermination(300)
+            q.stop()
+        return spark.table(name).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+S19_SQL = f"""
+WITH ev AS (
+  SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hr,
+         event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents, ts
+  FROM events WHERE ts < TIMESTAMP '{_S19_CUTOFF} 00:00:00'
+),
+wm AS (SELECT MAX(ts) - INTERVAL 1 MINUTE AS w FROM ev),
+hourly AS (
+  SELECT day, hr, event_type, COUNT(*) AS n_events, SUM(cents) AS cents
+  FROM ev GROUP BY day, hr, event_type
+)
+SELECT CAST(h.day AS TIMESTAMP) AS day, h.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(h.n_events) AS BIGINT) AS n_events,
+       CAST(SUM(h.cents) AS BIGINT) AS total_cents
+FROM hourly h, wm
+WHERE h.day + INTERVAL 1 DAY <= wm.w
+GROUP BY h.day, h.event_type
+"""
+
+
+ROUND4C.update({
+    "s19_stream_chained_aggs": (s19_stream_chained_aggs, S19_SQL),
+})
+
+# ---------------------------------------------------------------- s20
+
+
+def s20_stream_full_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — both null-emission rules
+    in one gate (s17 pins only the left side). Production meaning: in
+    one pass, views that never converted AND purchases with no
+    preceding view (direct/attribution-less conversions) — the two
+    audit queries every funnel pipeline runs, emitted from one join
+    state instead of two scans.
+
+    Emission rules, pinned by prototype (synthetic boundary feed,
+    availableNow, one-batch watermark lag; final watermark = MIN over
+    both sides of max event ts - 1 min):
+
+      - matched rows emit as they match (independent of watermark);
+      - an unmatched VIEW emits its null row iff
+        view_ts + 6h < wm, STRICT (s17's rule — the boundary view at
+        exactly wm - 6h stays in state);
+      - an unmatched PURCHASE emits its null row iff buy_ts < wm,
+        STRICT (pinned: buys at wm-2h/wm-1h emitted, the buy at
+        exactly wm held) — its match window is views in
+        [buy_ts - 6h, buy_ts], so eviction needs only the watermark to
+        pass buy_ts itself, not the 6h horizon.
+
+    Rows the final no-data batch leaves open never appear — at 100 TB
+    the watermark is the only bound on both sides' join state.
+    """
+    from etl_docker_spark.plans._util import stream_state_partitions
+    from etl_docker_spark.plans.advanced import (_events_stream,
+                                                 _state_partitions_for)
+
+    ev = _events_stream(spark, sf)
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", "1 minute"))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("b_user"),
+                    F.col("event_id").alias("purchase_id"),
+                    F.col("ts").alias("buy_ts"))
+            .withWatermark("buy_ts", "1 minute"))
+    joined = (views.join(
+        buys,
+        F.expr("""v_user = b_user
+                  AND buy_ts >= view_ts
+                  AND buy_ts <= view_ts + interval 6 hours"""),
+        "fullOuter")
+        .select(F.coalesce("v_user", "b_user").alias("user_id"),
+                "view_id", "purchase_id",
+                (F.unix_micros("buy_ts") - F.unix_micros("view_ts"))
+                .alias("delta_us")))
+    name = f"s20_sink_{abs(hash(sf)) % 10 ** 8}"
+    with stream_state_partitions(spark, _state_partitions_for(spark, sf)):
+        q = (joined.writeStream.outputMode("append").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        q.stop()
+    return spark.table(name).localCheckpoint()
+
+
+S20_SQL = """
+WITH v AS (
+  SELECT user_id, event_id AS view_id, ts AS vts
+  FROM events WHERE event_type = 'view'
+),
+b AS (
+  SELECT user_id AS bu, event_id AS purchase_id, ts AS bts
+  FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT least((SELECT MAX(vts) FROM v), (SELECT MAX(bts) FROM b))
+         - INTERVAL 1 MINUTE AS w
+),
+matched AS (
+  SELECT v.user_id, v.view_id, b.purchase_id,
+         epoch_us(b.bts) - epoch_us(v.vts) AS delta_us
+  FROM v JOIN b ON v.user_id = b.bu
+   AND b.bts >= v.vts AND b.bts <= v.vts + INTERVAL 6 HOUR
+),
+unmatched_v AS (
+  SELECT v.user_id, v.view_id,
+         CAST(NULL AS BIGINT) AS purchase_id,
+         CAST(NULL AS BIGINT) AS delta_us
+  FROM v, wm
+  WHERE v.vts + INTERVAL 6 HOUR < wm.w
+    AND NOT EXISTS (
+      SELECT 1 FROM b
+      WHERE b.bu = v.user_id
+        AND b.bts >= v.vts AND b.bts <= v.vts + INTERVAL 6 HOUR)
+),
+unmatched_b AS (
+  SELECT b.bu AS user_id, CAST(NULL AS BIGINT) AS view_id, b.purchase_id,
+         CAST(NULL AS BIGINT) AS delta_us
+  FROM b, wm
+  WHERE b.bts < wm.w
+    AND NOT EXISTS (
+      SELECT 1 FROM v
+      WHERE v.user_id = b.bu
+        AND b.bts >= v.vts AND b.bts <= v.vts + INTERVAL 6 HOUR)
+)
+SELECT * FROM matched
+UNION ALL SELECT * FROM unmatched_v
+UNION ALL SELECT * FROM unmatched_b
+"""
+
+
+ROUND4C.update({
+    "s20_stream_full_outer_join": (s20_stream_full_outer_join, S20_SQL),
+})
