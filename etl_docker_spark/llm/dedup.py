@@ -362,7 +362,8 @@ def ngram_jaccard_pair_cols(sh_a: Column, sh_b: Column) -> Column:
 
 def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                                 shingle_n: int = 3, t_num: int = 1,
-                                t_den: int = 2) -> DataFrame:
+                                t_den: int = 2,
+                                positional: bool = False) -> DataFrame:
     """EXACT Jaccard >= t (default 1/2) similarity self-join via prefix
     filtering —
     the AllPairs/PPJoin candidate scheme (Bayardo et al. WWW'07, Xiao et
@@ -386,7 +387,21 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     before the distinct. Worst-case skew (one rare-ish token in MANY
     prefixes) re-creates a quadratic block; the standard refinements
     (positional filter, suffix filter) shrink candidates further without
-    giving up exactness, and are the documented upgrade path.
+    giving up exactness.
+
+    `positional=True` adds PPJoin's positional filter (Xiao et al.
+    WWW'08 §3.2), distributed-exact: both per-doc orderings sort by the
+    SAME global (dfreq, h) key, so the common tokens of any pair appear
+    in the same relative order on both sides — the earliest prefix
+    match (min position in A is the same match as min position in B) is
+    the pair's first common token, and overlap <= 1 + min(|A| - i,
+    |B| - j) at its positions. A candidate survives only if that bound
+    reaches the Jaccard minoverlap ceil(t*(|A|+|B|)/(1+t)) (integer
+    cross-multiply). The pair-dedup `.distinct()` becomes a groupBy
+    MIN over match positions — same shuffle shape — and every pruned
+    candidate skips the two verification joins + array intersect, which
+    is where the savings land (pruned candidates can never verify, so
+    the output is identical by construction).
 
     Shuffle ledger: shingle pass (id-partitioned, exchange-free groupBys)
     -> df counts (digest-width by h) -> per-doc ordered arrays (by doc)
@@ -420,18 +435,37 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         / F.lit(t_den))
     prefix = per_doc.select(
         "doc", "sz",
-        F.explode(F.slice("ord", 1, (F.col("sz") - ceil_t_sz + 1)
-                          .cast("int"))).alias("p")
-    ).select("doc", "sz", F.col("p.h").alias("h"))
+        F.posexplode(F.slice("ord", 1, (F.col("sz") - ceil_t_sz + 1)
+                             .cast("int"))).alias("i", "p")
+    ).select("doc", "sz", (F.col("i") + 1).cast("long").alias("i"),
+             F.col("p.h").alias("h"))
     # length filter: J <= min/max, so J >= t needs den*min >= num*max
-    cand = (
+    raw = (
         prefix.alias("a").join(prefix.alias("b"), "h")
         .filter((F.col("a.doc") < F.col("b.doc"))
                 & (F.lit(t_den) * F.least("a.sz", "b.sz")
                    >= F.lit(t_num) * F.greatest("a.sz", "b.sz")))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+                F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"),
+                F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
     )
+    if positional:
+        # min(ia) and min(ib) are realized by the SAME match (order
+        # consistency), so the per-pair mins locate the first common
+        # token; overlap <= 1 + min(sz_a - ia, sz_b - ib) there, and
+        # J >= t needs overlap >= t*(sz_a+sz_b)/(1+t).
+        bound = (F.lit(1)
+                 + F.least(F.col("sz_a") - F.col("min_ia"),
+                           F.col("sz_b") - F.col("min_ib")))
+        cand = (
+            raw.groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+            .agg(F.min("ia").alias("min_ia"), F.min("ib").alias("min_ib"))
+            .filter(F.lit(t_den + t_num) * bound
+                    >= F.lit(t_num) * (F.col("sz_a") + F.col("sz_b")))
+            .select("doc_a", "doc_b")
+        )
+    else:
+        cand = raw.select("doc_a", "doc_b").distinct()
     sets = per_doc.select(
         "doc", F.transform("ord", lambda x: x["h"]).alias("hs"))
     inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("long")

@@ -237,3 +237,52 @@ UNION ALL SELECT * FROM unmatched_b
 ROUND4C.update({
     "s20_stream_full_outer_join": (s20_stream_full_outer_join, S20_SQL),
 })
+
+# ---------------------------------------------------------------- d49
+
+
+def d49_positional_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard >= 0.7 pairs via prefix + POSITIONAL
+    filtering (PPJoin, Xiao et al. WWW'08) — d47's documented upgrade
+    path, gated at the tighter threshold where the positional bound has
+    teeth (at t=0.7 prefixes are ~30% of each set, and most
+    prefix-collision pairs fail the first-match position bound before
+    the verification joins ever run; measured reduction table in
+    SCALE.md). Zero false negatives by construction: the filter only
+    discards candidates whose overlap upper bound is below the Jaccard
+    minoverlap, so output == the brute-force join (the oracle).
+
+    See `llm/dedup.py:prefix_filter_jaccard_pairs(positional=True)` for
+    the order-consistency argument that makes the classic single-node
+    bound computable as a distributed per-pair MIN."""
+    from etl_docker_spark.llm.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(
+        t(spark, sf, "documents"), "doc_id", "text", shingle_n=3,
+        t_num=7, t_den=10, positional=True)
+
+
+from etl_docker_spark.plans.round4b import _D47_HASHED_CTES  # noqa: E402
+
+D49_SQL = f"""
+WITH {_D47_HASHED_CTES},
+hs AS (SELECT doc_id, list_distinct(hh) AS hs FROM hashed),
+tok AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+pair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS inter_n
+  FROM tok a JOIN tok b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.inter_n,
+       CAST(len(sa.hs) + len(sb.hs) AS BIGINT) - p.inter_n AS union_n
+FROM pair p
+JOIN hs sa ON sa.doc_id = p.doc_a
+JOIN hs sb ON sb.doc_id = p.doc_b
+WHERE 10 * p.inter_n >= 7 * (len(sa.hs) + len(sb.hs) - p.inter_n)
+"""
+
+
+ROUND4C.update({
+    "d49_positional_jaccard": (d49_positional_jaccard, D49_SQL),
+})
