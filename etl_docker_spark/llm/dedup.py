@@ -481,3 +481,71 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     )
     return verified.filter(
         F.lit(t_den) * F.col("inter_n") >= F.lit(t_num) * F.col("union_n"))
+
+
+def substring_run_pairs(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 5, min_run: int = 8) -> DataFrame:
+    """EXACT shared-substring detection: document pairs sharing a
+    contiguous token run of >= `min_run` tokens — the exact-substring
+    dedup family (suffix-array dedup a la "Deduplicating Training Data
+    Makes Language Models Better", Lee et al. '22, re-expressed as a
+    k-gram inverted-index join instead of a monolithic suffix array,
+    which does not distribute).
+
+    Method: every k-gram occurrence becomes (doc, position, hash); an
+    equi-join on the hash (doc_a < doc_b) yields match points (pa, pb);
+    matches sharing a DIAGONAL d = pa - pb at consecutive positions are
+    the same contiguous shared substring, so within (pair, d) a streak
+    of s consecutive pa values certifies a shared run of s + k - 1
+    tokens. Streaks via the classic pa - row_number() grouping — the
+    window partitions by (pair, diagonal), which is bounded by the
+    matched gram count of that pair, never corpus-sized.
+
+    Scale shape: the join is an inverted-index join over k-gram hashes;
+    for k ~ 5 natural-text gram frequency concentrates at 1, so match
+    volume tracks true shared content, not the corpus square. The
+    hazard is boilerplate grams (a header shared by millions of docs
+    re-creates a quadratic block) — at 100 TB, screen those with the
+    d22 boilerplate-phrase pass first (drop grams with dfreq above a
+    cutoff ONLY if the cutoff exceeds the corpus dup ceiling, which
+    changes reported runs for exactly the docs d22 already flags).
+
+    Docs shorter than k tokens cannot contain a min_run-token substring
+    (min_run >= k) and are excluded by construction.
+
+    Returns (doc_a, doc_b, max_run_tokens, n_gram_matches), one row per
+    pair with max_run_tokens >= min_run.
+    """
+    from pyspark.sql import Window
+
+    if min_run < k:
+        raise ValueError("min_run must be >= k (runs are k-gram streaks)")
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    toks = F.split(F.col(text_col), " ")
+    tok_rows = df.select(
+        F.col(id_col).alias("doc"), F.size(toks).alias("sz"),
+        F.posexplode(toks).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    grams = (
+        tok_rows.select("doc", "sz", "pos",
+                        F.concat_ws(" ", *leads).alias("s"))
+        .filter(F.col("pos") <= F.col("sz") - k)
+        .select("doc", F.col("pos").cast("long").alias("p"),
+                _base_hash(F.col("s")).alias("h"))
+    )
+    m = (grams.alias("a").join(grams.alias("b"), "h")
+         .filter(F.col("a.doc") < F.col("b.doc"))
+         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+                 F.col("a.p").alias("pa"),
+                 (F.col("a.p") - F.col("b.p")).alias("d")))
+    w2 = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")
+    runs = (m.withColumn("grp", F.col("pa") - F.row_number().over(w2))
+            .groupBy("doc_a", "doc_b", "d", "grp")
+            .agg(F.count("*").alias("s")))
+    return (runs.groupBy("doc_a", "doc_b")
+            .agg((F.max("s") + k - 1).cast("long").alias("max_run_tokens"),
+                 F.sum("s").cast("long").alias("n_gram_matches"))
+            .filter(F.col("max_run_tokens") >= min_run))

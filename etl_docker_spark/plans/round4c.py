@@ -286,3 +286,60 @@ WHERE 10 * p.inter_n >= 7 * (len(sa.hs) + len(sb.hs) - p.inter_n)
 ROUND4C.update({
     "d49_positional_jaccard": (d49_positional_jaccard, D49_SQL),
 })
+
+# ---------------------------------------------------------------- d50
+
+
+def d50_substring_runs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact shared-substring audit: document pairs sharing a contiguous
+    run of >= 8 tokens, with the longest shared run and total 5-gram
+    match volume per pair — the EXACT-SUBSTRING dedup family (Lee et
+    al. '22) next to set-Jaccard (d47/d49): set similarity can't see
+    that two long documents share one verbatim paragraph (Jaccard is
+    diluted by the unshared remainder); substring runs are exactly that
+    signal, and at training-data scale verbatim-paragraph contamination
+    is what leaks benchmarks. See
+    `llm/dedup.py:substring_run_pairs` for the diagonal-streak method
+    and the boilerplate-gram scale hazard."""
+    from etl_docker_spark.llm.dedup import substring_run_pairs
+
+    return substring_run_pairs(
+        t(spark, sf, "documents"), "doc_id", "text", k=5, min_run=8)
+
+
+D50_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+g AS (
+  SELECT doc_id, i AS p,
+         CAST('0x' || substring(
+           md5(array_to_string(tk[i:i+4], ' ')), 1, 8) AS BIGINT) AS h
+  FROM toks, LATERAL unnest(generate_series(1, len(tk) - 4)) AS u(i)
+  WHERE len(tk) >= 5
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, a.p - b.p AS d
+  FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT doc_a, doc_b, d, pa,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, d
+                                 ORDER BY pa) AS grp
+  FROM m
+),
+runs AS (
+  SELECT doc_a, doc_b, d, grp, COUNT(*) AS s
+  FROM r GROUP BY doc_a, doc_b, d, grp
+)
+SELECT doc_a, doc_b,
+       CAST(MAX(s) + 4 AS BIGINT) AS max_run_tokens,
+       CAST(SUM(s) AS BIGINT) AS n_gram_matches
+FROM runs GROUP BY doc_a, doc_b
+HAVING MAX(s) + 4 >= 8
+"""
+
+
+ROUND4C.update({
+    "d50_substring_runs": (d50_substring_runs, D50_SQL),
+})

@@ -64,3 +64,56 @@ def test_positional_filter_only_prunes(spark):
         df, "doc_id", "text", t_num=7, t_den=10,
         positional=True).collect()}
     assert pos == plain
+
+
+def test_substring_runs_match_bruteforce(spark):
+    """Diagonal-streak runs == brute-force longest-common-substring (in
+    tokens) on a corpus with planted shared paragraphs, including the
+    total gram-match count."""
+    from etl_docker_spark.llm.dedup import substring_run_pairs
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(40)]
+    para = [rng.choice(vocab) for _ in range(12)]  # planted 12-token run
+    docs = []
+    for i in range(30):
+        body = [rng.choice(vocab) for _ in range(rng.randint(3, 25))]
+        if i % 3 == 0:  # embed the paragraph at a random offset
+            at = rng.randint(0, len(body))
+            body = body[:at] + para + body[at:]
+        docs.append((i, " ".join(body)))
+
+    k, min_run = 5, 8
+    toks = {i: t.split(" ") for i, t in docs}
+
+    def grams(ts):
+        return [tuple(ts[j:j + k]) for j in range(len(ts) - k + 1)]
+
+    expected = {}
+    for (a, ta), (b, tb) in itertools.combinations(sorted(toks.items()), 2):
+        ga, gb = grams(ta), grams(tb)
+        matches = [(i, j) for i, x in enumerate(ga)
+                   for j, y in enumerate(gb) if x == y]
+        if not matches:
+            continue
+        # longest streak per diagonal
+        best = 0
+        by_diag: dict[int, list[int]] = {}
+        for i, j in matches:
+            by_diag.setdefault(i - j, []).append(i)
+        for d, ps in by_diag.items():
+            ps.sort()
+            streak = run = 1
+            for prev, cur in zip(ps, ps[1:]):
+                run = run + 1 if cur == prev + 1 else 1
+                streak = max(streak, run)
+            best = max(best, streak)
+        if best + k - 1 >= min_run:
+            expected[(a, b)] = (best + k - 1, len(matches))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): (r.max_run_tokens, r.n_gram_matches)
+           for r in substring_run_pairs(df, "doc_id", "text",
+                                        k=k, min_run=min_run).collect()}
+    assert got == expected
+    assert expected  # the planted paragraphs must surface
