@@ -343,3 +343,125 @@ HAVING MAX(s) + 4 >= 8
 ROUND4C.update({
     "d50_substring_runs": (d50_substring_runs, D50_SQL),
 })
+
+# ---------------------------------------------------------------- q75
+
+_Q75_CUTOFF = "2024-01-11"
+
+
+def q75_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC round-trip with pushdown, gated end-to-end through disk —
+    the second columnar format next to parquet (warehouses routinely
+    read Hive-era ORC lakes; an engine claiming format coverage must
+    prove value parity THROUGH its write+read path, not just accept the
+    reader's output). The read back applies a partition filter
+    (event_type, pruned at planning) and a value filter (cents, pushed
+    into the ORC reader as a search argument) — `tests/test_round4c.py`
+    pins both on this exact frame; this gate pins that what survives
+    the pruned, pushed scan aggregates to the same numbers as the
+    logical query (the oracle never sees ORC)."""
+    import shutil
+    import tempfile
+
+    ev = (t(spark, sf, "events")
+          .filter(F.col("ts") < F.lit(_Q75_CUTOFF).cast("timestamp"))
+          .select("event_id", "event_type", "user_id",
+                  F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                  .alias("day"),
+                  F.round(F.col("value") * 100, 0).cast("long")
+                  .alias("cents")))
+    work = tempfile.mkdtemp(prefix="q75_")
+    try:
+        ev.write.mode("overwrite").partitionBy("event_type").orc(work)
+        back = (spark.read.orc(work)
+                .filter(F.col("event_type").isin("purchase", "view")
+                        & (F.col("cents") >= 1000)))
+        return (back.groupBy("day", "event_type")
+                .agg(F.count("*").cast("long").alias("n_events"),
+                     F.sum("cents").cast("long").alias("total_cents"),
+                     F.countDistinct("user_id").cast("long")
+                     .alias("n_users"))
+                .localCheckpoint())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+Q75_SQL = f"""
+SELECT CAST(date_trunc('day', ts) AS VARCHAR) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE ts < TIMESTAMP '{_Q75_CUTOFF} 00:00:00'
+  AND event_type IN ('purchase', 'view')
+  AND CAST(round(value * 100, 0) AS BIGINT) >= 1000
+GROUP BY day, event_type
+"""
+
+
+ROUND4C.update({
+    "q75_orc_roundtrip": (q75_orc_roundtrip, Q75_SQL),
+})
+
+# ---------------------------------------------------------------- q76
+
+_Q76_CUTOFF = "1999-01-01"
+
+
+def q76_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Parquet SCHEMA EVOLUTION gated through disk: a table whose early
+    files predate a column (orders loaded before {_Q76_CUTOFF} lack
+    o_orderpriority — the column was added to the feed later), read
+    back with mergeSchema so old files surface NULL for the new column
+    — the add-a-column lifecycle every long-lived lake table goes
+    through (at 100 TB you never rewrite history to add a column; the
+    reader reconciles footers). The aggregate buckets legacy rows under
+    'LEGACY' via coalesce, so a reader that dropped v1 files, failed to
+    merge footers, or back-filled the column wrongly diverges from the
+    oracle."""
+    import shutil
+    import tempfile
+
+    orders = t(spark, sf, "orders")
+    cut = F.lit(_Q76_CUTOFF).cast("timestamp")
+    v1 = (orders.filter(F.col("o_orderdate") < cut)
+          .select("o_orderkey",
+                  (dec("o_totalprice") * 100).cast("long")
+                  .alias("total_cents")))
+    v2 = (orders.filter(F.col("o_orderdate") >= cut)
+          .select("o_orderkey",
+                  (dec("o_totalprice") * 100).cast("long")
+                  .alias("total_cents"),
+                  "o_orderpriority"))
+    work = tempfile.mkdtemp(prefix="q76_")
+    try:
+        v1.write.mode("overwrite").parquet(work)
+        v2.write.mode("append").parquet(work)
+        merged = spark.read.option("mergeSchema", "true").parquet(work)
+        return (merged
+                .groupBy(F.coalesce("o_orderpriority", F.lit("LEGACY"))
+                         .alias("priority"))
+                .agg(F.count("*").cast("long").alias("n_orders"),
+                     F.sum("total_cents").cast("long").alias("total_cents"))
+                .orderBy("priority")
+                .localCheckpoint())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+Q76_SQL = f"""
+SELECT CASE WHEN o_orderdate >= TIMESTAMP '{_Q76_CUTOFF} 00:00:00'
+            THEN o_orderpriority ELSE 'LEGACY' END AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 100 AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders
+GROUP BY priority
+ORDER BY priority
+"""
+
+
+ROUND4C.update({
+    "q76_schema_evolution": (q76_schema_evolution, Q76_SQL),
+})

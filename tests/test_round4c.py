@@ -117,3 +117,38 @@ def test_substring_runs_match_bruteforce(spark):
                                         k=k, min_run=min_run).collect()}
     assert got == expected
     assert expected  # the planted paragraphs must surface
+
+
+def test_orc_scan_prunes_partitions_and_pushes_filters(spark, tmp_path):
+    """The q75 read path must hit the ORC reader with the value filter
+    pushed down (search argument) and the partition filter applied at
+    planning — a scan reading every partition or every row would still
+    pass the value oracle."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, "purchase" if i % 3 else "view", i * 100) for i in range(60)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, cents long")
+    path = str(tmp_path / "orc")
+    df.write.mode("overwrite").partitionBy("event_type").orc(path)
+    back = (spark.read.orc(path)
+            .filter(F.col("event_type").isin("purchase", "view")
+                    & (F.col("cents") >= 1000)))
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted")
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(cents,1000)" in plan.replace(" ", "")
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1].split("\n")[0]
+
+
+def test_parquet_merge_schema_nulls_legacy_rows(spark, tmp_path):
+    """mergeSchema surfaces NULL (not a dropped row, not a default) for
+    the added column on pre-evolution files."""
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, 10)], "id long, v long") \
+        .write.mode("overwrite").parquet(path)
+    spark.createDataFrame([(2, 20, "HIGH")], "id long, v long, prio string") \
+        .write.mode("append").parquet(path)
+    got = {(r.id, r.v, r.prio) for r in
+           spark.read.option("mergeSchema", "true").parquet(path).collect()}
+    assert got == {(1, 10, None), (2, 20, "HIGH")}
