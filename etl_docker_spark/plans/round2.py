@@ -198,6 +198,13 @@ def e05_ivf_train(spark: SparkSession, sf: str) -> DataFrame:
                     lambda x: F.floor(x.cast("double") * _KM_Q).cast("long"))
         .alias("qv"),
     )
+    return _ivf_train_on(e)
+
+
+def _ivf_train_on(e: DataFrame) -> DataFrame:
+    """The e05 trainer over an arbitrary (vec_id, qv) frame — shared with
+    e21's base-segment training (same init rule: the k lowest vec_ids of
+    THIS frame)."""
     c0 = (e.filter(F.col("vec_id") < _KM_K)
           .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv")))
 

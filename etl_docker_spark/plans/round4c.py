@@ -465,3 +465,131 @@ ORDER BY priority
 ROUND4C.update({
     "q76_schema_evolution": (q76_schema_evolution, Q76_SQL),
 })
+
+# ---------------------------------------------------------------- e21
+
+_E21_MOD, _E21_REM = 11, 9  # delta segment: vec_id % 11 == 9 (excludes 0..7)
+
+
+def e21_base_delta_serving(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN serving over BASE + DELTA segments — how a production vector
+    index absorbs streaming inserts without retraining: the trained IVF
+    (e05's trainer, run on the base segment only) routes queries to
+    cells of BASE; vectors that arrived after training sit in a small
+    untrained DELTA segment that every query brute-force scans; the
+    exact cosine top-k merges both candidate streams. Periodic
+    compaction folds delta into base and retrains — until then, recall
+    on fresh vectors is exact by construction (the delta scan misses
+    nothing) and the extra cost is |delta| per query, which is what
+    bounds the retrain cadence at 100 TB.
+
+    The `segment` column witnesses delta rows actually being served
+    through the merged ranking (an implementation that forgot the delta
+    side would differ from the oracle wherever a fresh vector belongs
+    in a top-5)."""
+    from etl_docker_spark.llm.index_cache import memo_frame
+    from etl_docker_spark.llm.similarity import dot_expr, norm2_expr
+    from etl_docker_spark.plans._util import ensure_session_confs
+    from etl_docker_spark.plans.round2 import _KM_K, _KM_Q, _ivf_train_on
+
+    ensure_session_confs(spark)
+    emb = t(spark, sf, "embeddings").select(
+        "vec_id", "embedding", norm2_expr(F.col("embedding")).alias("n2"))
+    is_delta = F.col("vec_id") % _E21_MOD == _E21_REM
+
+    def train():
+        e_q = (t(spark, sf, "embeddings").filter(~is_delta)
+               .select("vec_id",
+                       F.transform("embedding",
+                                   lambda x: F.floor(x.cast("double")
+                                                     * _KM_Q).cast("long"))
+                       .alias("qv")))
+        return _ivf_train_on(e_q)
+
+    assign = memo_frame(spark, f"e21_assign:{sf}", train, sf_dir=sf)
+    base = emb.filter(~is_delta).join(assign, "vec_id")
+    delta = emb.filter(is_delta)
+    q = (base.filter(F.col("vec_id") < _KM_K)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv"),
+                 F.col("n2").alias("qn2"), "cluster"))
+    cand_base = (base.join(F.broadcast(q), "cluster")
+                 .filter(F.col("vec_id") != F.col("query_id"))
+                 .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                         F.lit("base").alias("segment"),
+                         "qv", "qn2", "embedding", "n2"))
+    cand_delta = (delta.crossJoin(F.broadcast(q.drop("cluster")))
+                  .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                          F.lit("delta").alias("segment"),
+                          "qv", "qn2", "embedding", "n2"))
+    scored = (cand_base.unionByName(cand_delta)
+              .select("query_id", "neighbor_id", "segment",
+                      (dot_expr(F.col("qv"), F.col("embedding"))
+                       / F.sqrt(F.col("qn2") * F.col("n2")))
+                      .alias("cosine")))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id", "segment",
+                    F.round("cosine", 8).alias("cosine"), "rank"))
+
+
+def _e21_sql() -> str:
+    """Oracle: e05's training CTE body restricted to the base segment
+    (string-level reuse keeps the two k-means replays in lockstep),
+    then the merged base-cell + delta-scan ranking."""
+    from etl_docker_spark.plans.round2 import _DOT2, _KM_K, E05_SQL
+
+    base_filter = f"WHERE vec_id % {_E21_MOD} <> {_E21_REM}"
+    body = E05_SQL.strip().removeprefix("WITH").replace(
+        "FROM embeddings\n)", f"FROM embeddings {base_filter}\n)", 1)
+    train = body.rsplit("SELECT vec_id, cluster FROM d2", 1)[0].strip()
+    return f"""
+WITH {train},
+assign AS (
+  SELECT vec_id, cluster FROM d2
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+),
+emb AS (
+  SELECT vec_id, embedding, {_DOT2.format(a='embedding', b='embedding')} AS n2
+  FROM embeddings
+),
+base AS (
+  SELECT emb.*, assign.cluster FROM emb JOIN assign USING (vec_id)
+),
+delta AS (
+  SELECT * FROM emb WHERE vec_id % {_E21_MOD} = {_E21_REM}
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, n2 AS qn2, cluster
+  FROM base WHERE vec_id < {_KM_K}
+),
+cand AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id, 'base' AS segment,
+         q.qv, q.qn2, b.embedding, b.n2
+  FROM base b JOIN q ON b.cluster = q.cluster AND b.vec_id <> q.query_id
+  UNION ALL
+  SELECT q.query_id, d.vec_id, 'delta', q.qv, q.qn2, d.embedding, d.n2
+  FROM delta d, q
+),
+scored AS (
+  SELECT query_id, neighbor_id, segment,
+         {_DOT2.format(a='qv', b='embedding')} / sqrt(qn2 * n2) AS cos_raw
+  FROM cand
+)
+SELECT query_id, neighbor_id, segment, round(cos_raw, 8) AS cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id ASC)
+            AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+ROUND4C.update({
+    "e21_base_delta_serving": (e21_base_delta_serving, _e21_sql()),
+})
