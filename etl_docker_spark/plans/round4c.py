@@ -593,3 +593,283 @@ QUALIFY rank <= 5
 ROUND4C.update({
     "e21_base_delta_serving": (e21_base_delta_serving, _e21_sql()),
 })
+
+# ---------------------------------------------------------------- q77
+
+
+def q77_lateral_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:1999 lateral derived table,
+    Spark 3.4+): top-3 customers by balance PER NATION, written the way
+    an analyst writes it — a per-row correlated ORDER BY ... LIMIT —
+    rather than the window-function rewrite (q03/q07 cover that form).
+    Catalyst decorrelates this into a ranked window under the hood
+    (DomainJoin rewrite), so the declarative form pays the same
+    distributed plan as the hand-rewrite: no per-nation driver loop, no
+    N scans of customer. The oracle runs the IDENTICAL lateral SQL on
+    DuckDB — both engines' decorrelation must agree on the semantics
+    (ties broken by name, nations with < 3 customers keep what they
+    have, nations with none drop out)."""
+    t(spark, sf, "nation").createOrReplaceTempView("q77_nation")
+    t(spark, sf, "customer").createOrReplaceTempView("q77_customer")
+    return spark.sql("""
+SELECT n.n_name, c.c_name,
+       CAST(CAST(c.c_acctbal AS DECIMAL(12,4)) * 100 AS BIGINT) AS bal_cents
+FROM q77_nation n,
+LATERAL (SELECT c_name, c_acctbal FROM q77_customer
+         WHERE c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_name LIMIT 3) c
+""")
+
+
+Q77_SQL = """
+SELECT n.n_name, c.c_name,
+       CAST(CAST(c.c_acctbal AS DECIMAL(12,4)) * 100 AS BIGINT) AS bal_cents
+FROM nation n,
+LATERAL (SELECT c_name, c_acctbal FROM customer
+         WHERE c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_name LIMIT 3) c
+"""
+
+
+ROUND4C.update({
+    "q77_lateral_topk": (q77_lateral_topk, Q77_SQL),
+})
+
+# ---------------------------------------------------------------- d51
+
+_D51_MOD = 13  # benchmark slice: doc_id % 13 == 0
+
+
+def d51_substring_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark DECONTAMINATION by exact substring overlap — the
+    production form of d50: a held-out benchmark slice (doc_id %
+    {_D51_MOD} == 0) is screened against the training corpus, and any
+    training document sharing a contiguous >= 8-token run with a
+    benchmark document is flagged for ejection (one row per flagged
+    training doc: the worst offending benchmark doc and the longest
+    run). Verbatim-run overlap is the decontamination criterion the
+    dedup-training-data line of work actually ships — set-level Jaccard
+    (d19/d43's screens) misses a benchmark answer pasted into a long
+    document, which is precisely the leak that inflates evals.
+
+    Composition: d50's diagonal-streak pair detector, post-filtered to
+    BIPARTITE pairs (exactly one endpoint in the benchmark slice), then
+    a max_by per training doc. Runs within either slice are ignored —
+    dedup inside the corpus is d14's job, not decontamination's."""
+    from etl_docker_spark.llm.dedup import substring_run_pairs
+
+    pairs = substring_run_pairs(
+        t(spark, sf, "documents"), "doc_id", "text", k=5, min_run=8)
+    a_bench = F.col("doc_a") % _D51_MOD == 0
+    b_bench = F.col("doc_b") % _D51_MOD == 0
+    cross = (pairs.filter(a_bench != b_bench)
+             .select(F.when(a_bench, F.col("doc_b"))
+                     .otherwise(F.col("doc_a")).alias("train_doc"),
+                     F.when(a_bench, F.col("doc_a"))
+                     .otherwise(F.col("doc_b")).alias("bench_doc"),
+                     "max_run_tokens"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("train_doc").orderBy(
+        F.desc("max_run_tokens"), F.asc("bench_doc"))
+    return (cross.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("train_doc", "bench_doc", "max_run_tokens"))
+
+
+def _d51_sql() -> str:
+    body = D50_SQL.strip().removeprefix("WITH")
+    pairs = body.rsplit("SELECT doc_a, doc_b,", 1)[0].strip()
+    return f"""
+WITH {pairs},
+pair_runs AS (
+  SELECT doc_a, doc_b, CAST(MAX(s) + 4 AS BIGINT) AS max_run_tokens
+  FROM runs GROUP BY doc_a, doc_b
+  HAVING MAX(s) + 4 >= 8
+),
+cross_pairs AS (
+  SELECT CASE WHEN doc_a % {_D51_MOD} = 0 THEN doc_b ELSE doc_a END
+           AS train_doc,
+         CASE WHEN doc_a % {_D51_MOD} = 0 THEN doc_a ELSE doc_b END
+           AS bench_doc,
+         max_run_tokens
+  FROM pair_runs
+  WHERE (doc_a % {_D51_MOD} = 0) <> (doc_b % {_D51_MOD} = 0)
+)
+SELECT train_doc, bench_doc, max_run_tokens
+FROM cross_pairs
+QUALIFY row_number() OVER (PARTITION BY train_doc
+                           ORDER BY max_run_tokens DESC, bench_doc ASC) = 1
+"""
+
+
+ROUND4C.update({
+    "d51_substring_decontam": (d51_substring_decontam, _d51_sql()),
+})
+
+# ---------------------------------------------------------------- q78
+
+_Q78_CUTOFF = "2024-01-11"
+
+
+def q78_observed_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-pass dataset metrics via `Observation` — Spark's
+    accumulator-backed observe() API: the metrics are collected DURING
+    the one write pass (map-side, merged on the driver), not by a
+    second scan. This is how a 100 TB load job gets its row counts and
+    value ranges for the audit log for free — the A5/A6
+    count-verification contract (`orchestration.py`) without paying the
+    input twice. The gate pins that the observed numbers equal the
+    oracle's recomputation over the same filter — an observation
+    attached to the wrong frame (pre-filter, post-aggregate) or merged
+    lossily diverges.
+
+    The returned frame is built from the observation result (scalar
+    frame, same pattern as q69's audit-trail gate); the data pass
+    itself lands in a throwaway parquet sink, exactly like the
+    production job it models."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Observation
+
+    ev = (t(spark, sf, "events")
+          .filter(F.col("ts") < F.lit(_Q78_CUTOFF).cast("timestamp"))
+          .select("event_id", "event_type",
+                  F.round(F.col("value") * 100, 0).cast("long")
+                  .alias("cents")))
+    obs = Observation("q78_metrics")
+    tagged = ev.observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+        F.count(F.when(F.col("event_type") == "error", 1)).cast("long")
+        .alias("n_errors"))
+    work = tempfile.mkdtemp(prefix="q78_")
+    try:
+        tagged.write.mode("overwrite").parquet(work)  # the single pass
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["total_cents"], m["min_cents"], m["max_cents"],
+          m["n_errors"])],
+        "n_rows long, total_cents long, min_cents long, max_cents long, "
+        "n_errors long")
+
+
+Q78_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(MIN(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS min_cents,
+       CAST(MAX(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS max_cents,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+         AS n_errors
+FROM events
+WHERE ts < TIMESTAMP '{_Q78_CUTOFF} 00:00:00'
+"""
+
+
+ROUND4C.update({
+    "q78_observed_metrics": (q78_observed_metrics, Q78_SQL),
+})
+
+# ---------------------------------------------------------------- s21
+
+_S21_CUTOFF = "2024-01-11"
+
+
+def s21_stream_state_accounting(spark: SparkSession, sf: str) -> DataFrame:
+    """STATE-SIZE accounting via StreamingQueryProgress, gated — the
+    observability contract capacity planning runs on: after an
+    availableNow run of a day-windowed aggregate, the state store must
+    hold EXACTLY the open windows (groups whose window end outlives the
+    final watermark) and the sink exactly the closed ones. At 100 TB
+    `numRowsTotal` is the number you alert on — if eviction lags the
+    watermark (state leak) or runs ahead of it (dropped results), this
+    gate diverges from the oracle's open/closed split.
+
+    Pinned by prototype: the final no-data batch evicts every closed
+    window it emits, so lastProgress.stateOperators[0].numRowsTotal ==
+    open (day x event_type) groups; emitted sink rows == closed groups.
+    (RocksDB and HDFS providers agree — provider-independence is the
+    same claim tests/test_streaming_rocksdb.py pins for the s-family.)
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from etl_docker_spark.plans._util import stream_state_partitions
+
+    ev = (t(spark, sf, "events")
+          .filter(F.col("ts") < F.lit(_S21_CUTOFF).cast("timestamp"))
+          .select("ts", "event_type",
+                  F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                  .alias("dcol")))
+
+    work = tempfile.mkdtemp(prefix="s21_")
+    try:
+        staged = os.path.join(work, "staged")
+        ev.coalesce(1).write.partitionBy("dcol").mode("overwrite") \
+            .parquet(staged)
+        arrivals = os.path.join(work, "arrivals")
+        os.makedirs(arrivals)
+        days = sorted(d for d in os.listdir(staged) if d.startswith("dcol="))
+        for i, d in enumerate(days):
+            src_dir = os.path.join(staged, d)
+            src = next(f for f in os.listdir(src_dir)
+                       if f.endswith(".parquet"))
+            dst = os.path.join(arrivals, f"{i:03d}.parquet")
+            shutil.copyfile(os.path.join(src_dir, src), dst)
+            os.utime(dst, (1700000000 + i * 60,) * 2)
+
+        probe = spark.read.parquet(arrivals)
+        stream = (spark.readStream.schema(probe.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(arrivals))
+        agg = (stream.withWatermark("ts", "1 minute")
+               .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+               .agg(F.count("*").cast("long").alias("n_events")))
+        name = f"s21_sink_{abs(hash(sf)) % 10 ** 8}"
+        with stream_state_partitions(spark, 4):
+            q = (agg.writeStream.outputMode("append").format("memory")
+                 .queryName(name).trigger(availableNow=True).start())
+            q.awaitTermination(300)
+            state_rows = None
+            for p in reversed(q.recentProgress):
+                if p["stateOperators"]:
+                    state_rows = int(p["stateOperators"][0]["numRowsTotal"])
+                    break
+            q.stop()
+        emitted = spark.table(name).count()
+        return spark.createDataFrame(
+            [(state_rows, emitted)],
+            "n_open_state_rows long, n_closed_emitted long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+S21_SQL = f"""
+WITH ev AS (
+  SELECT date_trunc('day', ts) AS day, event_type, ts
+  FROM events WHERE ts < TIMESTAMP '{_S21_CUTOFF} 00:00:00'
+),
+wm AS (SELECT MAX(ts) - INTERVAL 1 MINUTE AS w FROM ev),
+groups AS (SELECT DISTINCT day, event_type FROM ev)
+SELECT
+  CAST((SELECT COUNT(*) FROM groups g, wm
+        WHERE g.day + INTERVAL 1 DAY > wm.w) AS BIGINT)
+    AS n_open_state_rows,
+  CAST((SELECT COUNT(*) FROM groups g, wm
+        WHERE g.day + INTERVAL 1 DAY <= wm.w) AS BIGINT)
+    AS n_closed_emitted
+"""
+
+
+ROUND4C.update({
+    "s21_stream_state_accounting": (s21_stream_state_accounting, S21_SQL),
+})
