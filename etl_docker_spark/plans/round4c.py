@@ -873,3 +873,149 @@ SELECT
 ROUND4C.update({
     "s21_stream_state_accounting": (s21_stream_state_accounting, S21_SQL),
 })
+
+# ---------------------------------------------------------------- s22
+
+_S22_CUTOFF = "2024-01-11"
+
+
+def s22_stream_update_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """UPDATE output mode, gated — every other s-query appends; update
+    mode is the dashboard-serving contract (upsert the changed keys
+    each micro-batch, emit nothing for quiet keys). The foreachBatch
+    sink records per-batch emissions; the gate pins, per key:
+
+      - n_updates: the number of batches that emitted the key — update
+        mode must emit a key exactly in the batches where its aggregate
+        CHANGED (here: the days the key received events, under the
+        deterministic one-file-per-day feed), never in quiet batches
+        and never in the final no-data batch (an unwatermarked groupBy
+        holds state but has nothing new to say);
+      - the final emitted values, which must equal the batch aggregate
+        (the last upsert a downstream store would hold).
+
+    An engine that re-emitted all keys every batch (complete-mode
+    semantics leaking into update) or missed a changed key diverges in
+    n_updates; a state bug diverges in the finals."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_docker_spark.plans._util import stream_state_partitions
+
+    ev = (t(spark, sf, "events")
+          .filter(F.col("ts") < F.lit(_S22_CUTOFF).cast("timestamp"))
+          .select("ts", (F.col("user_id") % 10).alias("bucket"),
+                  F.round(F.col("value") * 100, 0).cast("long")
+                  .alias("cents"),
+                  F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                  .alias("dcol")))
+
+    work = tempfile.mkdtemp(prefix="s22_")
+    try:
+        staged = os.path.join(work, "staged")
+        ev.coalesce(1).write.partitionBy("dcol").mode("overwrite") \
+            .parquet(staged)
+        arrivals = os.path.join(work, "arrivals")
+        os.makedirs(arrivals)
+        days = sorted(d for d in os.listdir(staged) if d.startswith("dcol="))
+        for i, d in enumerate(days):
+            src_dir = os.path.join(staged, d)
+            src = next(f for f in os.listdir(src_dir)
+                       if f.endswith(".parquet"))
+            dst = os.path.join(arrivals, f"{i:03d}.parquet")
+            shutil.copyfile(os.path.join(src_dir, src), dst)
+            os.utime(dst, (1700000000 + i * 60,) * 2)
+
+        probe = spark.read.parquet(arrivals)
+        stream = (spark.readStream.schema(probe.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(arrivals))
+        agg = (stream.groupBy("bucket")
+               .agg(F.count("*").cast("long").alias("n_events"),
+                    F.sum("cents").alias("total_cents")))
+        emissions: list[tuple] = []
+
+        def sink(batch_df, batch_id):
+            emissions.extend(
+                (r["bucket"], r["n_events"], r["total_cents"])
+                for r in batch_df.collect())
+
+        with stream_state_partitions(spark, 4):
+            q = (agg.writeStream.outputMode("update").foreachBatch(sink)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(300)
+            q.stop()
+        # per key: emission count + the last (= largest n_events) upsert
+        per_key: dict[int, tuple[int, int, int]] = {}
+        for bucket, n, tc in emissions:  # batches arrive in order
+            prev = per_key.get(bucket)
+            per_key[bucket] = (prev[0] + 1 if prev else 1, n, tc)
+        return spark.createDataFrame(
+            [(b, c, n, tc) for b, (c, n, tc) in sorted(per_key.items())],
+            "bucket long, n_updates long, n_events long, total_cents long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+S22_SQL = f"""
+SELECT user_id % 10 AS bucket,
+       CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_updates,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events WHERE ts < TIMESTAMP '{_S22_CUTOFF} 00:00:00'
+GROUP BY user_id % 10
+"""
+
+
+ROUND4C.update({
+    "s22_stream_update_mode": (s22_stream_update_mode, S22_SQL),
+})
+
+# ---------------------------------------------------------------- q79
+
+
+def q79_null_safe_join(spark: SparkSession, sf: str) -> DataFrame:
+    """NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM): every
+    customer joined to their segment's aggregate where the segment key
+    is NULLABLE (NULLIF models the 'unclassified' bucket real dims
+    carry). A plain equi-join silently DROPS the NULL-key rows — the
+    classic silent-data-loss bug in dimension joins; null-safe equality
+    treats NULL as a joinable value, so the unclassified group flows
+    through with its own aggregate. Catalyst plans `<=>` as a hash join
+    on a coalesced key (EqualNullSafe is a valid equi-join predicate —
+    no fallback to BNLJ), so the scale cost is the same shuffle as the
+    plain join; the semantics are the only difference, and both engines
+    must agree on them."""
+    cust = t(spark, sf, "customer").select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        (dec("c_acctbal") * 100).cast("long").alias("bal_cents"))
+    seg_stats = (cust.groupBy(F.col("seg").alias("g_seg"))
+                 .agg(F.count("*").cast("long").alias("seg_n"),
+                      F.sum("bal_cents").alias("seg_total_cents")))
+    return (cust.join(seg_stats, cust["seg"].eqNullSafe(seg_stats["g_seg"]))
+            .select("c_custkey", "seg", "seg_n", "seg_total_cents")
+            .orderBy("c_custkey"))
+
+
+Q79_SQL = """
+WITH cust AS (
+  SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg,
+         CAST(CAST(c_acctbal AS DECIMAL(12,4)) * 100 AS BIGINT) AS bal_cents
+  FROM customer
+),
+seg_stats AS (
+  SELECT seg AS g_seg, CAST(COUNT(*) AS BIGINT) AS seg_n,
+         CAST(SUM(bal_cents) AS BIGINT) AS seg_total_cents
+  FROM cust GROUP BY seg
+)
+SELECT c.c_custkey, c.seg, s.seg_n, s.seg_total_cents
+FROM cust c JOIN seg_stats s ON c.seg IS NOT DISTINCT FROM s.g_seg
+ORDER BY c.c_custkey
+"""
+
+
+ROUND4C.update({
+    "q79_null_safe_join": (q79_null_safe_join, Q79_SQL),
+})

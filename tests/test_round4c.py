@@ -152,3 +152,15 @@ def test_parquet_merge_schema_nulls_legacy_rows(spark, tmp_path):
     got = {(r.id, r.v, r.prio) for r in
            spark.read.option("mergeSchema", "true").parquet(path).collect()}
     assert got == {(1, 10, None), (2, 20, "HIGH")}
+
+
+def test_null_safe_join_plans_as_hash_join(spark):
+    """EqualNullSafe must stay an equi-join (hash/sort-merge), never
+    BroadcastNestedLoop — the scale claim in q79's docstring."""
+    from etl_docker_spark.plans.round4c import q79_null_safe_join
+
+    df = q79_null_safe_join(spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "NestedLoop" not in plan
+    assert ("HashJoin" in plan) or ("SortMergeJoin" in plan)
