@@ -73,17 +73,18 @@ _GATE_WINDOW = [
     "s15_stream_session_close", "s16_stream_dedup_expiry",
     "s17_stream_outer_join", "s18_stream_checkpoint_resume",
     "g05_hierarchy_rollup",
-    # round-3 cross-section (q58/q59/q61/q63/q64/q65/q66/q67 rotated out
-    # for the round-4b queries — they stay green in the full artifact)
-    "q60_quarantine_routing",
-    "q62_interval_join",
-    "q68_rest_paginated_ingest",
-    "q69_dag_audit_trail", "d36_sketch_shard_merge", "d37_hash_split",
-    "d38_source_quota", "d39_bpe_per_lang", "d40_video_near_dup",
-    "d41_snapshot_diff", "d42_weighted_median", "d43_clean_split",
-    "d44_vocab_concentration", "d45_dedup_method_agreement",
-    "e16_range_search", "e17_cell_rebalance", "e18_tombstone_search",
-    "s12_stream_jsonl_ingest", "g04_kcore_peel",
+    # round-4c, complete (newest surface, least externally verified)
+    "q75_orc_roundtrip", "q76_schema_evolution", "q77_lateral_topk",
+    "q78_observed_metrics", "q79_null_safe_join",
+    "d49_positional_jaccard", "d50_substring_runs",
+    "d51_substring_decontam", "e21_base_delta_serving",
+    "s19_stream_chained_aggs", "s20_stream_full_outer_join",
+    "s21_stream_state_accounting", "s22_stream_update_mode",
+    # round-3 cross-section (the rest of round 3 rotated out across
+    # rounds 4b/4c — all stay green in the full artifact)
+    "q68_rest_paginated_ingest", "q69_dag_audit_trail",
+    "d43_clean_split", "d45_dedup_method_agreement",
+    "e18_tombstone_search", "g04_kcore_peel",
 ]
 
 

@@ -170,10 +170,10 @@ def test_registry_complete_and_oracle_backed(spark):
     missing = set(qs) - set(oracles) - rows_only_allowed
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
-        *(f"q{i:02d}" for i in range(1, 75)),
-        *(f"d{i:02d}" for i in range(1, 49)),
-        *(f"e{i:02d}" for i in range(1, 21)),
-        *(f"s{i:02d}" for i in range(1, 19)),
+        *(f"q{i:02d}" for i in range(1, 80)),
+        *(f"d{i:02d}" for i in range(1, 52)),
+        *(f"e{i:02d}" for i in range(1, 22)),
+        *(f"s{i:02d}" for i in range(1, 23)),
         "g01", "g02", "g03", "g04", "g05",
     }
     assert {n.split("_")[0] for n in qs} == expected
@@ -187,10 +187,11 @@ def test_gate_window_samples_every_round(spark):
     import __spark_entry__ as entrymod
 
     first50 = list(entrymod.queries())[:50]
-    # complete round-3 set present
+    # round-3 cross-section present (rest rotated out across 4b/4c,
+    # full-artifact covered)
     r3 = {"q69_dag_audit_trail", "d45_dedup_method_agreement",
-          "e18_tombstone_search", "s12_stream_jsonl_ingest",
-          "g04_kcore_peel", "q60_quarantine_routing"}
+          "e18_tombstone_search", "d43_clean_split",
+          "g04_kcore_peel", "q68_rest_paginated_ingest"}
     assert r3 <= set(first50)
     # round-2 cross-section incl. the round-4 global-window rewrites
     assert {"d21_bm25_search", "e08_hybrid_rrf",
@@ -204,6 +205,14 @@ def test_gate_window_samples_every_round(spark):
             "s13_stream_late_data_drop", "s14_stream_ttl_eviction",
             "s15_stream_session_close", "s16_stream_dedup_expiry",
             "g05_hierarchy_rollup"} <= set(first50)
+    # complete round-4c set present (the newest surface)
+    assert {"q75_orc_roundtrip", "q76_schema_evolution",
+            "q77_lateral_topk", "q78_observed_metrics",
+            "q79_null_safe_join", "d49_positional_jaccard",
+            "d50_substring_runs", "d51_substring_decontam",
+            "e21_base_delta_serving", "s19_stream_chained_aggs",
+            "s20_stream_full_outer_join", "s21_stream_state_accounting",
+            "s22_stream_update_mode"} <= set(first50)
 
 
 @pytest.mark.parametrize("name", [
