@@ -1019,3 +1019,144 @@ ORDER BY c.c_custkey
 ROUND4C.update({
     "q79_null_safe_join": (q79_null_safe_join, Q79_SQL),
 })
+
+# ---------------------------------------------------------------- s23
+
+
+def s23_stream_join_then_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream JOIN chained into a windowed AGGREGATE — the other
+    multiple-stateful-operator shape next to s19's agg-over-agg (Spark
+    3.4+): per-day conversion counts computed stream-side from the
+    view->purchase interval join, one query, the joined stream never
+    lands on storage. This is the production funnel metric: at 100 TB
+    you cannot materialize the joined stream and re-aggregate it
+    batch-side every day; the chain keeps join state bounded by the
+    watermark AND aggregation state bounded to open windows.
+
+    Semantics under gate (pinned by prototype): the join emits matches
+    as both sides arrive; the downstream day window on `buy_ts` (the
+    event-time column that survives the join with its watermark) emits
+    iff day_end <= final watermark, where the final watermark is the
+    MIN over both input sides of (max event ts - 1 min). The oracle is
+    the batch join + the same window cutoff — equality proves the
+    propagated watermark closed exactly the right windows through TWO
+    stateful operators."""
+    from etl_docker_spark.plans._util import stream_state_partitions
+    from etl_docker_spark.plans.advanced import (_events_stream,
+                                                 _state_partitions_for)
+
+    ev = _events_stream(spark, sf)
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", "1 minute"))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("b_user"),
+                    F.col("event_id").alias("purchase_id"),
+                    F.col("ts").alias("buy_ts"))
+            .withWatermark("buy_ts", "1 minute"))
+    joined = views.join(
+        buys,
+        F.expr("""v_user = b_user
+                  AND buy_ts >= view_ts
+                  AND buy_ts <= view_ts + interval 6 hours"""),
+        "inner")
+    daily = (joined
+             .groupBy(F.window("buy_ts", "1 day").alias("w"))
+             .agg(F.count("*").cast("long").alias("n_conversions"),
+                  F.sum("purchase_id").cast("long").alias("pid_checksum"))
+             .select(F.col("w.start").alias("day"), "n_conversions",
+                     "pid_checksum"))
+    name = f"s23_sink_{abs(hash(sf)) % 10 ** 8}"
+    with stream_state_partitions(spark, _state_partitions_for(spark, sf)):
+        q = (daily.writeStream.outputMode("append").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        q.stop()
+    return spark.table(name).localCheckpoint()
+
+
+S23_SQL = """
+WITH v AS (
+  SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'
+),
+b AS (
+  SELECT user_id AS bu, event_id AS purchase_id, ts AS bts
+  FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT least((SELECT MAX(vts) FROM v), (SELECT MAX(bts) FROM b))
+         - INTERVAL 1 MINUTE AS w
+),
+m AS (
+  SELECT b.purchase_id, CAST(date_trunc('day', b.bts) AS TIMESTAMP) AS day
+  FROM v JOIN b ON v.user_id = b.bu
+   AND b.bts >= v.vts AND b.bts <= v.vts + INTERVAL 6 HOUR
+)
+SELECT m.day, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(SUM(m.purchase_id) AS BIGINT) AS pid_checksum
+FROM m, wm WHERE m.day + INTERVAL 1 DAY <= wm.w
+GROUP BY m.day
+"""
+
+
+ROUND4C.update({
+    "s23_stream_join_then_agg": (s23_stream_join_then_agg, S23_SQL),
+})
+
+# ---------------------------------------------------------------- q80
+
+
+def q80_correlated_agg_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated AGGREGATE subquery in the WHERE clause — customers
+    whose balance exceeds THEIR NATION's average (plus that nation's
+    customer count via a second correlated scalar) — the decorrelation
+    stress case: a naive engine re-scans customer once per outer row
+    (the reference's N+1 shape, `CotyData_IPN.py`'s per-row lookups);
+    Catalyst must rewrite both subqueries into ONE grouped join
+    (RewriteCorrelatedScalarSubquery) for this to be runnable at all at
+    scale. The oracle runs the IDENTICAL correlated SQL on DuckDB —
+    both decorrelations must agree, including the empty-group NULL
+    semantics the rewrite is famous for getting subtly wrong.
+
+    above-average is written as the integer cross-multiply
+    bal_cents * n > sum_cents (exact; a float AVG's low bits differ
+    between engines and could flip the strict compare at the boundary —
+    the repo-wide determinism rule, _util.py)."""
+    t(spark, sf, "customer").createOrReplaceTempView("q80_customer")
+    t(spark, sf, "nation").createOrReplaceTempView("q80_nation")
+    return spark.sql("""
+SELECT n.n_name, c.c_name,
+       CAST(CAST(c.c_acctbal AS DECIMAL(12,4)) * 100 AS BIGINT) AS bal_cents,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM q80_customer c2
+        WHERE c2.c_nationkey = c.c_nationkey) AS nation_customers
+FROM q80_customer c JOIN q80_nation n ON n.n_nationkey = c.c_nationkey
+WHERE CAST(CAST(c.c_acctbal AS DECIMAL(12,4)) * 100 AS BIGINT)
+      * (SELECT COUNT(*) FROM q80_customer c2
+         WHERE c2.c_nationkey = c.c_nationkey)
+      > (SELECT SUM(CAST(CAST(c3.c_acctbal AS DECIMAL(12,4)) * 100
+                         AS BIGINT))
+         FROM q80_customer c3 WHERE c3.c_nationkey = c.c_nationkey)
+ORDER BY n.n_name, c.c_name
+""")
+
+
+Q80_SQL = """
+SELECT n.n_name, c.c_name,
+       CAST(CAST(c.c_acctbal AS DECIMAL(12,4)) * 100 AS BIGINT) AS bal_cents,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c2
+        WHERE c2.c_nationkey = c.c_nationkey) AS nation_customers
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE CAST(CAST(c.c_acctbal AS DECIMAL(12,4)) * 100 AS BIGINT)
+      * (SELECT COUNT(*) FROM customer c2
+         WHERE c2.c_nationkey = c.c_nationkey)
+      > (SELECT SUM(CAST(CAST(c3.c_acctbal AS DECIMAL(12,4)) * 100
+                         AS BIGINT))
+         FROM customer c3 WHERE c3.c_nationkey = c.c_nationkey)
+ORDER BY n.n_name, c.c_name
+"""
+
+
+ROUND4C.update({
+    "q80_correlated_agg_subquery": (q80_correlated_agg_subquery, Q80_SQL),
+})

@@ -164,3 +164,16 @@ def test_null_safe_join_plans_as_hash_join(spark):
         df._jdf.queryExecution(), "formatted")
     assert "NestedLoop" not in plan
     assert ("HashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_correlated_subqueries_decorrelate_to_joins(spark):
+    """q80's two correlated aggregate subqueries must decorrelate into
+    grouped joins — no nested-loop re-scan per outer row."""
+    from etl_docker_spark.plans.round4c import q80_correlated_agg_subquery
+
+    df = q80_correlated_agg_subquery(spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
