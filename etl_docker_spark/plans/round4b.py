@@ -65,6 +65,23 @@ ORDER BY p.c_custkey
 # ---------------------------------------------------------------- d47
 
 
+def prefix_jaccard_pairs_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-session memoized exact-Jaccard pair frame at the default
+    t = 1/2 (disk tier keyed on the corpus, like minhash_pairs_frame):
+    d47 gates it, d48 re-consumes it for the exact component labeling —
+    the shingle+md5 corpus pass and the prefix join run once per
+    session instead of once per consumer. Values are deterministic, so
+    cached == rebuilt for the gate."""
+    from etl_docker_spark.llm.dedup import prefix_filter_jaccard_pairs
+    from etl_docker_spark.llm.index_cache import memo_frame
+
+    return memo_frame(
+        spark, f"d47_pairs:{sf}",
+        lambda: prefix_filter_jaccard_pairs(
+            t(spark, sf, "documents"), "doc_id", "text", shingle_n=3),
+        sf_dir=sf)
+
+
 def d47_prefix_filter_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact n-gram Jaccard >= 0.5 dedup pairs via prefix filtering
     (AllPairs/PPJoin candidates) — the ground-truth twin of d06's
@@ -73,10 +90,7 @@ def d47_prefix_filter_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     all-pairs join; the engine never materializes all pairs — see
     `llm/dedup.py:prefix_filter_jaccard_pairs` for the shuffle ledger
     and the rarest-token-prefix argument that keeps it subquadratic)."""
-    from etl_docker_spark.llm.dedup import prefix_filter_jaccard_pairs
-
-    return prefix_filter_jaccard_pairs(
-        t(spark, sf, "documents"), "doc_id", "text", shingle_n=3)
+    return prefix_jaccard_pairs_frame(spark, sf)
 
 
 # Shared with D06_SQL (llm_queries.py): identical tokenize -> 3-shingle ->
@@ -504,13 +518,11 @@ def d48_dup_cluster_agreement(spark: SparkSession, sf: str) -> DataFrame:
     construction only if the minhash graph found every doc — it's the
     shared-doc matched count on both rows, so the rows are symmetric).
     """
-    from etl_docker_spark.llm.dedup import prefix_filter_jaccard_pairs
     from etl_docker_spark.operators.graph import connected_components
     from etl_docker_spark.plans.llm_queries import minhash_pairs_frame
 
-    docs = t(spark, sf, "documents")
     lab_e = connected_components(
-        prefix_filter_jaccard_pairs(docs, "doc_id", "text", shingle_n=3),
+        prefix_jaccard_pairs_frame(spark, sf),
         src="doc_a", dst="doc_b").select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     lab_m = connected_components(
