@@ -1160,3 +1160,67 @@ ORDER BY n.n_name, c.c_name
 ROUND4C.update({
     "q80_correlated_agg_subquery": (q80_correlated_agg_subquery, Q80_SQL),
 })
+
+# ---------------------------------------------------------------- q81
+
+_Q81_CUTOFF = "2024-01-11"
+
+
+def q81_xml_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Native XML round-trip (Spark 4's built-in xml source — the
+    spark-xml donation): the daily rollup written as XML records with a
+    NESTED element (`m/{n,c}`), read back under an explicit schema, and
+    re-projected — the feed format half the world's ERP/SOAP-era
+    exports still arrive in. Nested-element mapping is where XML
+    readers break (attribute vs element, struct flattening), so the
+    struct column is the point of the gate; value parity against the
+    parquet-derived oracle proves writer and reader agree on it.
+
+    XML is a driver-side-parse-heavy format — at 100 TB you ingest it
+    ONCE into parquet (exactly what this query's write+read models) and
+    never query it in place; per-file parallelism still applies (one
+    task per file, the same ingest shape as q61's JSONL)."""
+    import shutil
+    import tempfile
+
+    ev = (t(spark, sf, "events")
+          .filter(F.col("ts") < F.lit(_Q81_CUTOFF).cast("timestamp"))
+          .select(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                  .alias("day"), "event_type",
+                  F.round(F.col("value") * 100, 0).cast("long")
+                  .alias("cents")))
+    rollup = (ev.groupBy("day", "event_type")
+              .agg(F.struct(F.count("*").cast("long").alias("n"),
+                            F.sum("cents").alias("c")).alias("m")))
+    work = tempfile.mkdtemp(prefix="q81_")
+    try:
+        rollup.write.format("xml").option("rootTag", "days") \
+            .option("rowTag", "rec").mode("overwrite").save(work)
+        back = (spark.read.format("xml").option("rowTag", "rec")
+                .schema("day string, event_type string, "
+                        "m struct<n: long, c: long>")
+                .load(work))
+        return (back.select("day", "event_type",
+                            F.col("m.n").alias("n_events"),
+                            F.col("m.c").alias("total_cents"))
+                .orderBy("day", "event_type")
+                .localCheckpoint())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+Q81_SQL = f"""
+SELECT CAST(date_trunc('day', ts) AS VARCHAR) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+WHERE ts < TIMESTAMP '{_Q81_CUTOFF} 00:00:00'
+GROUP BY day, event_type
+ORDER BY day, event_type
+"""
+
+
+ROUND4C.update({
+    "q81_xml_roundtrip": (q81_xml_roundtrip, Q81_SQL),
+})
