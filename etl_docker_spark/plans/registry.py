@@ -76,15 +76,16 @@ _GATE_WINDOW = [
     # round-4c, complete (newest surface, least externally verified)
     "q75_orc_roundtrip", "q76_schema_evolution", "q77_lateral_topk",
     "q78_observed_metrics", "q79_null_safe_join",
+    "q80_correlated_agg_subquery", "q81_xml_roundtrip",
     "d49_positional_jaccard", "d50_substring_runs",
     "d51_substring_decontam", "e21_base_delta_serving",
     "s19_stream_chained_aggs", "s20_stream_full_outer_join",
     "s21_stream_state_accounting", "s22_stream_update_mode",
+    "s23_stream_join_then_agg",
     # round-3 cross-section (the rest of round 3 rotated out across
     # rounds 4b/4c — all stay green in the full artifact)
     "q68_rest_paginated_ingest", "q69_dag_audit_trail",
-    "d43_clean_split", "d45_dedup_method_agreement",
-    "e18_tombstone_search", "g04_kcore_peel",
+    "d45_dedup_method_agreement",
 ]
 
 

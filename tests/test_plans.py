@@ -170,10 +170,10 @@ def test_registry_complete_and_oracle_backed(spark):
     missing = set(qs) - set(oracles) - rows_only_allowed
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
-        *(f"q{i:02d}" for i in range(1, 80)),
+        *(f"q{i:02d}" for i in range(1, 82)),
         *(f"d{i:02d}" for i in range(1, 52)),
         *(f"e{i:02d}" for i in range(1, 22)),
-        *(f"s{i:02d}" for i in range(1, 23)),
+        *(f"s{i:02d}" for i in range(1, 24)),
         "g01", "g02", "g03", "g04", "g05",
     }
     assert {n.split("_")[0] for n in qs} == expected
@@ -190,8 +190,7 @@ def test_gate_window_samples_every_round(spark):
     # round-3 cross-section present (rest rotated out across 4b/4c,
     # full-artifact covered)
     r3 = {"q69_dag_audit_trail", "d45_dedup_method_agreement",
-          "e18_tombstone_search", "d43_clean_split",
-          "g04_kcore_peel", "q68_rest_paginated_ingest"}
+          "q68_rest_paginated_ingest"}
     assert r3 <= set(first50)
     # round-2 cross-section incl. the round-4 global-window rewrites
     assert {"d21_bm25_search", "e08_hybrid_rrf",
@@ -212,7 +211,9 @@ def test_gate_window_samples_every_round(spark):
             "d50_substring_runs", "d51_substring_decontam",
             "e21_base_delta_serving", "s19_stream_chained_aggs",
             "s20_stream_full_outer_join", "s21_stream_state_accounting",
-            "s22_stream_update_mode"} <= set(first50)
+            "s22_stream_update_mode", "s23_stream_join_then_agg",
+            "q80_correlated_agg_subquery",
+            "q81_xml_roundtrip"} <= set(first50)
 
 
 @pytest.mark.parametrize("name", [
