@@ -1224,3 +1224,65 @@ ORDER BY day, event_type
 ROUND4C.update({
     "q81_xml_roundtrip": (q81_xml_roundtrip, Q81_SQL),
 })
+
+# ---------------------------------------------------------------- q82
+
+
+def q82_sql_udf_installments(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative SQL UDFs (Spark 4's CREATE FUNCTION ... RETURN): a
+    scalar money-cents function and a correlated TABLE function
+    expanding each order into its installment schedule (equal parts,
+    integer-exact, remainder on installment 1) consumed via LATERAL —
+    the ERP payment-plan shape (`Payments[]` expansion in the
+    reference, `CotyData_IPN.py:263-266`) expressed as a reusable SQL
+    library instead of Python. The scale point: SQL UDFs INLINE into
+    the Catalyst plan (the lateral TVF becomes the same explode the
+    hand-written form plans; whole-stage codegen applies), where a
+    Python UDF would be an Arrow round-trip per batch — this is the
+    §2.10 zero-Python-in-core discipline extended to user-defined
+    logic. The oracle replays the expansion with DuckDB's
+    generate_series lateral; integer division + modulo keep every
+    installment exact (they must re-sum to the order total by
+    construction)."""
+    t(spark, sf, "orders").createOrReplaceTempView("q82_orders")
+    spark.sql("""
+CREATE OR REPLACE TEMPORARY FUNCTION q82_cents(x DOUBLE) RETURNS BIGINT
+RETURN CAST(CAST(x AS DECIMAL(12,4)) * 100 AS BIGINT)""")
+    spark.sql("""
+CREATE OR REPLACE TEMPORARY FUNCTION q82_installments(total BIGINT, n INT)
+RETURNS TABLE (k INT, amount_cents BIGINT)
+RETURN SELECT k, CASE WHEN k = 1 THEN total DIV n + total % n
+                      ELSE total DIV n END AS amount_cents
+       FROM (SELECT explode(sequence(1, n)) AS k)""")
+    # a scalar SQL UDF can't appear inside a SQL TVF's arguments
+    # (UNSUPPORTED_SQL_UDF_USAGE) — apply it in a derived table first
+    return spark.sql("""
+WITH o AS (
+  SELECT o_orderkey, q82_cents(o_totalprice) AS total,
+         CAST(o_orderkey % 3 AS INT) + 1 AS n
+  FROM q82_orders WHERE o_orderkey % 97 = 0
+)
+SELECT o.o_orderkey, i.k AS installment, i.amount_cents
+FROM o, LATERAL q82_installments(o.total, o.n) i
+ORDER BY o.o_orderkey, installment
+""")
+
+
+Q82_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 100 AS BIGINT) AS total,
+         CAST(o_orderkey % 3 + 1 AS INT) AS n
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT o.o_orderkey, CAST(u.k AS INT) AS installment,
+       CAST(CASE WHEN u.k = 1 THEN o.total // o.n + o.total % o.n
+                 ELSE o.total // o.n END AS BIGINT) AS amount_cents
+FROM o, LATERAL unnest(generate_series(1, o.n)) AS u(k)
+ORDER BY o.o_orderkey, installment
+"""
+
+
+ROUND4C.update({
+    "q82_sql_udf_installments": (q82_sql_udf_installments, Q82_SQL),
+})

@@ -177,3 +177,30 @@ def test_correlated_subqueries_decorrelate_to_joins(spark):
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_sql_udfs_inline_into_the_plan(spark):
+    """q82's SQL UDFs must inline to native expressions + Generate —
+    no Python evaluation node anywhere (the §2.10 discipline extended
+    to user-defined logic) — and each order's installments must re-sum
+    to its exact total."""
+    from pyspark.sql import functions as F
+
+    from etl_docker_spark.plans.round4c import q82_sql_udf_installments
+
+    df = q82_sql_udf_installments(spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "EvalPython" not in plan          # no Python UDF node
+    assert "Generate" in plan                # the TVF became an explode
+
+    resum = (df.groupBy("o_orderkey")
+             .agg(F.sum("amount_cents").alias("total")))
+    import duckdb
+    con = duckdb.connect()
+    exp = dict(con.execute(
+        "SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,4)) * 100"
+        " AS BIGINT) FROM '/root/testdata/sf0.001/orders.parquet'"
+        " WHERE o_orderkey % 97 = 0").fetchall())
+    got = {r.o_orderkey: r.total for r in resum.collect()}
+    assert got == exp
