@@ -1286,3 +1286,62 @@ ORDER BY o.o_orderkey, installment
 ROUND4C.update({
     "q82_sql_udf_installments": (q82_sql_udf_installments, Q82_SQL),
 })
+
+# ---------------------------------------------------------------- q83
+
+# deterministic case-mangling shared by engine and oracle: 3 variants of
+# each segment keyed on custkey % 3 (AS-IS / lower / Titlecase-by-hand,
+# spelled identically in both SQL dialects — no initcap dependence)
+_Q83_MANGLE = """
+  SELECT CASE CAST(c_custkey % 3 AS INT)
+           WHEN 0 THEN c_mktsegment
+           WHEN 1 THEN lower(c_mktsegment)
+           ELSE concat(upper(substring(c_mktsegment, 1, 1)),
+                       lower(substring(c_mktsegment, 2)))
+         END AS seg,
+         CAST(CAST(c_acctbal AS DECIMAL(12,4)) * 100 AS BIGINT) AS cents
+  FROM {customer}
+"""
+
+
+def q83_collated_grouping(spark: SparkSession, sf: str) -> DataFrame:
+    """COLLATION-aware grouping (Spark 4 string collations): a segment
+    column arriving in three case spellings (AS-IS / lower / Title —
+    the normalization mess every multi-source dim feed has) grouped
+    under UTF8_LCASE so the variants merge WITHOUT rewriting the data —
+    collation is declared on the comparison, not baked into a
+    lower()'d copy of the column. That distinction matters at 100 TB:
+    a collated group/join keeps the original bytes (no second
+    materialized column, and data-skipping stats on the original
+    column stay usable); the lower() rewrite is exactly what the
+    oracle does, so equality proves the declared-collation path
+    computes the same partition of rows. min(lower(seg)) projects a
+    deterministic representative (the group's member spellings differ;
+    any raw representative would be engine-order-dependent)."""
+    t(spark, sf, "customer").createOrReplaceTempView("q83_customer")
+    mangle = _Q83_MANGLE.format(customer="q83_customer")
+    return spark.sql(f"""
+WITH m AS ({mangle})
+SELECT min(lower(seg)) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM m
+GROUP BY seg COLLATE UTF8_LCASE
+ORDER BY segment
+""")
+
+
+Q83_SQL = f"""
+WITH m AS ({_Q83_MANGLE.format(customer="customer")})
+SELECT lower(seg) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM m
+GROUP BY lower(seg)
+ORDER BY segment
+"""
+
+
+ROUND4C.update({
+    "q83_collated_grouping": (q83_collated_grouping, Q83_SQL),
+})
