@@ -54,9 +54,9 @@ class QuerySpec:
 # remaining queries follow in build order and stay covered by the
 # full-surface artifact (CORRECTNESS_full_r*.json).
 _GATE_WINDOW = [
-    # round-1 anchors
-    "q01_pricing_summary", "q02_revenue_by_nation",
-    "d01_exact_dedup", "s01_stream_tumbling",
+    # round-1 anchors (q02/d01 rotated out for q82/q83 — both were
+    # under the driver gate in rounds 1-3 already)
+    "q01_pricing_summary", "s01_stream_tumbling",
     # round-2 cross-section
     "q33_scd2_history",
     "q41_salted_segment_revenue", "q43_zonemap_layout",
@@ -77,6 +77,7 @@ _GATE_WINDOW = [
     "q75_orc_roundtrip", "q76_schema_evolution", "q77_lateral_topk",
     "q78_observed_metrics", "q79_null_safe_join",
     "q80_correlated_agg_subquery", "q81_xml_roundtrip",
+    "q82_sql_udf_installments", "q83_collated_grouping",
     "d49_positional_jaccard", "d50_substring_runs",
     "d51_substring_decontam", "e21_base_delta_serving",
     "s19_stream_chained_aggs", "s20_stream_full_outer_join",

@@ -1,6 +1,9 @@
 """Round-4c queries: chained streaming aggregation, full-outer
-stream-stream join, positional-filter Jaccard, exact substring-run
-dedup, ORC round-trip, schema evolution, base+delta ANN serving.
+stream-stream join, state accounting, update mode, join-then-agg,
+positional-filter Jaccard, exact substring-run dedup + decontamination,
+ORC/XML round-trips, schema evolution, LATERAL, observe() metrics,
+null-safe join, correlated aggregate subqueries, SQL UDFs, collations,
+base+delta ANN serving.
 
 Same determinism discipline as every other plan module: money in integer
 cents, integer outputs pinned BIGINT, identical column names both sides.

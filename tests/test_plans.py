@@ -170,7 +170,7 @@ def test_registry_complete_and_oracle_backed(spark):
     missing = set(qs) - set(oracles) - rows_only_allowed
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
-        *(f"q{i:02d}" for i in range(1, 82)),
+        *(f"q{i:02d}" for i in range(1, 84)),
         *(f"d{i:02d}" for i in range(1, 52)),
         *(f"e{i:02d}" for i in range(1, 22)),
         *(f"s{i:02d}" for i in range(1, 24)),
@@ -212,8 +212,9 @@ def test_gate_window_samples_every_round(spark):
             "e21_base_delta_serving", "s19_stream_chained_aggs",
             "s20_stream_full_outer_join", "s21_stream_state_accounting",
             "s22_stream_update_mode", "s23_stream_join_then_agg",
-            "q80_correlated_agg_subquery",
-            "q81_xml_roundtrip"} <= set(first50)
+            "q80_correlated_agg_subquery", "q81_xml_roundtrip",
+            "q82_sql_udf_installments",
+            "q83_collated_grouping"} <= set(first50)
 
 
 @pytest.mark.parametrize("name", [
