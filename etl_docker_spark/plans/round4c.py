@@ -1348,3 +1348,57 @@ ORDER BY segment
 ROUND4C.update({
     "q83_collated_grouping": (q83_collated_grouping, Q83_SQL),
 })
+
+# ---------------------------------------------------------------- q84
+
+# one query text, two dialects-identical forms: the NOT IN / NOT EXISTS
+# null trap. The subquery's key is NULL for negative-balance customers.
+_Q84_BODY = """
+WITH sub AS (
+  SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k
+  FROM {customer}
+)
+SELECT 'not_in' AS form, CAST(COUNT(*) AS BIGINT) AS n
+FROM {orders} WHERE o_custkey NOT IN (SELECT k FROM sub)
+UNION ALL
+SELECT 'not_in_filtered', CAST(COUNT(*) AS BIGINT)
+FROM {orders}
+WHERE o_custkey NOT IN (SELECT k FROM sub WHERE k IS NOT NULL)
+UNION ALL
+SELECT 'not_exists', CAST(COUNT(*) AS BIGINT)
+FROM {orders} o
+WHERE NOT EXISTS (SELECT 1 FROM sub WHERE sub.k = o.o_custkey)
+UNION ALL
+SELECT 'in', CAST(COUNT(*) AS BIGINT)
+FROM {orders} WHERE o_custkey IN (SELECT k FROM sub)
+"""
+
+
+def q84_not_in_null_semantics(spark: SparkSession, sf: str) -> DataFrame:
+    """The NOT IN null trap, pinned cross-engine: with ANY NULL in the
+    subquery, `x NOT IN (sub)` is never TRUE (three-valued logic:
+    x <> NULL is UNKNOWN), so the not_in row counts ZERO orders while
+    the NOT EXISTS form — the one users actually mean — counts the
+    orders of negative-balance customers. The four forms in one gated
+    output are the semantics table every SQL engine must agree on
+    (`IN` still matches normally; the IS NOT NULL guard restores the
+    intended anti-join).
+
+    Scale note: Catalyst plans the un-guarded NOT IN as a NULL-AWARE
+    anti join — for a single key column an optimized broadcast NAAJ,
+    otherwise a nested-loop — which is why production pipelines write
+    the guarded form or NOT EXISTS (plain broadcast/shuffled anti
+    join, q05's shape). The semantics pinned here are the reason the
+    planner can't just rewrite one into the other."""
+    t(spark, sf, "customer").createOrReplaceTempView("q84_customer")
+    t(spark, sf, "orders").createOrReplaceTempView("q84_orders")
+    return spark.sql(_Q84_BODY.format(customer="q84_customer",
+                                      orders="q84_orders"))
+
+
+Q84_SQL = _Q84_BODY.format(customer="customer", orders="orders")
+
+
+ROUND4C.update({
+    "q84_not_in_null_semantics": (q84_not_in_null_semantics, Q84_SQL),
+})
