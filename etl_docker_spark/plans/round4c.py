@@ -1402,3 +1402,130 @@ Q84_SQL = _Q84_BODY.format(customer="customer", orders="orders")
 ROUND4C.update({
     "q84_not_in_null_semantics": (q84_not_in_null_semantics, Q84_SQL),
 })
+
+# ---------------------------------------------------------------- s24
+
+_S24_CUTOFF = "2024-01-11"
+
+
+def s24_watermark_policy_max(spark: SparkSession, sf: str) -> DataFrame:
+    """multipleWatermarkPolicy = MAX, gated — the operational knob whose
+    cost is DATA LOSS, pinned so it's never a surprise: with one side
+    of a stream-stream join far ahead (here: the purchases feed arrives
+    complete in batch 0 while views trickle one day-file per batch),
+    the max policy advances the global watermark to the FAST side's
+    horizon, and every later view batch is late-filtered wholesale.
+    The default min policy (s17/s20) waits for the slowest side and
+    loses nothing — max trades completeness for state eviction, which
+    is sometimes right (bounded state over a chronically-lagging
+    side) but only if you can predict exactly what is lost. This gate
+    is that prediction.
+
+    Pinned by prototype: watermark stats propagate with a TWO-batch
+    effective lag under availableNow (the filter for batch i uses the
+    watermark derived from stats through batch i-2; batch 0 and 1 see
+    wm=0), so exactly the views of the two earliest day-files survive —
+    days 1-2 join against the full purchase table (all in state from
+    batch 0), unmatched ones null-emit (the final watermark sits at the
+    purchase horizon, far past every surviving view's window).
+
+    The oracle restricts the batch left join to views of the two
+    earliest days — if the policy, the lag, or the late filter moved,
+    the surviving-day set changes and the gate diverges."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_docker_spark.plans._util import stream_state_partitions
+
+    ev = (t(spark, sf, "events")
+          .filter(F.col("ts") < F.lit(_S24_CUTOFF).cast("timestamp")))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"),
+                     F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                     .alias("dcol")))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("b_user"),
+                    F.col("event_id").alias("purchase_id"),
+                    F.col("ts").alias("buy_ts")))
+
+    work = tempfile.mkdtemp(prefix="s24_")
+    policy_key = "spark.sql.streaming.multipleWatermarkPolicy"
+    before = spark.conf.get(policy_key, None)
+    try:
+        vdir = os.path.join(work, "views")
+        os.makedirs(vdir)
+        staged = os.path.join(work, "staged")
+        views.coalesce(1).write.partitionBy("dcol").mode("overwrite") \
+            .parquet(staged)
+        days = sorted(d for d in os.listdir(staged) if d.startswith("dcol="))
+        for i, d in enumerate(days):
+            src = next(f for f in os.listdir(os.path.join(staged, d))
+                       if f.endswith(".parquet"))
+            dst = os.path.join(vdir, f"{i:03d}.parquet")
+            shutil.copyfile(os.path.join(staged, d, src), dst)
+            os.utime(dst, (1700000000 + i * 60,) * 2)
+        bdir = os.path.join(work, "buys")
+        buys.coalesce(1).write.mode("overwrite").parquet(bdir)
+
+        spark.conf.set(policy_key, "max")
+        pv = spark.read.parquet(vdir)
+        pb = spark.read.parquet(bdir)
+        sv = (spark.readStream.schema(pv.schema)
+              .option("maxFilesPerTrigger", "1").parquet(vdir)
+              .drop("dcol").withWatermark("view_ts", "1 minute"))
+        sb = (spark.readStream.schema(pb.schema).parquet(bdir)
+              .withWatermark("buy_ts", "1 minute"))
+        joined = (sv.join(
+            sb,
+            F.expr("""v_user = b_user
+                      AND buy_ts >= view_ts
+                      AND buy_ts <= view_ts + interval 6 hours"""),
+            "leftOuter")
+            .select(F.col("v_user").alias("user_id"), "view_id",
+                    "purchase_id",
+                    (F.unix_micros("buy_ts") - F.unix_micros("view_ts"))
+                    .alias("delta_us")))
+        name = f"s24_sink_{abs(hash(sf)) % 10 ** 8}"
+        with stream_state_partitions(spark, 4):
+            q = (joined.writeStream.outputMode("append").format("memory")
+                 .queryName(name).trigger(availableNow=True).start())
+            q.awaitTermination(300)
+            q.stop()
+        return spark.table(name).localCheckpoint()
+    finally:
+        if before is None:
+            spark.conf.unset(policy_key)
+        else:
+            spark.conf.set(policy_key, before)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+S24_SQL = f"""
+WITH v0 AS (
+  SELECT user_id, event_id AS view_id, ts AS vts,
+         date_trunc('day', ts) AS vday
+  FROM events
+  WHERE event_type = 'view' AND ts < TIMESTAMP '{_S24_CUTOFF} 00:00:00'
+),
+keep_days AS (
+  SELECT DISTINCT vday FROM v0 ORDER BY vday LIMIT 2
+),
+v AS (SELECT * FROM v0 WHERE vday IN (SELECT vday FROM keep_days)),
+b AS (
+  SELECT user_id AS bu, event_id AS purchase_id, ts AS bts
+  FROM events
+  WHERE event_type = 'purchase' AND ts < TIMESTAMP '{_S24_CUTOFF} 00:00:00'
+)
+SELECT v.user_id, v.view_id, b.purchase_id,
+       epoch_us(b.bts) - epoch_us(v.vts) AS delta_us
+FROM v LEFT JOIN b ON v.user_id = b.bu
+   AND b.bts >= v.vts AND b.bts <= v.vts + INTERVAL 6 HOUR
+"""
+
+
+ROUND4C.update({
+    "s24_watermark_policy_max": (s24_watermark_policy_max, S24_SQL),
+})
