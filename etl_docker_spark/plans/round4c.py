@@ -1529,3 +1529,67 @@ FROM v LEFT JOIN b ON v.user_id = b.bu
 ROUND4C.update({
     "s24_watermark_policy_max": (s24_watermark_policy_max, S24_SQL),
 })
+
+# ---------------------------------------------------------------- q85
+
+
+def q85_calendar_tz_battery(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar + timezone semantics battery: ISO week-year fields and a
+    UTC->America/New_York local-day rollup, gated cross-engine. These
+    are the fields where engines classically disagree — week-of-year
+    (ISO vs US), day-of-week origin (Spark dayofweek is Sunday=1;
+    weekday is Monday=0), week truncation start, and the DIRECTION of
+    timezone conversion (DuckDB's timezone(tz, naive_ts) interprets the
+    naive value as tz-LOCAL, the inverse of Spark's from_utc_timestamp;
+    the oracle must route through TIMESTAMPTZ to express the same
+    conversion). The pinned mapping:
+
+        Spark extract(YEAROFWEEK)   == DuckDB isoyear
+        Spark weekofyear            == DuckDB week        (both ISO)
+        Spark weekday + 1           == DuckDB isodow      (Mon=1)
+        Spark date_trunc('week')    == DuckDB date_trunc('week') (Mon)
+        Spark from_utc_timestamp(ts, z)
+          == DuckDB timezone(z, CAST(ts AS TIMESTAMPTZ)) under a UTC
+             session (which `ensure_session_confs` pins Spark to and
+             the oracle harness runs DuckDB under)
+
+    The corpus spans January (fixed EST offset); the conversion
+    machinery is identical through DST — the mapping above is what the
+    gate pins, per-zone offset tables come from the same IANA data in
+    both engines."""
+    ev = t(spark, sf, "events").select(
+        "ts", F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    nyd = F.date_format(
+        F.date_trunc("day", F.from_utc_timestamp("ts", "America/New_York")),
+        "yyyy-MM-dd")
+    return (ev.select(
+        F.expr("extract(YEAROFWEEK FROM ts)").cast("long").alias("iso_year"),
+        F.weekofyear("ts").cast("long").alias("iso_week"),
+        (F.weekday("ts") + 1).cast("long").alias("isodow"),
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd")
+        .alias("week_start"),
+        nyd.alias("ny_day"), "cents")
+        .groupBy("iso_year", "iso_week", "isodow", "week_start", "ny_day")
+        .agg(F.count("*").cast("long").alias("n_events"),
+             F.sum("cents").cast("long").alias("total_cents")))
+
+
+Q85_SQL = """
+SELECT CAST(isoyear(ts) AS BIGINT) AS iso_year,
+       CAST(week(ts) AS BIGINT) AS iso_week,
+       CAST(isodow(ts) AS BIGINT) AS isodow,
+       CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS week_start,
+       CAST(CAST(date_trunc('day',
+             timezone('America/New_York', CAST(ts AS TIMESTAMPTZ)))
+            AS DATE) AS VARCHAR) AS ny_day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+GROUP BY iso_year, iso_week, isodow, week_start, ny_day
+"""
+
+
+ROUND4C.update({
+    "q85_calendar_tz_battery": (q85_calendar_tz_battery, Q85_SQL),
+})
