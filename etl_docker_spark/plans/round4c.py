@@ -1593,3 +1593,72 @@ GROUP BY iso_year, iso_week, isodow, week_start, ny_day
 ROUND4C.update({
     "q85_calendar_tz_battery": (q85_calendar_tz_battery, Q85_SQL),
 })
+
+# ---------------------------------------------------------------- q86
+
+
+def _q86_frames(spark: SparkSession, sf: str, work: str):
+    """Build the partitioned fact + filtered-dim join q86 gates; split
+    out so the plan test pins DPP on the SAME frame the gate runs."""
+    ev = (t(spark, sf, "events")
+          .select(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                  .alias("day"), "event_type",
+                  F.round(F.col("value") * 100, 0).cast("long")
+                  .alias("cents")))
+    ev.write.mode("overwrite").partitionBy("day").parquet(work)
+    dim = (ev.select("day").distinct()
+           .withColumn("dow", (F.weekday(F.to_date("day")) + 1)
+                       .cast("long")))
+    fact = spark.read.parquet(work)
+    return (fact.join(F.broadcast(dim.filter(F.col("dow") <= 2)), "day")
+            .groupBy("day", "event_type")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.sum("cents").cast("long").alias("total_cents")))
+
+
+def q86_dynamic_partition_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """DYNAMIC partition pruning gated end-to-end: a day-partitioned
+    fact joined to a dimension whose filter (weekday <= 2: Mondays and
+    Tuesdays) is NOT on the partition column — the qualifying day set
+    exists only at runtime, so static pruning (q74/q75's kind) can't
+    help; Catalyst plants a dynamicpruningexpression subquery on the
+    fact scan that broadcasts the filtered dim's keys and skips every
+    other partition's files entirely. At 100 TB this is THE mechanism
+    that makes star-schema date-dim filters cheap (scan 2/7 of the
+    fact, not all of it filtered after read);
+    tests/test_round4c.py pins the dynamicpruning expression on this
+    exact frame, and this gate pins that the pruned scan aggregates to
+    the same numbers as the logical join."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="q86_")
+    try:
+        return _q86_frames(spark, sf, work).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+Q86_SQL = """
+WITH ev AS (
+  SELECT CAST(date_trunc('day', ts) AS VARCHAR) AS day, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+dim AS (
+  SELECT day, isodow(CAST(day AS DATE)) AS dow
+  FROM (SELECT DISTINCT day FROM ev)
+)
+SELECT e.day, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(e.cents) AS BIGINT) AS total_cents
+FROM ev e JOIN dim d ON d.day = e.day
+WHERE d.dow <= 2
+GROUP BY e.day, e.event_type
+"""
+
+
+ROUND4C.update({
+    "q86_dynamic_partition_pruning": (q86_dynamic_partition_pruning,
+                                      Q86_SQL),
+})

@@ -204,3 +204,15 @@ def test_sql_udfs_inline_into_the_plan(spark):
         " WHERE o_orderkey % 97 = 0").fetchall())
     got = {r.o_orderkey: r.total for r in resum.collect()}
     assert got == exp
+
+
+def test_q86_plan_has_dynamic_pruning(spark, tmp_path):
+    """The q86 gate frame must carry a dynamicpruningexpression on the
+    fact scan's PartitionFilters — a regression to filter-after-read
+    would still pass the value oracle."""
+    from etl_docker_spark.plans.round4c import _q86_frames
+
+    df = _q86_frames(spark, "/root/testdata/sf0.001", str(tmp_path / "f"))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "dynamicpruningexpression" in plan.lower()
