@@ -1662,3 +1662,97 @@ ROUND4C.update({
     "q86_dynamic_partition_pruning": (q86_dynamic_partition_pruning,
                                       Q86_SQL),
 })
+
+# ---------------------------------------------------------------- s25
+
+_S25_CUTOFF = "2024-01-11"
+
+
+def s25_stream_dedup_then_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming DEDUP chained into a windowed aggregate — the third
+    multi-stateful combination (s19 agg->agg, s23 join->agg): an
+    at-least-once feed (every day-file arrives TWICE, in consecutive
+    batches — the redelivery pattern of any retrying ingest) passes
+    through dropDuplicatesWithinWatermark before the daily rollup, one
+    query. The aggregate must count every event exactly once: the
+    dedup operator absorbs the second delivery (within the 2-day
+    horizon by construction), and the downstream day window emits
+    under the usual cutoff. The oracle is the batch DISTINCT rollup
+    with the window rule — equality proves redelivery changed nothing,
+    which is the exactly-once-from-at-least-once contract production
+    feeds rely on (upstream replays being absorbed by keyed dedup
+    state bounded by the watermark, not by an unbounded seen-set)."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_docker_spark.plans._util import stream_state_partitions
+
+    ev = (t(spark, sf, "events")
+          .filter(F.col("ts") < F.lit(_S25_CUTOFF).cast("timestamp"))
+          .select("event_id", "ts", "event_type",
+                  F.round(F.col("value") * 100, 0).cast("long")
+                  .alias("cents"),
+                  F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                  .alias("dcol")))
+
+    work = tempfile.mkdtemp(prefix="s25_")
+    try:
+        staged = os.path.join(work, "staged")
+        ev.coalesce(1).write.partitionBy("dcol").mode("overwrite") \
+            .parquet(staged)
+        arrivals = os.path.join(work, "arrivals")
+        os.makedirs(arrivals)
+        days = sorted(d for d in os.listdir(staged) if d.startswith("dcol="))
+        seq = 0
+        for d in days:  # each day delivered twice, back to back
+            src_dir = os.path.join(staged, d)
+            src = next(f for f in os.listdir(src_dir)
+                       if f.endswith(".parquet"))
+            for _ in range(2):
+                dst = os.path.join(arrivals, f"{seq:03d}.parquet")
+                shutil.copyfile(os.path.join(src_dir, src), dst)
+                os.utime(dst, (1700000000 + seq * 60,) * 2)
+                seq += 1
+
+        probe = spark.read.parquet(arrivals)
+        stream = (spark.readStream.schema(probe.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(arrivals))
+        deduped = (stream.withWatermark("ts", "2 days")
+                   .dropDuplicatesWithinWatermark(["event_id"]))
+        daily = (deduped
+                 .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+                 .agg(F.count("*").cast("long").alias("n_events"),
+                      F.sum("cents").cast("long").alias("total_cents"))
+                 .select(F.col("w.start").alias("day"), "event_type",
+                         "n_events", "total_cents"))
+        name = f"s25_sink_{abs(hash(sf)) % 10 ** 8}"
+        with stream_state_partitions(spark, 4):
+            q = (daily.writeStream.outputMode("append").format("memory")
+                 .queryName(name).trigger(availableNow=True).start())
+            q.awaitTermination(300)
+            q.stop()
+        return spark.table(name).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+S25_SQL = f"""
+WITH ev AS (
+  SELECT DISTINCT event_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents, ts
+  FROM events WHERE ts < TIMESTAMP '{_S25_CUTOFF} 00:00:00'
+),
+wm AS (SELECT MAX(ts) - INTERVAL 2 DAY AS w FROM ev)
+SELECT e.day, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(e.cents) AS BIGINT) AS total_cents
+FROM ev e, wm
+WHERE e.day + INTERVAL 1 DAY <= wm.w
+GROUP BY e.day, e.event_type
+"""
+
+
+ROUND4C.update({
+    "s25_stream_dedup_then_agg": (s25_stream_dedup_then_agg, S25_SQL),
+})
