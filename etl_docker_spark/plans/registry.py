@@ -57,11 +57,10 @@ _GATE_WINDOW = [
     # round-1 anchors (q02/d01 rotated out for q82/q83 — both were
     # under the driver gate in rounds 1-3 already)
     "q01_pricing_summary", "s01_stream_tumbling",
-    # round-2 cross-section
-    "q33_scd2_history",
-    "q41_salted_segment_revenue", "q43_zonemap_layout",
-    "d18_token_budget_curation", "d21_bm25_search", "d24_perplexity_buckets",
-    "e05_ivf_train", "e08_hybrid_rrf", "e11_ivfpq_search", "g01_pagerank",
+    # round-2 cross-section (trimmed for round-4c: the three
+    # global-window rewrites stay, q33/q41/q43/d18/e11 rotate out)
+    "d21_bm25_search", "d24_perplexity_buckets",
+    "e05_ivf_train", "e08_hybrid_rrf", "g01_pagerank",
     "s05_stream_stream_join",
     # round-4, complete
     "q70_incremental_lifecycle", "q71_relational_division",
@@ -78,6 +77,9 @@ _GATE_WINDOW = [
     "q78_observed_metrics", "q79_null_safe_join",
     "q80_correlated_agg_subquery", "q81_xml_roundtrip",
     "q82_sql_udf_installments", "q83_collated_grouping",
+    "q84_not_in_null_semantics", "q85_calendar_tz_battery",
+    "q86_dynamic_partition_pruning", "s24_watermark_policy_max",
+    "s25_stream_dedup_then_agg",
     "d49_positional_jaccard", "d50_substring_runs",
     "d51_substring_decontam", "e21_base_delta_serving",
     "s19_stream_chained_aggs", "s20_stream_full_outer_join",

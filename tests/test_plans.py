@@ -170,10 +170,10 @@ def test_registry_complete_and_oracle_backed(spark):
     missing = set(qs) - set(oracles) - rows_only_allowed
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
-        *(f"q{i:02d}" for i in range(1, 84)),
+        *(f"q{i:02d}" for i in range(1, 87)),
         *(f"d{i:02d}" for i in range(1, 52)),
         *(f"e{i:02d}" for i in range(1, 22)),
-        *(f"s{i:02d}" for i in range(1, 24)),
+        *(f"s{i:02d}" for i in range(1, 26)),
         "g01", "g02", "g03", "g04", "g05",
     }
     assert {n.split("_")[0] for n in qs} == expected
@@ -213,8 +213,10 @@ def test_gate_window_samples_every_round(spark):
             "s20_stream_full_outer_join", "s21_stream_state_accounting",
             "s22_stream_update_mode", "s23_stream_join_then_agg",
             "q80_correlated_agg_subquery", "q81_xml_roundtrip",
-            "q82_sql_udf_installments",
-            "q83_collated_grouping"} <= set(first50)
+            "q82_sql_udf_installments", "q83_collated_grouping",
+            "q84_not_in_null_semantics", "q85_calendar_tz_battery",
+            "q86_dynamic_partition_pruning", "s24_watermark_policy_max",
+            "s25_stream_dedup_then_agg"} <= set(first50)
 
 
 @pytest.mark.parametrize("name", [
