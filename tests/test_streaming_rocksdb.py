@@ -54,3 +54,12 @@ def test_s09_hll_same_under_rocksdb(spark, monkeypatch):
     from etl_docker_spark.plans.round2h import s09_stream_hll_users
 
     _run_both(monkeypatch, spark, s09_stream_hll_users)
+
+
+def test_chained_aggs_provider_parity(spark, monkeypatch):
+    """s19's multi-stateful checkpoint (two windowed aggs in one query)
+    is a distinct state layout from the single-operator shapes above —
+    pin provider-independence for it too."""
+    from etl_docker_spark.plans.round4c import s19_stream_chained_aggs
+
+    _run_both(monkeypatch, spark, s19_stream_chained_aggs)
