@@ -939,6 +939,10 @@ def s22_stream_update_mode(spark: SparkSession, sf: str) -> DataFrame:
         emissions: list[tuple] = []
 
         def sink(batch_df, batch_id):
+            # the ONLY collect() in the package: a foreachBatch RECORDER
+            # for the emission-timing gate, bounded at |keys| = 10 rows
+            # per batch by construction (user_id % 10) — it observes the
+            # sink protocol, it is not on any data path
             emissions.extend(
                 (r["bucket"], r["n_events"], r["total_cents"])
                 for r in batch_df.collect())
