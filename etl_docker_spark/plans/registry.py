@@ -79,7 +79,7 @@ _GATE_WINDOW = [
     "q82_sql_udf_installments", "q83_collated_grouping",
     "q84_not_in_null_semantics", "q85_calendar_tz_battery",
     "q86_dynamic_partition_pruning", "s24_watermark_policy_max",
-    "s25_stream_dedup_then_agg",
+    "s25_stream_dedup_then_agg", "d52_internal_repetition",
     "d49_positional_jaccard", "d50_substring_runs",
     "d51_substring_decontam", "e21_base_delta_serving",
     "s19_stream_chained_aggs", "s20_stream_full_outer_join",
@@ -88,7 +88,6 @@ _GATE_WINDOW = [
     # round-3 cross-section (the rest of round 3 rotated out across
     # rounds 4b/4c — all stay green in the full artifact)
     "q68_rest_paginated_ingest", "q69_dag_audit_trail",
-    "d45_dedup_method_agreement",
 ]
 
 

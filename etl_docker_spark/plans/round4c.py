@@ -1760,3 +1760,96 @@ GROUP BY e.day, e.event_type
 ROUND4C.update({
     "s25_stream_dedup_then_agg": (s25_stream_dedup_then_agg, S25_SQL),
 })
+
+# ---------------------------------------------------------------- d52
+
+
+def d52_internal_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Longest INTERNAL verbatim repeat per document — the looping-text
+    pathology (a model- or template-generated doc repeating a paragraph
+    dozens of times) that token-level repetition RATES (d15) can see
+    but cannot size: d15 says "40% repeated 5-grams", this says "one
+    61-token block occurs twice". d50's diagonal-streak machinery
+    turned inward: a doc's k-gram positions self-joined on the hash
+    with pa < pb; a streak of consecutive pa on diagonal pb - pa > 0
+    certifies a repeated run of streak + k - 1 tokens (the diagonal
+    value is the repeat DISTANCE — adjacent copies vs far-apart
+    copies — carried through as the distance of the longest repeat).
+    Windows partition by (doc, diagonal): bounded by one document's
+    self-match volume, never corpus-sized."""
+    from pyspark.sql import Window
+
+    k, min_run = 2, 3  # synthetic corpus repeats are short; k=2 makes
+    # the detector sensitive to them (real curation would run k=5+)
+    df = t(spark, sf, "documents")
+    df = df.repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    toks = F.split(F.col("text"), " ")
+    tok_rows = df.select(
+        F.col("doc_id").alias("doc"), F.size(toks).alias("sz"),
+        F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy("doc").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    from etl_docker_spark.llm.dedup import _base_hash
+    grams = (tok_rows.select("doc", "sz", "pos",
+                             F.concat_ws(" ", *leads).alias("s"))
+             .filter(F.col("pos") <= F.col("sz") - k)
+             .select("doc", F.col("pos").cast("long").alias("p"),
+                     _base_hash(F.col("s")).alias("h")))
+    m = (grams.alias("a").join(grams.alias("b"),
+                               (F.col("a.doc") == F.col("b.doc"))
+                               & (F.col("a.h") == F.col("b.h"))
+                               & (F.col("a.p") < F.col("b.p")))
+         .select(F.col("a.doc").alias("doc"), F.col("a.p").alias("pa"),
+                 (F.col("b.p") - F.col("a.p")).alias("d")))
+    w2 = Window.partitionBy("doc", "d").orderBy("pa")
+    runs = (m.withColumn("grp", F.col("pa") - F.row_number().over(w2))
+            .groupBy("doc", "d", "grp")
+            .agg(F.count("*").alias("s")))
+    w3 = Window.partitionBy("doc").orderBy(F.desc("s"), F.asc("d"))
+    return (runs.withColumn("rn", F.row_number().over(w3))
+            .filter(F.col("rn") == 1)
+            .select(F.col("doc").alias("doc_id"),
+                    (F.col("s") + k - 1).cast("long")
+                    .alias("max_repeat_tokens"),
+                    F.col("d").cast("long").alias("repeat_distance"))
+            .filter(F.col("max_repeat_tokens") >= min_run))
+
+
+D52_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+g AS (
+  SELECT doc_id, i AS p,
+         CAST('0x' || substring(
+           md5(array_to_string(tk[i:i+1], ' ')), 1, 8) AS BIGINT) AS h
+  FROM toks, LATERAL unnest(generate_series(1, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 2
+),
+m AS (
+  SELECT a.doc_id AS doc, a.p AS pa, b.p - a.p AS d
+  FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.h = b.h AND a.p < b.p
+),
+r AS (
+  SELECT doc, d, pa,
+         pa - row_number() OVER (PARTITION BY doc, d ORDER BY pa) AS grp
+  FROM m
+),
+runs AS (
+  SELECT doc, d, grp, COUNT(*) AS s FROM r GROUP BY doc, d, grp
+),
+best AS (
+  SELECT doc, s, d,
+         row_number() OVER (PARTITION BY doc ORDER BY s DESC, d ASC) AS rn
+  FROM runs
+)
+SELECT doc AS doc_id, CAST(s + 1 AS BIGINT) AS max_repeat_tokens,
+       CAST(d AS BIGINT) AS repeat_distance
+FROM best WHERE rn = 1 AND s + 1 >= 3
+"""
+
+
+ROUND4C.update({
+    "d52_internal_repetition": (d52_internal_repetition, D52_SQL),
+})

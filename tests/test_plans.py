@@ -171,7 +171,7 @@ def test_registry_complete_and_oracle_backed(spark):
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
         *(f"q{i:02d}" for i in range(1, 87)),
-        *(f"d{i:02d}" for i in range(1, 52)),
+        *(f"d{i:02d}" for i in range(1, 53)),
         *(f"e{i:02d}" for i in range(1, 22)),
         *(f"s{i:02d}" for i in range(1, 26)),
         "g01", "g02", "g03", "g04", "g05",
@@ -189,8 +189,7 @@ def test_gate_window_samples_every_round(spark):
     first50 = list(entrymod.queries())[:50]
     # round-3 cross-section present (rest rotated out across 4b/4c,
     # full-artifact covered)
-    r3 = {"q69_dag_audit_trail", "d45_dedup_method_agreement",
-          "q68_rest_paginated_ingest"}
+    r3 = {"q69_dag_audit_trail", "q68_rest_paginated_ingest"}
     assert r3 <= set(first50)
     # round-2 cross-section incl. the round-4 global-window rewrites
     assert {"d21_bm25_search", "e08_hybrid_rrf",
@@ -216,7 +215,8 @@ def test_gate_window_samples_every_round(spark):
             "q82_sql_udf_installments", "q83_collated_grouping",
             "q84_not_in_null_semantics", "q85_calendar_tz_battery",
             "q86_dynamic_partition_pruning", "s24_watermark_policy_max",
-            "s25_stream_dedup_then_agg"} <= set(first50)
+            "s25_stream_dedup_then_agg",
+            "d52_internal_repetition"} <= set(first50)
 
 
 @pytest.mark.parametrize("name", [
