@@ -259,7 +259,8 @@ ranked AS (
            AS rank
   FROM scored GROUP BY doc_id
 )
-SELECT doc_id, bm25_ppm, CAST(rank AS BIGINT) AS rank
+SELECT doc_id, CAST(bm25_ppm AS BIGINT) AS bm25_ppm,
+       CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {_BM25_K}
 """
 

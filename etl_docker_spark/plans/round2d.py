@@ -283,8 +283,10 @@ WITH per AS (
 lt AS (SELECT lang, SUM(tokens) AS lang_tokens FROM per GROUP BY lang),
 tot AS (SELECT SUM(tokens) AS total_tokens FROM per)
 SELECT lang, source, n_docs, tokens,
-       (1000000 * lang_tokens) // total_tokens AS lang_share_ppm,
-       (1000000 * total_tokens) // ({_N_LANGS} * lang_tokens) AS weight_ppm
+       CAST((1000000 * lang_tokens) // total_tokens AS BIGINT)
+         AS lang_share_ppm,
+       CAST((1000000 * total_tokens) // ({_N_LANGS} * lang_tokens) AS BIGINT)
+         AS weight_ppm
 FROM per JOIN lt USING (lang), tot
 """
 

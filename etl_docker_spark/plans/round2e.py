@@ -193,7 +193,7 @@ p0 AS (
   SELECT src AS node, CAST({_PR_S} AS BIGINT) // (SELECT n FROM nn) AS pr
   FROM (SELECT DISTINCT src FROM e)
 ){iters}
-SELECT node, pr AS pagerank_ppb FROM p{_PR_ITERS}
+SELECT node, CAST(pr AS BIGINT) AS pagerank_ppb FROM p{_PR_ITERS}
 """
 
 

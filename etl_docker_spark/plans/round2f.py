@@ -143,10 +143,10 @@ pre AS (
            - tok AS before_
   FROM toks
 )
-SELECT before_ // {_PACK_CAPACITY} AS bin,
+SELECT CAST(before_ // {_PACK_CAPACITY} AS BIGINT) AS bin,
        COUNT(*) AS n_docs,
-       SUM(tok) AS tokens,
-       (1000000 * SUM(tok)) // {_PACK_CAPACITY} AS fill_ppm
+       CAST(SUM(tok) AS BIGINT) AS tokens,
+       CAST((1000000 * SUM(tok)) // {_PACK_CAPACITY} AS BIGINT) AS fill_ppm
 FROM pre GROUP BY 1
 """
 

@@ -73,7 +73,8 @@ pairs AS (
   FROM wf, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i)
 ),
 agg AS (
-  SELECT p1, p2, SUM(f) AS pair_count FROM pairs GROUP BY p1, p2
+  SELECT p1, p2, CAST(SUM(f) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY p1, p2
 )
 SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, p1, p2) AS BIGINT)
          AS rank,

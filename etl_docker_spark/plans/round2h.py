@@ -306,7 +306,8 @@ WITH wf0 AS (
     for i in range(1, _BPE_STEPS + 1):
         parts.append(f""",
 pc{i} AS (
-  SELECT t.sy[i] AS p1, t.sy[i + 1] AS p2, SUM(f) AS pair_count
+  SELECT t.sy[i] AS p1, t.sy[i + 1] AS p2,
+         CAST(SUM(f) AS BIGINT) AS pair_count
   FROM (SELECT string_split(trim(sp), ' ') AS sy, f FROM wf{i - 1}) t,
        LATERAL (SELECT unnest(generate_series(1, len(t.sy) - 1)) AS i)
   WHERE len(t.sy) >= 2

@@ -181,7 +181,7 @@ WITH cum AS (
          greatest(SUM(n_chars) OVER () // {_SAMPLE_K}, 1) AS stride
   FROM documents
 )
-SELECT doc_id, lang, n_chars, cum_chars
+SELECT doc_id, lang, n_chars, CAST(cum_chars AS BIGINT) AS cum_chars
 FROM cum
 WHERE (cum_chars - n_chars) // stride < cum_chars // stride
 """

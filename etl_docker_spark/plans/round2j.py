@@ -192,7 +192,8 @@ agg AS (
          SUM(rev_i4) AS total_rev_i4
   FROM j GROUP BY 1
 )
-SELECT o_year, nation_rev_i4, total_rev_i4,
+SELECT o_year, CAST(nation_rev_i4 AS BIGINT) AS nation_rev_i4,
+       CAST(total_rev_i4 AS BIGINT) AS total_rev_i4,
        CAST((CAST(nation_rev_i4 AS HUGEINT) * 1000000)
             // CAST(total_rev_i4 AS HUGEINT) AS BIGINT) AS share_ppm
 FROM agg
@@ -237,7 +238,7 @@ WITH per_part AS (
   FROM lineitem GROUP BY l_partkey
 ),
 tot AS (SELECT SUM(part_value_i4) AS tot, COUNT(*) AS n_parts FROM per_part)
-SELECT l_partkey, part_value_i4, n_lines
+SELECT l_partkey, CAST(part_value_i4 AS BIGINT) AS part_value_i4, n_lines
 FROM per_part, tot
 WHERE CAST(part_value_i4 AS HUGEINT) * n_parts * 10
       > CAST(tot AS HUGEINT) * 12
@@ -424,7 +425,7 @@ probes AS (
            % {_CMS_W} AS b
   FROM top, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS d)
 )
-SELECT tok, n AS true_n, MIN(reg) AS est_n
+SELECT tok, n AS true_n, CAST(MIN(reg) AS BIGINT) AS est_n
 FROM probes JOIN regs USING (d, b)
 GROUP BY tok, n
 """
@@ -493,7 +494,7 @@ recon AS (
 ),
 q AS (SELECT id AS qid, d, qd AS q_qd FROM comps WHERE id < {_SQ_NQ}),
 scored AS (
-  SELECT qid, id, SUM(q_qd * r) AS score
+  SELECT qid, id, CAST(SUM(q_qd * r) AS BIGINT) AS score
   FROM recon JOIN q USING (d)
   WHERE id <> qid
   GROUP BY qid, id

@@ -116,7 +116,8 @@ agg AS (
          SUM(rev_i4) AS total_rev_i4
   FROM j GROUP BY 1
 )
-SELECT ship_month, promo_rev_i4, total_rev_i4,
+SELECT ship_month, CAST(promo_rev_i4 AS BIGINT) AS promo_rev_i4,
+       CAST(total_rev_i4 AS BIGINT) AS total_rev_i4,
        CAST((CAST(promo_rev_i4 AS HUGEINT) * 1000000)
             // CAST(total_rev_i4 AS HUGEINT) AS BIGINT) AS promo_ppm
 FROM agg

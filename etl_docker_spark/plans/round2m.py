@@ -90,8 +90,9 @@ weights AS (
            // ((f_corpus + 1) * c_target) AS w_ppm
   FROM freq, totals
 )
-SELECT doc_id, COUNT(*) AS n_tokens, SUM(w_ppm) AS dsir_score,
-       SUM(w_ppm) // COUNT(*) AS avg_weight_ppm
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(w_ppm) AS BIGINT) AS dsir_score,
+       CAST(SUM(w_ppm) // COUNT(*) AS BIGINT) AS avg_weight_ppm
 FROM toks JOIN weights USING (tok)
 GROUP BY doc_id
 """

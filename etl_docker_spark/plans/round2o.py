@@ -257,8 +257,8 @@ rules AS (
 )
 SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
        CAST(n_checked AS BIGINT) AS n_checked,
-       (CAST(n_checked AS BIGINT) - n_violations) * 1000000 // n_checked
-         AS pass_ppm
+       CAST((CAST(n_checked AS BIGINT) - n_violations) * 1000000
+            // n_checked AS BIGINT) AS pass_ppm
 FROM rules
 """
 

@@ -484,7 +484,8 @@ WITH wf0 AS (
     for i in range(1, _D39_STEPS + 1):
         parts.append(f""",
 pc{i} AS (
-  SELECT lang, t.sy[i] AS p1, t.sy[i + 1] AS p2, SUM(f) AS pair_count
+  SELECT lang, t.sy[i] AS p1, t.sy[i + 1] AS p2,
+         CAST(SUM(f) AS BIGINT) AS pair_count
   FROM (SELECT lang, string_split(trim(sp), ' ') AS sy, f FROM wf{i - 1}) t,
        LATERAL (SELECT unnest(generate_series(1, len(t.sy) - 1)) AS i)
   WHERE len(t.sy) >= 2
@@ -784,7 +785,8 @@ WITH bad AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS c FROM events WHERE event_id % 37 = 0
 )
 SELECT event_type, COUNT(*) AS n_events,
-       SUM(CAST(round(value * 100, 0) AS BIGINT)) AS sum_micros,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_micros,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
        (SELECT c FROM bad) AS n_corrupt
 FROM events WHERE event_id % 37 <> 0
@@ -993,9 +995,9 @@ S12_SQL = """
 SELECT CASE WHEN event_id % 37 = 0 THEN '_CORRUPT' ELSE event_type END
          AS grp,
        COUNT(*) AS n_lines,
-       SUM(CASE WHEN event_id % 37 = 0 THEN 0
-                ELSE CAST(round(value * 100, 0) AS BIGINT) END)
-         AS sum_micros
+       CAST(SUM(CASE WHEN event_id % 37 = 0 THEN 0
+                     ELSE CAST(round(value * 100, 0) AS BIGINT) END)
+            AS BIGINT) AS sum_micros
 FROM events GROUP BY 1
 """
 

@@ -658,7 +658,7 @@ lastg AS (SELECT state_key, MAX(g) AS g FROM grp GROUP BY state_key),
 seg AS (SELECT grp.state_key, grp.d FROM grp JOIN lastg USING (state_key, g))
 SELECT e.state_key,
        COUNT(*) AS n_events,
-       SUM(e.cents) AS total_cents,
+       CAST(SUM(e.cents) AS BIGINT) AS total_cents,
        MAX(e.d) AS last_ts
 FROM ev e JOIN seg USING (state_key, d)
 GROUP BY e.state_key
@@ -930,7 +930,7 @@ closed AS (
      OR lastd.last_day > s.session_end + INTERVAL {_S15_GAP_DAYS} DAY
 )
 SELECT c.state_key, c.session_start, c.session_end,
-       COUNT(*) AS n_events, SUM(e.cents) AS total_cents
+       COUNT(*) AS n_events, CAST(SUM(e.cents) AS BIGINT) AS total_cents
 FROM closed c
 JOIN grp ON grp.state_key = c.state_key AND grp.g = c.g
 JOIN ev e ON e.state_key = c.state_key AND e.d = grp.d

@@ -79,6 +79,26 @@ def main() -> int:
             print(f"ok?   {name}: rows={len(srows)} (no oracle — rows-only)")
             continue
         try:
+            rel = con.sql(oracles[name])
+            # The driver's hash is TYPE-sensitive (round 4 lesson: an
+            # un-cast SUM(BIGINT) widens to HUGEINT and the Arrow-path
+            # serialization changes even though str() values are equal).
+            # str()-canonicalization below is type-blind, so reject the
+            # widened types outright — any oracle emitting them is a
+            # driver-gate failure waiting to rotate in.
+            widened = [
+                f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+                if str(t) in ("HUGEINT", "UHUGEINT")
+                or str(t).startswith("DECIMAL")
+            ]
+            if widened:
+                failures.append(name)
+                record(name, "fail",
+                       detail=f"oracle emits driver-hash-unsafe types: "
+                              f"{widened} (CAST to BIGINT/DOUBLE)")
+                print(f"FAIL  {name}: oracle output types {widened} — "
+                      f"the driver hash is type-sensitive; CAST them")
+                continue
             cur = con.execute(oracles[name])
             dcols_raw = [d[0] for d in cur.description]
             drows_raw = cur.fetchall()
