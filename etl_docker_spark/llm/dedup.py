@@ -363,7 +363,8 @@ def ngram_jaccard_pair_cols(sh_a: Column, sh_b: Column) -> Column:
 def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                                 shingle_n: int = 3, t_num: int = 1,
                                 t_den: int = 2,
-                                positional: bool = False) -> DataFrame:
+                                positional: bool = False,
+                                suffix_buckets: int = 0) -> DataFrame:
     """EXACT Jaccard >= t (default 1/2) similarity self-join via prefix
     filtering —
     the AllPairs/PPJoin candidate scheme (Bayardo et al. WWW'07, Xiao et
@@ -403,6 +404,23 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     is where the savings land (pruned candidates can never verify, so
     the output is identical by construction).
 
+    `suffix_buckets=K` (K > 0) adds the SUFFIX-filter role (Xiao et al.
+    WWW'08 §3.3) in a distributed-exact shape: the sequential
+    divide-and-conquer probe of the classic filter is replaced by a
+    K-bucket hash-partition overlap bound. Each doc carries a K-int
+    histogram hist[k] = |{tokens with pmod(h, K) = k}| (128 bytes at
+    K=16 vs the full token array); for any pair, inter(A,B) restricted
+    to bucket k is <= min(histA[k], histB[k]), so
+    sum_k min(histA[k], histB[k]) is a valid upper bound on the WHOLE
+    intersection — always <= the length bound min(|A|,|B|), strictly
+    tighter whenever the two docs distribute their tokens differently.
+    A candidate survives only if the bound reaches the Jaccard
+    minoverlap (same integer cross-multiply as the positional filter);
+    pruned pairs skip the two full-array verification joins and the
+    array_intersect, which is where the savings land. Zero false
+    negatives by construction (the bound is an upper bound), so output
+    is identical with the filter on or off.
+
     Shuffle ledger: shingle pass (id-partitioned, exchange-free groupBys)
     -> df counts (digest-width by h) -> per-doc ordered arrays (by doc)
     -> prefix self-join (by h, prefix rows only) -> verification joins
@@ -417,6 +435,35 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     if not (0 < t_num <= t_den):
         raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
+    cand, per_doc = _jaccard_candidates(
+        df, id_col, text_col, shingle_n, t_num, t_den, positional,
+        suffix_buckets)
+    sets = per_doc.select(
+        "doc", F.transform("ord", lambda x: x["h"]).alias("hs"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
+    verified = (
+        cand.join(sets.select(F.col("doc").alias("doc_a"),
+                              F.col("hs").alias("hs_a")), "doc_a")
+        .join(sets.select(F.col("doc").alias("doc_b"),
+                          F.col("hs").alias("hs_b")), "doc_b")
+        .select("doc_a", "doc_b", inter.alias("inter_n"),
+                (F.size("hs_a") + F.size("hs_b")).cast("long").alias("tot"))
+        .select("doc_a", "doc_b", "inter_n",
+                (F.col("tot") - F.col("inter_n")).alias("union_n"))
+    )
+    return verified.filter(
+        F.lit(t_den) * F.col("inter_n") >= F.lit(t_num) * F.col("union_n"))
+
+
+def _jaccard_candidates(df: DataFrame, id_col: str, text_col: str,
+                        shingle_n: int, t_num: int, t_den: int,
+                        positional: bool, suffix_buckets: int):
+    """Candidate-pair generation for prefix_filter_jaccard_pairs,
+    factored out so the filter stack's candidate counts are measurable
+    (SCALE.md reduction tables) without duplicating the logic. Returns
+    (cand, per_doc): cand = (doc_a, doc_b) surviving every enabled
+    filter; per_doc = the checkpointed ordered-token frame verification
+    re-reads."""
     shingled = shingle_rows(df, id_col, text_col, shingle_n)
     dset = shingled.select(
         "doc", _base_hash(F.col("s")).alias("h")).distinct()
@@ -428,8 +475,23 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             F.struct(F.col("dfreq").alias("f"), F.col("h").alias("h"))))
             .alias("ord"))
         .withColumn("sz", F.size("ord").cast("long"))
-        .localCheckpoint()
     )
+    if suffix_buckets:
+        # K-bucket token histogram (per-row fold, no shuffle): the
+        # suffix filter's overlap bound is computed from these 128-byte
+        # sketches instead of the full token arrays.
+        per_doc = per_doc.withColumn(
+            "hist",
+            F.aggregate(
+                F.transform("ord",
+                            lambda x: F.pmod(x["h"], F.lit(suffix_buckets))
+                            .cast("int")),
+                F.array_repeat(F.lit(0).cast("long"), suffix_buckets),
+                lambda acc, b: F.transform(
+                    acc,
+                    lambda c, i: c + F.when(i == b, F.lit(1).cast("long"))
+                    .otherwise(F.lit(0).cast("long")))))
+    per_doc = per_doc.localCheckpoint()
     # prefix length = sz - ceil(t*sz) + 1, ceil in exact int arithmetic
     ceil_t_sz = F.floor((F.lit(t_num) * F.col("sz") + F.lit(t_den - 1))
                         / F.lit(t_den))
@@ -462,25 +524,27 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             .agg(F.min("ia").alias("min_ia"), F.min("ib").alias("min_ib"))
             .filter(F.lit(t_den + t_num) * bound
                     >= F.lit(t_num) * (F.col("sz_a") + F.col("sz_b")))
-            .select("doc_a", "doc_b")
+            .select("doc_a", "doc_b", "sz_a", "sz_b")
         )
     else:
-        cand = raw.select("doc_a", "doc_b").distinct()
-    sets = per_doc.select(
-        "doc", F.transform("ord", lambda x: x["h"]).alias("hs"))
-    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
-    verified = (
-        cand.join(sets.select(F.col("doc").alias("doc_a"),
-                              F.col("hs").alias("hs_a")), "doc_a")
-        .join(sets.select(F.col("doc").alias("doc_b"),
-                          F.col("hs").alias("hs_b")), "doc_b")
-        .select("doc_a", "doc_b", inter.alias("inter_n"),
-                (F.size("hs_a") + F.size("hs_b")).cast("long").alias("tot"))
-        .select("doc_a", "doc_b", "inter_n",
-                (F.col("tot") - F.col("inter_n")).alias("union_n"))
-    )
-    return verified.filter(
-        F.lit(t_den) * F.col("inter_n") >= F.lit(t_num) * F.col("union_n"))
+        # sz_a/sz_b are functions of the doc ids, so the distinct is the
+        # same pair-dedup with two extra carried longs.
+        cand = raw.select("doc_a", "doc_b", "sz_a", "sz_b").distinct()
+    if suffix_buckets:
+        hists = per_doc.select("doc", "hist")
+        cap = F.aggregate(
+            F.zip_with("ha", "hb", lambda a, b: F.least(a, b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        cand = (
+            cand.join(hists.select(F.col("doc").alias("doc_a"),
+                                   F.col("hist").alias("ha")), "doc_a")
+            .join(hists.select(F.col("doc").alias("doc_b"),
+                               F.col("hist").alias("hb")), "doc_b")
+            .withColumn("cap", cap)
+            .filter(F.lit(t_den + t_num) * F.col("cap")
+                    >= F.lit(t_num) * (F.col("sz_a") + F.col("sz_b")))
+        )
+    return cand.select("doc_a", "doc_b"), per_doc
 
 
 def substring_run_pairs(df: DataFrame, id_col: str, text_col: str,

@@ -32,6 +32,7 @@ from etl_docker_spark.plans.round3 import ROUND3
 from etl_docker_spark.plans.round4 import ROUND4
 from etl_docker_spark.plans.round4b import ROUND4B
 from etl_docker_spark.plans.round4c import ROUND4C
+from etl_docker_spark.plans.round5 import ROUND5
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
@@ -62,8 +63,11 @@ _GATE_WINDOW = [
     "d21_bm25_search", "d24_perplexity_buckets",
     "e05_ivf_train", "e08_hybrid_rrf", "g01_pagerank",
     "s05_stream_stream_join",
-    # round-4, complete
-    "q70_incremental_lifecycle", "q71_relational_division",
+    # round-5 (newest surface — rotate in as queries land)
+    "d53_suffix_filter_jaccard",
+    # round-4 minus e20/q71 (e20's recall sweep stays full-artifact-only;
+    # q71 was driver-gated green in r4 and rotated out for d53)
+    "q70_incremental_lifecycle",
     "q72_skyline_customers", "q73_bucketed_cojoin",
     "q74_partition_reload", "d46_minhash_estimation_error",
     "d47_prefix_filter_jaccard", "d48_dup_cluster_agreement",
@@ -97,7 +101,7 @@ def _build() -> dict[str, QuerySpec]:
                   ROUND2B, ROUND2C, ROUND2D, ROUND2E, ROUND2F, ROUND2G,
                   ROUND2H, ROUND2I, ROUND2J, ROUND2K, ROUND2L, ROUND2M,
                   ROUND2N, ROUND2O, ROUND2P, ROUND2Q, ROUND3, ROUND4,
-                  ROUND4B, ROUND4C):
+                  ROUND4B, ROUND4C, ROUND5):
         for name, (builder, oracle) in table.items():
             specs[name] = QuerySpec(name, builder, oracle)
     assert len(_GATE_WINDOW) == 50, len(_GATE_WINDOW)

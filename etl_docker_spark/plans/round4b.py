@@ -369,8 +369,17 @@ def _q73_bucketed_frames(spark: SparkSession, sf: str):
     the gate runs."""
     from etl_docker_spark.operators.skew import write_bucketed
 
-    tag = abs(hash(sf)) % 10 ** 8
+    # Deterministic tag: abs(hash(sf)) varies per process (PYTHONHASHSEED),
+    # so a crash between write and the finally-DROP leaked orphan tables
+    # with unpredictable names (ADVICE r4). md5 keeps the name stable, and
+    # any q73_* leftover from a crashed prior run is dropped up front.
+    import hashlib
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
     t_ord, t_cust = f"q73_orders_{tag}", f"q73_customer_{tag}"
+    for row in spark.sql("SHOW TABLES").collect():
+        if row["tableName"].startswith("q73_"):
+            spark.sql(f"DROP TABLE IF EXISTS {row['tableName']}")
     write_bucketed(
         t(spark, sf, "orders").select("o_custkey", "o_totalprice"),
         t_ord, ["o_custkey"], num_buckets=8, sort_by=["o_custkey"])

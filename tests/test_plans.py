@@ -171,7 +171,7 @@ def test_registry_complete_and_oracle_backed(spark):
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
         *(f"q{i:02d}" for i in range(1, 87)),
-        *(f"d{i:02d}" for i in range(1, 53)),
+        *(f"d{i:02d}" for i in range(1, 54)),
         *(f"e{i:02d}" for i in range(1, 22)),
         *(f"s{i:02d}" for i in range(1, 26)),
         "g01", "g02", "g03", "g04", "g05",
@@ -196,8 +196,11 @@ def test_gate_window_samples_every_round(spark):
             "d24_perplexity_buckets"} <= set(first50)
     # round-1 anchors still sampled
     assert {"q01_pricing_summary", "s01_stream_tumbling"} <= set(first50)
-    # complete round-4 set present
-    assert {"q70_incremental_lifecycle", "q71_relational_division",
+    # round-5 queries rotate in as they land
+    assert {"d53_suffix_filter_jaccard"} <= set(first50)
+    # round-4 set minus e20/q71 present (e20 full-artifact-only; q71
+    # driver-gated green in r4, rotated out for d53)
+    assert {"q70_incremental_lifecycle",
             "q72_skyline_customers", "d46_minhash_estimation_error",
             "d47_prefix_filter_jaccard", "e19_adc_exact_rerank",
             "s13_stream_late_data_drop", "s14_stream_ttl_eviction",

@@ -1,0 +1,73 @@
+"""Round-5: suffix-filter Jaccard (PPJoin+ completion)."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+
+from tests.test_round4b import _py_shingle_hashes
+
+
+@pytest.mark.parametrize("t_num,t_den,k", [(3, 10, 4), (1, 2, 8),
+                                           (7, 10, 8), (7, 10, 32), (1, 1, 16)])
+def test_suffix_jaccard_matches_bruteforce(spark, t_num, t_den, k):
+    """The K-bucket suffix filter is exactness-preserving at arbitrary
+    rational thresholds and bucket counts: output == brute-force
+    all-pairs Jaccard (small K deliberately stresses the bound — fewer
+    buckets make it coarser, never unsound)."""
+    from etl_docker_spark.llm.dedup import prefix_filter_jaccard_pairs
+
+    rng = random.Random(29)
+    vocab = [f"w{i}" for i in range(25)]
+    docs = []
+    for i in range(40):
+        base = [rng.choice(vocab) for _ in range(rng.randint(1, 14))]
+        docs.append((i, " ".join(base)))
+        if rng.random() < 0.6:
+            mut = list(base)
+            if mut and rng.random() < 0.7:
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            docs.append((100 + i, " ".join(mut)))
+
+    expected = set()
+    hsets = {i: _py_shingle_hashes(t) for i, t in docs}
+    for (a, ha), (b, hb) in itertools.combinations(sorted(hsets.items()), 2):
+        inter, union = len(ha & hb), len(ha | hb)
+        if t_den * inter >= t_num * union:
+            expected.add((a, b, inter, union))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string") \
+        .repartition(4)
+    got = {(r.doc_a, r.doc_b, r.inter_n, r.union_n)
+           for r in prefix_filter_jaccard_pairs(
+               df, "doc_id", "text", t_num=t_num, t_den=t_den,
+               positional=True, suffix_buckets=k).collect()}
+    assert got == expected
+
+
+def test_suffix_filter_shrinks_candidates(spark):
+    """The suffix filter's candidate set is a subset of the positional
+    one AND still a superset of the qualifying pairs (the two containments
+    that make it a sound shrinker)."""
+    from etl_docker_spark.llm.dedup import (_jaccard_candidates,
+                                            prefix_filter_jaccard_pairs)
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(4, 20))))
+            for i in range(120)]
+    df = spark.createDataFrame(docs, "doc_id long, text string") \
+        .repartition(4)
+
+    pos, _ = _jaccard_candidates(df, "doc_id", "text", 3, 7, 10, True, 0)
+    suf, _ = _jaccard_candidates(df, "doc_id", "text", 3, 7, 10, True, 16)
+    pos_set = {(r.doc_a, r.doc_b) for r in pos.collect()}
+    suf_set = {(r.doc_a, r.doc_b) for r in suf.collect()}
+    true_set = {(r.doc_a, r.doc_b)
+                for r in prefix_filter_jaccard_pairs(
+                    df, "doc_id", "text", t_num=7, t_den=10).collect()}
+    assert suf_set <= pos_set
+    assert true_set <= suf_set
