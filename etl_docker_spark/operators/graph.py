@@ -66,3 +66,78 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
         f"connected_components did not converge in {max_rounds} rounds; "
         "a component's diameter exceeds the pointer-jumping reach — raise "
         "max_rounds (silent fragmentation is never returned)")
+
+
+def connected_components_two_phase(edges: DataFrame, src: str = "a",
+                                   dst: str = "b",
+                                   max_rounds: int = 32) -> DataFrame:
+    """Connected components by large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the algorithm built for the regime where min-label
+    propagation with pointer jumping (connected_components above)
+    starts to hurt: each round here is two edge-list rewrites whose
+    shuffle volume is bounded by |E| (never a node's full neighborhood
+    assembled in one task beyond a groupBy min), edges MOVE toward the
+    component minimum instead of labels diffusing over a static edge
+    set, and convergence is O(log^2 n) rounds with monotone progress.
+
+    large-star(u): every neighbor v > u re-attaches to m(u) =
+    min(neighborhood of u, u). small-star(u): every neighbor v <= u
+    (and u itself) attaches to m(u). Alternating the two is
+    correctness-preserving (each rewrite keeps the same connectivity)
+    and terminates in a forest of stars: every node then points
+    directly at its component's minimum id.
+
+    Output: (node, label) for every node with at least one edge —
+    identical contract to connected_components, so the two are
+    interchangeable and cross-checkable. Raises if max_rounds is hit
+    (silent fragmentation is never returned).
+    """
+    e = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .select(F.greatest("u", "v").alias("u"),
+                 F.least("u", "v").alias("v"))
+         .distinct()
+         .localCheckpoint())
+    nodes = (e.select(F.col("u").alias("node"))
+             .unionByName(e.select(F.col("v").alias("node")))
+             .distinct().localCheckpoint())
+
+    def star(cur: DataFrame, large: bool) -> DataFrame:
+        sym = (cur.select("u", "v")
+               .unionByName(cur.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v"))))
+        m = (sym.groupBy("u")
+             .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        att = sym.join(m, "u")
+        if large:
+            out = (att.filter(F.col("v") > F.col("u"))
+                   .select(F.col("v").alias("a"), F.col("m").alias("b")))
+        else:
+            out = (att.filter(F.col("v") <= F.col("u"))
+                   .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                   .unionByName(m.select(F.col("u").alias("a"),
+                                         F.col("m").alias("b"))))
+        return (out.filter(F.col("a") != F.col("b"))
+                .select(F.greatest("a", "b").alias("u"),
+                        F.least("a", "b").alias("v"))
+                .distinct())
+
+    for _ in range(max_rounds):
+        nxt = star(star(e, large=True), large=False).localCheckpoint()
+        stable = (nxt.subtract(e).isEmpty() and e.subtract(nxt).isEmpty())
+        e = nxt
+        if stable:
+            # star forest: u (non-root) -> v (root). Roots label
+            # themselves; the left join covers isolated-after-rewrite
+            # roots that appear only on the v side.
+            lab = e.groupBy(F.col("u").alias("node")) \
+                   .agg(F.min("v").alias("label"))
+            return (nodes.join(lab, "node", "left")
+                    .select("node",
+                            F.coalesce("label", F.col("node"))
+                            .alias("label")))
+    raise RuntimeError(
+        f"two-phase CC did not converge in {max_rounds} rounds — "
+        "raise max_rounds (silent fragmentation is never returned)")

@@ -72,13 +72,23 @@ def stream_state_partitions(spark: SparkSession, n: int | None = None):
     env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
     n = int(env) if env else (n or 4)
     provider_key = "spark.sql.streaming.stateStore.providerClass"
+    changelog_key = ("spark.sql.streaming.stateStore.rocksdb."
+                     "changelogCheckpointing.enabled")
     want_rocks = os.environ.get("SPARK_GRAFT_STATE_STORE", "rocksdb") \
         .lower() != "hdfs"
+    # Changelog checkpointing uploads per-batch deltas instead of full
+    # RocksDB snapshots — the right dial once snapshots are GBs (it was
+    # measured WORSE at gate-sized state, see SCALE.md). Off by default;
+    # $SPARK_GRAFT_ROCKSDB_CHANGELOG=1 flips it for re-measures.
+    want_changelog = want_rocks and os.environ.get(
+        "SPARK_GRAFT_ROCKSDB_CHANGELOG", "") == "1"
     before = spark.conf.get("spark.sql.shuffle.partitions")
     before_provider = spark.conf.get(provider_key, None)
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     if want_rocks:
         spark.conf.set(provider_key, _ROCKSDB_PROVIDER)
+    if want_changelog:
+        spark.conf.set(changelog_key, "true")
     try:
         yield
     finally:
@@ -88,6 +98,8 @@ def stream_state_partitions(spark: SparkSession, n: int | None = None):
                 spark.conf.unset(provider_key)
             else:
                 spark.conf.set(provider_key, before_provider)
+        if want_changelog:
+            spark.conf.unset(changelog_key)
 
 
 def ensure_session_confs(spark: SparkSession) -> None:

@@ -53,3 +53,373 @@ D53_SQL = D49_SQL
 ROUND5.update({
     "d53_suffix_filter_jaccard": (d53_suffix_filter_jaccard, D53_SQL),
 })
+
+# ---------------------------------------------------------------- g06
+
+
+def g06_cc_largestar(spark: SparkSession, sf: str) -> DataFrame:
+    """Full dedup-cluster labeling of the exact-Jaccard pair graph by
+    large-star/small-star alternation (Kiveris et al. SoCC'14) — the
+    connected-components formulation for graphs whose DIAMETER or skew
+    defeats label propagation: each round is two edge-list rewrites
+    bounded by |E| shuffle volume, edges migrate toward the component
+    minimum (the graph itself contracts), and convergence is O(log^2 n)
+    rounds regardless of diameter. The pointer-jumping CC
+    (operators/graph.py:connected_components, used by d08/d48) stays
+    the cheap choice for shallow dup clusters; this is the one that
+    survives a 100 TB web-crawl graph with million-node chains.
+    Identical output contract to the other CC — the gate pins the full
+    (doc_id, cluster_id) labeling against the oracle's transitive
+    closure, and tests pin cross-algorithm equality on random graphs.
+
+    Consumes the session-memoized d47 pair frame (the shingle pass and
+    prefix join are paid once across d47/d48/g06)."""
+    from etl_docker_spark.operators.graph import (
+        connected_components_two_phase)
+    from etl_docker_spark.plans.round4b import prefix_jaccard_pairs_frame
+
+    return (connected_components_two_phase(
+        prefix_jaccard_pairs_frame(spark, sf),
+        src="doc_a", dst="doc_b")
+        .select(F.col("node").alias("doc_id"),
+                F.col("label").alias("cluster_id")))
+
+
+from etl_docker_spark.plans.round4b import _D47_HASHED_CTES  # noqa: E402
+
+G06_SQL = f"""
+WITH RECURSIVE {_D47_HASHED_CTES},
+hs AS (SELECT doc_id, list_distinct(hh) AS hs FROM hashed),
+tokx AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+pre AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_n
+  FROM tokx a JOIN tokx b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pre p
+  JOIN hs sa ON sa.doc_id = p.doc_a
+  JOIN hs sb ON sb.doc_id = p.doc_b
+  WHERE 2 * p.inter_n >= len(sa.hs) + len(sb.hs) - p.inter_n
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a AS node, b AS other FROM edges
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON r.other = e.a
+)
+SELECT node AS doc_id, LEAST(node, MIN(other)) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+ROUND5.update({
+    "g06_cc_largestar": (g06_cc_largestar, G06_SQL),
+})
+
+# ---------------------------------------------------------------- q87
+
+
+def q87_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
+    """Engine-native RECURSIVE CTE (new in Spark 4.x): unbounded
+    ancestor rollup over the implicit decimal hierarchy parent(k) =
+    k div 10 — every customer's balance (integer cents) propagates to
+    ALL its ancestors, recursion depth set by the data (number of key
+    digits), not by a hardcoded bound. The deliberate contrast is g05,
+    which rolls up the SAME hierarchy by enumerating <= 7 ancestor
+    prefixes with explode: enumeration is the right 100 TB plan when
+    depth is known (one map-side pass, map-combinable agg, no
+    iteration barriers); recursion is the tool when it isn't. Each
+    recursion level here is one narrow (node, ancestor, cents) frame —
+    the UNION ALL accumulates |customers| * depth rows, so the
+    recursion-row limit is scoped up front (it defaults to 1M rows,
+    which ~sf1's 150k customers * 6 digits would trip).
+
+    Output: one row per hierarchy node that has strict descendants —
+    descendant count and their total balance in cents."""
+    t(spark, sf, "customer").createOrReplaceTempView("q87_customer")
+    limit_key = "spark.sql.cteRecursionRowLimit"
+    before = spark.conf.get(limit_key)
+    spark.conf.set(limit_key, str(50_000_000))
+    try:
+        return spark.sql("""
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS node, c_custkey div 10 AS ancestor,
+         CAST(CAST(c_acctbal AS DECIMAL(12,4)) * 100 AS BIGINT)
+           AS bal_cents
+  FROM q87_customer
+  UNION ALL
+  SELECT node, ancestor div 10, bal_cents FROM anc WHERE ancestor > 0
+)
+SELECT ancestor, CAST(COUNT(*) AS BIGINT) AS n_desc,
+       CAST(SUM(bal_cents) AS BIGINT) AS desc_bal_cents
+FROM anc WHERE ancestor > 0
+GROUP BY ancestor
+""")
+    finally:
+        spark.conf.set(limit_key, before)
+
+
+Q87_SQL = """
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS node, c_custkey // 10 AS ancestor,
+         CAST(CAST(c_acctbal AS DECIMAL(12,4)) * 100 AS BIGINT)
+           AS bal_cents
+  FROM customer
+  UNION ALL
+  SELECT node, ancestor // 10, bal_cents FROM anc WHERE ancestor > 0
+)
+SELECT ancestor, CAST(COUNT(*) AS BIGINT) AS n_desc,
+       CAST(SUM(bal_cents) AS BIGINT) AS desc_bal_cents
+FROM anc WHERE ancestor > 0
+GROUP BY ancestor
+"""
+
+ROUND5.update({
+    "q87_recursive_cte": (q87_recursive_cte, Q87_SQL),
+})
+
+# ---------------------------------------------------------------- d54
+
+_D54_STEPS = 3  # same horizon as d30 — the merges d54 applies are d30's
+
+
+def d54_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE ENCODING — applying d30's learned merge table to the corpus,
+    the other half of the tokenizer lifecycle (d27/d30/d39 learn; this
+    encodes). Per document: word count, encoded token count under the
+    3-merge vocab, character mass, and tokens-per-char (ppm) — the
+    compression statistic that decides whether a tokenizer is paying
+    for itself before a training run.
+
+    Scale shape — encode by word TYPE, never by occurrence: the merge
+    replaces run over the distinct-word frame (orders of magnitude
+    smaller than the token stream), and the per-occurrence cost is one
+    (word -> symbol count) equi-join. The training chain is d30's loop
+    verbatim (types with length >= 2, frequency-weighted winner per
+    step); each step's winning pair broadcasts into a string replace on
+    BOTH the training frame and the encoding frame. The corpus is
+    scanned twice in total (once for types, once for per-doc counts) —
+    at 100 TB the type table join is the whole cost, and it is a plain
+    shuffle-hash join on the word."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf, "documents")
+    to_sp = F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 "))
+    wf = (docs.select(F.explode(F.split("text", " ")).alias("w"))
+          .filter(F.length("w") >= 2)
+          .groupBy("w").agg(F.count("*").alias("f"))
+          .select(to_sp.alias("sp"), "f")
+          .localCheckpoint())
+    wt = (docs.select(F.explode(F.split("text", " ")).alias("w"))
+          .distinct()
+          .select("w", to_sp.alias("sp"))
+          .localCheckpoint())
+    for step in range(1, _D54_STEPS + 1):
+        syms = F.split(F.trim(F.col("sp")), " ")
+        prs = (wf.filter(F.size(syms) >= 2)
+               .select("f", F.explode(F.transform(
+                   F.sequence(F.lit(1), F.size(syms) - 1),
+                   lambda i: F.struct(
+                       F.element_at(syms, i).alias("p1"),
+                       F.element_at(syms, i + 1).alias("p2"))))
+                   .alias("pr"))
+               .select(F.col("pr.p1").alias("p1"),
+                       F.col("pr.p2").alias("p2"), "f"))
+        top = (prs.groupBy("p1", "p2").agg(F.sum("f").alias("pair_count"))
+               .withColumn("rn", F.row_number().over(
+                   Window.orderBy(F.desc("pair_count"),
+                                  F.asc("p1"), F.asc("p2"))))
+               .filter(F.col("rn") == 1).select("p1", "p2"))
+
+        def merged(frame: DataFrame) -> Column:
+            return F.replace(
+                F.col("sp"),
+                F.concat(F.lit(" "), F.col("p1"), F.lit(" "),
+                         F.col("p2"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("p1"), F.col("p2"),
+                         F.lit(" "))).alias("sp")
+
+        wf = (wf.crossJoin(F.broadcast(top)).select(merged(wf), "f"))
+        wt = (wt.crossJoin(F.broadcast(top)).select("w", merged(wt)))
+    sym = wt.select(
+        "w", F.size(F.split(F.trim(F.col("sp")), " "))
+        .cast("long").alias("n_sym"))
+    occ = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    return (occ.join(sym, "w")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_words"),
+                 F.sum("n_sym").cast("long").alias("n_tokens"),
+                 F.sum(F.length("w")).cast("long").alias("n_chars"))
+            .select("doc_id", "n_words", "n_tokens", "n_chars",
+                    F.expr("(1000000 * n_tokens)"
+                           " div greatest(n_chars, 1)")
+                    .alias("tok_per_char_ppm")))
+
+
+def _d54_sql() -> str:
+    parts = ["""
+WITH wf0 AS (
+  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sp, f
+  FROM (SELECT w, COUNT(*) AS f
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) >= 2 GROUP BY w)
+),
+wt0 AS (
+  SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sp
+  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+        FROM documents)
+)"""]
+    for i in range(1, _D54_STEPS + 1):
+        parts.append(f""",
+pc{i} AS (
+  SELECT t.sy[i] AS p1, t.sy[i + 1] AS p2, SUM(f) AS pair_count
+  FROM (SELECT string_split(trim(sp), ' ') AS sy, f FROM wf{i - 1}) t,
+       LATERAL (SELECT unnest(generate_series(1, len(t.sy) - 1)) AS i)
+  WHERE len(t.sy) >= 2
+  GROUP BY 1, 2
+),
+t{i} AS (
+  SELECT p1, p2 FROM pc{i} ORDER BY pair_count DESC, p1, p2 LIMIT 1
+),
+wf{i} AS (
+  SELECT replace(sp,
+                 ' ' || (SELECT p1 FROM t{i}) || ' '
+                     || (SELECT p2 FROM t{i}) || ' ',
+                 ' ' || (SELECT p1 FROM t{i})
+                     || (SELECT p2 FROM t{i}) || ' ') AS sp, f
+  FROM wf{i - 1}
+),
+wt{i} AS (
+  SELECT w, replace(sp,
+                    ' ' || (SELECT p1 FROM t{i}) || ' '
+                        || (SELECT p2 FROM t{i}) || ' ',
+                    ' ' || (SELECT p1 FROM t{i})
+                        || (SELECT p2 FROM t{i}) || ' ') AS sp
+  FROM wt{i - 1}
+)""")
+    parts.append(f""",
+sym AS (
+  SELECT w, CAST(len(string_split(trim(sp), ' ')) AS BIGINT) AS n_sym
+  FROM wt{_D54_STEPS}
+),
+occ AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_sym) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+       CAST((1000000 * SUM(n_sym)) // greatest(SUM(length(w)), 1)
+            AS BIGINT) AS tok_per_char_ppm
+FROM occ JOIN sym USING (w)
+GROUP BY doc_id""")
+    return "".join(parts)
+
+
+D54_SQL = _d54_sql()
+
+ROUND5.update({
+    "d54_bpe_encode": (d54_bpe_encode, D54_SQL),
+})
+
+# ---------------------------------------------------------------- s26
+
+_S26_CUTOFF = "2024-01-11"
+
+
+def s26_state_datasource(spark: SparkSession, sf: str) -> DataFrame:
+    """STATE INTROSPECTION via the state data source (new in Spark 4):
+    after an availableNow run of the day-windowed aggregate, read the
+    checkpoint's state store back as a BATCH DataFrame
+    (`spark.read.format("statestore")`) and gate its CONTENTS — the
+    actual buffered (window, event_type) partial aggregates — not just
+    the row count s21 pins from progress metrics. This is the
+    operational surface that matters at 100 TB: inspecting or
+    repairing a streaming job's state without replaying the stream
+    (the offline half of state management; the online half is the
+    job itself).
+
+    Prediction (s21's pinned eviction semantics): after the final
+    no-data batch, state holds exactly the OPEN windows — groups whose
+    window end outlives the end-of-stream watermark (max ts - delay) —
+    and since end-of-stream means every event has arrived, each open
+    window's buffered partial aggregate equals the full batch count of
+    its group. The state reader runs under the same provider conf as
+    the write (RocksDB by default), exercising the provider round-trip.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from etl_docker_spark.plans._util import stream_state_partitions
+
+    ev = (t(spark, sf, "events")
+          .filter(F.col("ts") < F.lit(_S26_CUTOFF).cast("timestamp"))
+          .select("ts", "event_type",
+                  F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                  .alias("dcol")))
+
+    work = tempfile.mkdtemp(prefix="s26_")
+    try:
+        staged = os.path.join(work, "staged")
+        ev.coalesce(1).write.partitionBy("dcol").mode("overwrite") \
+            .parquet(staged)
+        arrivals = os.path.join(work, "arrivals")
+        os.makedirs(arrivals)
+        days = sorted(d for d in os.listdir(staged) if d.startswith("dcol="))
+        for i, d in enumerate(days):
+            src_dir = os.path.join(staged, d)
+            src = next(f for f in os.listdir(src_dir)
+                       if f.endswith(".parquet"))
+            dst = os.path.join(arrivals, f"{i:03d}.parquet")
+            shutil.copyfile(os.path.join(src_dir, src), dst)
+            os.utime(dst, (1700000000 + i * 60,) * 2)
+
+        probe = spark.read.parquet(arrivals)
+        stream = (spark.readStream.schema(probe.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(arrivals))
+        agg = (stream.withWatermark("ts", "1 minute")
+               .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+               .agg(F.count("*").cast("long").alias("n_events")))
+        ckpt = os.path.join(work, "ckpt")
+        with stream_state_partitions(spark, 4):
+            q = (agg.writeStream.outputMode("append").format("noop")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(300)
+            q.stop()
+            # Read under the SAME provider conf the write used — the
+            # reader materializes the store files, not the progress API.
+            state = (spark.read.format("statestore").load(ckpt)
+                     .select(
+                         F.col("key.window.start").alias("w_start"),
+                         F.col("key.event_type").alias("event_type"),
+                         # state schema keeps the physical aggregate
+                         # name (`count`), not the query alias
+                         F.col("value.count").cast("long")
+                         .alias("n_events"))
+                     .localCheckpoint())
+        return state
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+S26_SQL = f"""
+WITH ev AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+         event_type, ts
+  FROM events WHERE ts < TIMESTAMP '{_S26_CUTOFF} 00:00:00'
+),
+wm AS (SELECT MAX(ts) - INTERVAL 1 MINUTE AS w FROM ev)
+SELECT w_start, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM ev, wm
+GROUP BY w_start, event_type, wm.w
+HAVING w_start + INTERVAL 1 DAY > wm.w
+"""
+
+ROUND5.update({
+    "s26_state_datasource": (s26_state_datasource, S26_SQL),
+})

@@ -170,11 +170,11 @@ def test_registry_complete_and_oracle_backed(spark):
     missing = set(qs) - set(oracles) - rows_only_allowed
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
-        *(f"q{i:02d}" for i in range(1, 87)),
-        *(f"d{i:02d}" for i in range(1, 54)),
+        *(f"q{i:02d}" for i in range(1, 88)),
+        *(f"d{i:02d}" for i in range(1, 55)),
         *(f"e{i:02d}" for i in range(1, 22)),
-        *(f"s{i:02d}" for i in range(1, 26)),
-        "g01", "g02", "g03", "g04", "g05",
+        *(f"s{i:02d}" for i in range(1, 27)),
+        "g01", "g02", "g03", "g04", "g05", "g06",
     }
     assert {n.split("_")[0] for n in qs} == expected
 
@@ -196,16 +196,20 @@ def test_gate_window_samples_every_round(spark):
             "d24_perplexity_buckets"} <= set(first50)
     # round-1 anchors still sampled
     assert {"q01_pricing_summary", "s01_stream_tumbling"} <= set(first50)
-    # round-5 queries rotate in as they land
-    assert {"d53_suffix_filter_jaccard"} <= set(first50)
-    # round-4 set minus e20/q71 present (e20 full-artifact-only; q71
-    # driver-gated green in r4, rotated out for d53)
-    assert {"q70_incremental_lifecycle",
-            "q72_skyline_customers", "d46_minhash_estimation_error",
-            "d47_prefix_filter_jaccard", "e19_adc_exact_rerank",
+    # round-5 complete set present (the newest surface)
+    assert {"d53_suffix_filter_jaccard", "d54_bpe_encode",
+            "g06_cc_largestar", "q87_recursive_cte",
+            "s26_state_datasource"} <= set(first50)
+    # round-4 cross-section (q71/q72/q74/d46/e19 gated green in r4 and
+    # rotated out; the r4 HUGEINT-red four stay for fix confirmation)
+    assert {"q70_incremental_lifecycle", "q73_bucketed_cojoin",
+            "d47_prefix_filter_jaccard", "d48_dup_cluster_agreement",
             "s13_stream_late_data_drop", "s14_stream_ttl_eviction",
             "s15_stream_session_close", "s16_stream_dedup_expiry",
             "g05_hierarchy_rollup"} <= set(first50)
+    # the four r4 HUGEINT-red queries must ALL be sampled this round
+    assert {"d21_bm25_search", "g01_pagerank", "s14_stream_ttl_eviction",
+            "s15_stream_session_close"} <= set(first50)
     # complete round-4c set present (the newest surface)
     assert {"q75_orc_roundtrip", "q76_schema_evolution",
             "q77_lateral_topk", "q78_observed_metrics",

@@ -71,3 +71,37 @@ def test_suffix_filter_shrinks_candidates(spark):
                     df, "doc_id", "text", t_num=7, t_den=10).collect()}
     assert suf_set <= pos_set
     assert true_set <= suf_set
+
+
+@pytest.mark.parametrize("seed", [7, 11, 13])
+def test_two_phase_cc_matches_pointer_jumping(spark, seed):
+    """large-star/small-star CC and min-label propagation must produce
+    the identical (node, min-id label) map on random graphs — the two
+    algorithms are interchangeable by contract (g06 relies on it)."""
+    import random
+
+    from etl_docker_spark.operators.graph import (
+        connected_components, connected_components_two_phase)
+
+    rng = random.Random(seed)
+    edges = [(rng.randrange(400), rng.randrange(400)) for _ in range(250)]
+    df = spark.createDataFrame(edges, "a long, b long").filter("a != b")
+    g1 = sorted((r.node, r.label)
+                for r in connected_components(df).collect())
+    g2 = sorted((r.node, r.label)
+                for r in connected_components_two_phase(df).collect())
+    assert g1 == g2
+
+
+def test_two_phase_cc_long_chain(spark):
+    """A 600-node chain (diameter 600) must converge well inside the
+    32-round cap — the O(log^2 n) claim vs plain propagation's
+    O(diameter)."""
+    from etl_docker_spark.operators.graph import (
+        connected_components_two_phase)
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(600)],
+                               "a long, b long")
+    lab = connected_components_two_phase(df)
+    got = {(r.node, r.label) for r in lab.collect()}
+    assert got == {(i, 0) for i in range(601)}
