@@ -64,14 +64,15 @@ _GATE_WINDOW = [
     "e05_ivf_train", "e08_hybrid_rrf", "g01_pagerank",
     "s05_stream_stream_join",
     # round-5, complete (newest surface, least externally verified)
-    "d53_suffix_filter_jaccard", "d54_bpe_encode", "g06_cc_largestar",
+    "d53_suffix_filter_jaccard", "d54_bpe_encode",
+    "d55_self_dedup_curation", "g06_cc_largestar",
     "q87_recursive_cte", "s26_state_datasource",
     # round-4 cross-section (e20 stays full-artifact-only; q71/q72/q74/
-    # d46/e19 were driver-gated green in r4 and rotated out for round 5;
-    # d21/g01/s14/s15 MUST stay this round — their oracles were
-    # HUGEINT-red in r4 and the driver must confirm the fix)
+    # d46/d48/e19 were driver-gated green in r4 and rotated out for
+    # round 5; d21/g01/s14/s15 MUST stay this round — their oracles
+    # were HUGEINT-red in r4 and the driver must confirm the fix)
     "q70_incremental_lifecycle", "q73_bucketed_cojoin",
-    "d47_prefix_filter_jaccard", "d48_dup_cluster_agreement",
+    "d47_prefix_filter_jaccard",
     "s13_stream_late_data_drop", "s14_stream_ttl_eviction",
     "s15_stream_session_close", "s16_stream_dedup_expiry",
     "s17_stream_outer_join", "s18_stream_checkpoint_resume",

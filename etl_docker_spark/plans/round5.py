@@ -423,3 +423,111 @@ HAVING w_start + INTERVAL 1 DAY > wm.w
 ROUND5.update({
     "s26_state_datasource": (s26_state_datasource, S26_SQL),
 })
+
+# ---------------------------------------------------------------- d55
+
+
+def d55_self_dedup_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-doc self-dedup CURATION — d52 sizes the worst internal
+    repeat; this emits the curation arithmetic: how many tokens each
+    document loses when every LATER copy of a repeated run is removed
+    (the within-document half of Lee et al. '22's dedup policy, which
+    keeps the first occurrence). Per doc: token count, duplicate mass,
+    curated token count, and duplicate ppm — the columns a token-budget
+    pass (d18) would consume.
+
+    Exactness without streak reconstruction: a token position q is
+    duplicate mass iff it lies inside the LATER copy of some repeated
+    k-gram (pa < pb = pa + d, q in [pb, pb+k-1]) — the union of those
+    per-gram intervals IS the union of the repeated-run later copies,
+    because a run's later copy is exactly the union of its grams'
+    [pb, pb+k-1] windows. |union| computes with one sorted lag per doc:
+    sum of min(k, pb - prev_pb) over distinct duplicate gram positions
+    (first contributes k). Window partitions are bounded by one doc's
+    self-match volume, as in d52.
+
+    Every document appears (zero-loss docs report dup_tokens = 0) —
+    a curation table, not an offender list."""
+    from pyspark.sql import Window
+
+    from etl_docker_spark.llm.dedup import _base_hash
+
+    k = 2  # d52's horizon: the synthetic corpus repeats are short
+    df = t(spark, sf, "documents")
+    df = df.repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    toks = F.split(F.col("text"), " ")
+    tok_rows = df.select(
+        F.col("doc_id").alias("doc"), F.size(toks).alias("sz"),
+        F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy("doc").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    grams = (tok_rows.select("doc", "sz", "pos",
+                             F.concat_ws(" ", *leads).alias("s"))
+             .filter(F.col("pos") <= F.col("sz") - k)
+             .select("doc", F.col("pos").cast("long").alias("p"),
+                     _base_hash(F.col("s")).alias("h")))
+    dup_pos = (grams.alias("a").join(
+        grams.alias("b"),
+        (F.col("a.doc") == F.col("b.doc")) & (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.doc").alias("doc"), F.col("b.p").alias("pb"))
+        .distinct())
+    w2 = Window.partitionBy("doc").orderBy("pb")
+    cov = (dup_pos.withColumn("prev", F.lag("pb").over(w2))
+           .select("doc", F.when(F.col("prev").isNull(), F.lit(k))
+                   .otherwise(F.least(F.lit(k),
+                                      F.col("pb") - F.col("prev")))
+                   .alias("c"))
+           .groupBy("doc").agg(F.sum("c").cast("long").alias("dup")))
+    base = df.select(F.col("doc_id"),
+                     F.size(F.split("text", " ")).cast("long")
+                     .alias("n_tokens"))
+    return (base.join(cov, base["doc_id"] == cov["doc"], "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce("dup", F.lit(0)).cast("long")
+                    .alias("dup_tokens"))
+            .select("doc_id", "n_tokens", "dup_tokens",
+                    (F.col("n_tokens") - F.col("dup_tokens"))
+                    .alias("curated_tokens"),
+                    F.expr("(1000000 * dup_tokens)"
+                           " div greatest(n_tokens, 1)")
+                    .alias("dup_ppm")))
+
+
+D55_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+g AS (
+  SELECT doc_id, i AS p,
+         CAST('0x' || substring(
+           md5(array_to_string(tk[i:i+1], ' ')), 1, 8) AS BIGINT) AS h
+  FROM toks, LATERAL unnest(generate_series(1, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 2
+),
+dup AS (
+  SELECT DISTINCT a.doc_id AS doc, b.p AS pb
+  FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.h = b.h AND a.p < b.p
+),
+cov AS (
+  SELECT doc,
+         CAST(SUM(least(2, pb - coalesce(prev, pb - 2))) AS BIGINT)
+           AS dup_tokens
+  FROM (SELECT doc, pb,
+               lag(pb) OVER (PARTITION BY doc ORDER BY pb) AS prev
+        FROM dup)
+  GROUP BY doc
+)
+SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+       coalesce(dup_tokens, 0) AS dup_tokens,
+       CAST(len(tk) AS BIGINT) - coalesce(dup_tokens, 0)
+         AS curated_tokens,
+       CAST((1000000 * coalesce(dup_tokens, 0))
+            // greatest(len(tk), 1) AS BIGINT) AS dup_ppm
+FROM toks LEFT JOIN cov ON toks.doc_id = cov.doc
+"""
+
+ROUND5.update({
+    "d55_self_dedup_curation": (d55_self_dedup_curation, D55_SQL),
+})

@@ -171,7 +171,7 @@ def test_registry_complete_and_oracle_backed(spark):
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
         *(f"q{i:02d}" for i in range(1, 88)),
-        *(f"d{i:02d}" for i in range(1, 55)),
+        *(f"d{i:02d}" for i in range(1, 56)),
         *(f"e{i:02d}" for i in range(1, 22)),
         *(f"s{i:02d}" for i in range(1, 27)),
         "g01", "g02", "g03", "g04", "g05", "g06",
@@ -198,12 +198,12 @@ def test_gate_window_samples_every_round(spark):
     assert {"q01_pricing_summary", "s01_stream_tumbling"} <= set(first50)
     # round-5 complete set present (the newest surface)
     assert {"d53_suffix_filter_jaccard", "d54_bpe_encode",
-            "g06_cc_largestar", "q87_recursive_cte",
-            "s26_state_datasource"} <= set(first50)
-    # round-4 cross-section (q71/q72/q74/d46/e19 gated green in r4 and
-    # rotated out; the r4 HUGEINT-red four stay for fix confirmation)
+            "d55_self_dedup_curation", "g06_cc_largestar",
+            "q87_recursive_cte", "s26_state_datasource"} <= set(first50)
+    # round-4 cross-section (q71/q72/q74/d46/d48/e19 gated green in r4
+    # and rotated out; the r4 HUGEINT-red four stay for confirmation)
     assert {"q70_incremental_lifecycle", "q73_bucketed_cojoin",
-            "d47_prefix_filter_jaccard", "d48_dup_cluster_agreement",
+            "d47_prefix_filter_jaccard",
             "s13_stream_late_data_drop", "s14_stream_ttl_eviction",
             "s15_stream_session_close", "s16_stream_dedup_expiry",
             "g05_hierarchy_rollup"} <= set(first50)

@@ -105,3 +105,44 @@ def test_two_phase_cc_long_chain(spark):
     lab = connected_components_two_phase(df)
     got = {(r.node, r.label) for r in lab.collect()}
     assert got == {(i, 0) for i in range(601)}
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_self_dedup_curation_matches_bruteforce(spark, seed):
+    """d55's sorted-lag union size == brute-force 'positions covered by
+    the later copy of any repeated 2-gram' on random repetitive docs."""
+    import random
+
+    from etl_docker_spark.plans.round5 import d55_self_dedup_curation
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(8)]  # tiny vocab -> dense repeats
+    docs = []
+    for i in range(30):
+        base = [rng.choice(vocab) for _ in range(rng.randint(2, 12))]
+        if rng.random() < 0.5:  # inject a verbatim internal repeat
+            span = base[:rng.randint(1, len(base))]
+            base = base + span
+        docs.append((i, " ".join(base)))
+
+    k = 2
+    expected = {}
+    for i, text in docs:
+        toks = text.split(" ")
+        grams = [tuple(toks[p:p + k]) for p in range(len(toks) - k + 1)]
+        covered = set()
+        for pb in range(len(grams)):
+            if grams[pb] in grams[:pb]:
+                covered.update(range(pb, pb + k))
+        dup = len(covered)
+        expected[i] = (len(toks), dup, len(toks) - dup,
+                       (1_000_000 * dup) // max(len(toks), 1))
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(docs, "doc_id long, text string") \
+            .write.parquet(f"{d}/documents.parquet")
+        got = {r.doc_id: (r.n_tokens, r.dup_tokens, r.curated_tokens,
+                          r.dup_ppm)
+               for r in d55_self_dedup_curation(spark, d).collect()}
+    assert got == expected
