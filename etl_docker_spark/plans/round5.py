@@ -135,17 +135,19 @@ def q87_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
     iteration barriers); recursion is the tool when it isn't. Each
     recursion level here is one narrow (node, ancestor, cents) frame —
     the UNION ALL accumulates |customers| * depth rows, so the
-    recursion-row limit is scoped up front (it defaults to 1M rows,
-    which ~sf1's 150k customers * 6 digits would trip).
+    recursion-row limit is raised for the session (it defaults to 1M
+    rows, which ~sf1's 150k customers * 7 levels trips).
 
     Output: one row per hierarchy node that has strict descendants —
     descendant count and their total balance in cents."""
     t(spark, sf, "customer").createOrReplaceTempView("q87_customer")
-    limit_key = "spark.sql.cteRecursionRowLimit"
-    before = spark.conf.get(limit_key)
-    spark.conf.set(limit_key, str(50_000_000))
-    try:
-        return spark.sql("""
+    # The limit is consulted at EXECUTION time and the returned frame is
+    # lazy, so a scoped set-then-restore would revert before the action
+    # runs (found at ~sf1: 150k customers x 7 levels tripped the
+    # restored 1M default). Session-level raise, no restore — the limit
+    # is a runaway-recursion backstop and 50M keeps that role.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(50_000_000))
+    return spark.sql("""
 WITH RECURSIVE anc AS (
   SELECT c_custkey AS node, c_custkey div 10 AS ancestor,
          CAST(CAST(c_acctbal AS DECIMAL(12,4)) * 100 AS BIGINT)
@@ -159,8 +161,6 @@ SELECT ancestor, CAST(COUNT(*) AS BIGINT) AS n_desc,
 FROM anc WHERE ancestor > 0
 GROUP BY ancestor
 """)
-    finally:
-        spark.conf.set(limit_key, before)
 
 
 Q87_SQL = """
