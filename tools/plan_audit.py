@@ -166,8 +166,9 @@ def main() -> None:
           "the broadcast side is constant-size by construction: the "
           "brute-force scorers' query batch (e01/e03/e04), k-row centroid "
           "or 1-row scalar/total frames crossJoined in "
-          "e05/e08/e09/q43/q47/d31/d34/d35); cartesian must be empty "
-          "everywhere.")
+          "e05/e08/e09/q43/q47/d31/d34/d35, and d54's six 1-row "
+          "winning-merge-pair broadcasts — 3 BPE steps x 2 frames); "
+          "cartesian must be empty everywhere.")
     print()
     print("Queries serving a per-session memoized artifact "
           "(llm/index_cache: d06/d07/d08/d10/d14/d21 and the trained-index "
