@@ -42,7 +42,9 @@ def q40_trailing_spend_range(spark: SparkSession, sf: str) -> DataFrame:
     aggregate buffer — no per-row rescan).
     """
     orders = t(spark, sf, "orders")
-    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    # long, not int: DuckDB datediff emits BIGINT and the external hash
+    # is type-sensitive — widths must agree cross-engine (round-5 sweep)
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long")
     w = (Window.partitionBy("o_custkey").orderBy("day_idx")
          .rangeBetween(-_TRAIL_DAYS, 0))
     return (orders

@@ -21,6 +21,45 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def canon_spark_type(dt) -> str:
+    import pyspark.sql.types as T
+    m = {T.ByteType: "i8", T.ShortType: "i16", T.IntegerType: "i32",
+         T.LongType: "i64", T.FloatType: "f32", T.DoubleType: "f64",
+         T.StringType: "str", T.BooleanType: "bool", T.DateType: "date",
+         T.TimestampType: "ts", T.TimestampNTZType: "ts",
+         T.BinaryType: "bin"}
+    for k, v in m.items():
+        if isinstance(dt, k):
+            return v
+    if isinstance(dt, T.DecimalType):
+        return f"dec({dt.precision},{dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{canon_spark_type(dt.elementType)}>"
+    return dt.simpleString()
+
+
+def canon_duck_type(t) -> str:
+    s = str(t)
+    m = {"TINYINT": "i8", "SMALLINT": "i16", "INTEGER": "i32",
+         "BIGINT": "i64", "FLOAT": "f32", "DOUBLE": "f64",
+         "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date",
+         "TIMESTAMP": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
+         "BLOB": "bin", "HUGEINT": "i128"}
+    if s in m:
+        return m[s]
+    if s.startswith("DECIMAL"):
+        return s.replace("DECIMAL", "dec")
+    if s.endswith("[]"):
+        return f"list<{canon_duck_type(s[:-2])}>"
+    return s
+
+
+# Cross-engine type pairs the external hash is known to tolerate
+# (empirically: q74/q86 shipped Spark DATE vs DuckDB VARCHAR and passed
+# the round-4 driver gate — dates canonicalize to their string form).
+_TYPE_MISMATCH_OK = {("date", "str"), ("str", "date")}
+
+
 def canon(rows: list[tuple]) -> list[tuple[str, ...]]:
     out = []
     for row in rows:
@@ -98,6 +137,28 @@ def main() -> int:
                               f"{widened} (CAST to BIGINT/DOUBLE)")
                 print(f"FAIL  {name}: oracle output types {widened} — "
                       f"the driver hash is type-sensitive; CAST them")
+                continue
+            # Cross-engine type agreement: the external hash is
+            # type-sensitive, so a Spark i32 against a DuckDB BIGINT
+            # fails it even when every value is equal (the round-4
+            # HUGEINT lesson, generalized to BOTH sides).
+            stypes = {f.name: canon_spark_type(f.dataType)
+                      for f in sdf.schema.fields}
+            dtypes_map = {c: canon_duck_type(t)
+                          for c, t in zip(rel.columns, rel.types)}
+            tdiffs = {
+                c: (stypes[c], dtypes_map[c])
+                for c in stypes
+                if c in dtypes_map and stypes[c] != dtypes_map[c]
+                and (stypes[c], dtypes_map[c]) not in _TYPE_MISMATCH_OK
+            }
+            if tdiffs:
+                failures.append(name)
+                record(name, "fail",
+                       detail=f"cross-engine type mismatch "
+                              f"(spark, duckdb): {tdiffs}")
+                print(f"FAIL  {name}: cross-engine type mismatch "
+                      f"(spark, duckdb): {tdiffs}")
                 continue
             cur = con.execute(oracles[name])
             dcols_raw = [d[0] for d in cur.description]
