@@ -33,6 +33,7 @@ from etl_docker_spark.plans.round4 import ROUND4
 from etl_docker_spark.plans.round4b import ROUND4B
 from etl_docker_spark.plans.round4c import ROUND4C
 from etl_docker_spark.plans.round5 import ROUND5
+from etl_docker_spark.plans.round5b import ROUND5B
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
@@ -67,6 +68,11 @@ _GATE_WINDOW = [
     "d53_suffix_filter_jaccard", "d54_bpe_encode",
     "d55_self_dedup_curation", "g06_cc_largestar",
     "q87_recursive_cte", "s26_state_datasource",
+    # round-5b, complete (q75/q76/q77/q78/q79/q80 — all driver-gated
+    # green in r4 — rotated out to make room)
+    "q88_pipe_syntax", "q89_session_variables", "q90_sql_scripting",
+    "q91_python_udtf", "d56_cross_source_leakage",
+    "e22_matryoshka_search",
     # round-4 cross-section (e20 stays full-artifact-only; q71/q72/q74/
     # d46/d48/e19 were driver-gated green in r4 and rotated out for
     # round 5; d21/g01/s14/s15 MUST stay this round — their oracles
@@ -77,10 +83,9 @@ _GATE_WINDOW = [
     "s15_stream_session_close", "s16_stream_dedup_expiry",
     "s17_stream_outer_join", "s18_stream_checkpoint_resume",
     "g05_hierarchy_rollup",
-    # round-4c, complete (newest surface, least externally verified)
-    "q75_orc_roundtrip", "q76_schema_evolution", "q77_lateral_topk",
-    "q78_observed_metrics", "q79_null_safe_join",
-    "q80_correlated_agg_subquery", "q81_xml_roundtrip",
+    # round-4c cross-section (was complete through round 5's first
+    # half; q75-q80 rotated out for round-5b, all gated green in r4)
+    "q81_xml_roundtrip",
     "q82_sql_udf_installments", "q83_collated_grouping",
     "q84_not_in_null_semantics", "q85_calendar_tz_battery",
     "q86_dynamic_partition_pruning", "s24_watermark_policy_max",
@@ -102,7 +107,7 @@ def _build() -> dict[str, QuerySpec]:
                   ROUND2B, ROUND2C, ROUND2D, ROUND2E, ROUND2F, ROUND2G,
                   ROUND2H, ROUND2I, ROUND2J, ROUND2K, ROUND2L, ROUND2M,
                   ROUND2N, ROUND2O, ROUND2P, ROUND2Q, ROUND3, ROUND4,
-                  ROUND4B, ROUND4C, ROUND5):
+                  ROUND4B, ROUND4C, ROUND5, ROUND5B):
         for name, (builder, oracle) in table.items():
             specs[name] = QuerySpec(name, builder, oracle)
     assert len(_GATE_WINDOW) == 50, len(_GATE_WINDOW)

@@ -170,9 +170,9 @@ def test_registry_complete_and_oracle_backed(spark):
     missing = set(qs) - set(oracles) - rows_only_allowed
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
-        *(f"q{i:02d}" for i in range(1, 88)),
-        *(f"d{i:02d}" for i in range(1, 56)),
-        *(f"e{i:02d}" for i in range(1, 22)),
+        *(f"q{i:02d}" for i in range(1, 92)),
+        *(f"d{i:02d}" for i in range(1, 57)),
+        *(f"e{i:02d}" for i in range(1, 23)),
         *(f"s{i:02d}" for i in range(1, 27)),
         "g01", "g02", "g03", "g04", "g05", "g06",
     }
@@ -196,10 +196,14 @@ def test_gate_window_samples_every_round(spark):
             "d24_perplexity_buckets"} <= set(first50)
     # round-1 anchors still sampled
     assert {"q01_pricing_summary", "s01_stream_tumbling"} <= set(first50)
-    # round-5 complete set present (the newest surface)
+    # round-5 complete set present (the newest surface), both halves
     assert {"d53_suffix_filter_jaccard", "d54_bpe_encode",
             "d55_self_dedup_curation", "g06_cc_largestar",
-            "q87_recursive_cte", "s26_state_datasource"} <= set(first50)
+            "q87_recursive_cte", "s26_state_datasource",
+            "q88_pipe_syntax", "q89_session_variables",
+            "q90_sql_scripting", "q91_python_udtf",
+            "d56_cross_source_leakage",
+            "e22_matryoshka_search"} <= set(first50)
     # round-4 cross-section (q71/q72/q74/d46/d48/e19 gated green in r4
     # and rotated out; the r4 HUGEINT-red four stay for confirmation)
     assert {"q70_incremental_lifecycle", "q73_bucketed_cojoin",
@@ -210,15 +214,14 @@ def test_gate_window_samples_every_round(spark):
     # the four r4 HUGEINT-red queries must ALL be sampled this round
     assert {"d21_bm25_search", "g01_pagerank", "s14_stream_ttl_eviction",
             "s15_stream_session_close"} <= set(first50)
-    # complete round-4c set present (the newest surface)
-    assert {"q75_orc_roundtrip", "q76_schema_evolution",
-            "q77_lateral_topk", "q78_observed_metrics",
-            "q79_null_safe_join", "d49_positional_jaccard",
+    # round-4c cross-section (q75-q80 rotated out for round-5b; all
+    # were driver-gated green in r4)
+    assert {"d49_positional_jaccard",
             "d50_substring_runs", "d51_substring_decontam",
             "e21_base_delta_serving", "s19_stream_chained_aggs",
             "s20_stream_full_outer_join", "s21_stream_state_accounting",
             "s22_stream_update_mode", "s23_stream_join_then_agg",
-            "q80_correlated_agg_subquery", "q81_xml_roundtrip",
+            "q81_xml_roundtrip",
             "q82_sql_udf_installments", "q83_collated_grouping",
             "q84_not_in_null_semantics", "q85_calendar_tz_battery",
             "q86_dynamic_partition_pruning", "s24_watermark_policy_max",
