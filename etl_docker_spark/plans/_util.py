@@ -102,6 +102,35 @@ def stream_state_partitions(spark: SparkSession, n: int | None = None):
             spark.conf.unset(changelog_key)
 
 
+@contextmanager
+def scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set-then-restore a runtime conf around a bounded EXECUTION (an
+    action, a stream run) — the default tool for query-local conf. Not
+    usable around a returned LAZY frame: the conf would be restored
+    before the caller's action runs (the q87 recursion-limit lesson);
+    for that case use `session_conf` and justify at the call site."""
+    before = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
+
+
+def session_conf(spark: SparkSession, key: str, value: str) -> None:
+    """The ONE sanctioned path for a session-level (no-restore) conf
+    mutation from a query builder, so mutation sites are grep-auditable
+    (builders must not call spark.conf.set directly — PLANS.md audits
+    this). Legitimate only when the conf is consulted at EXECUTION time
+    and the builder returns a lazy frame, so a scoped set-then-restore
+    would revert before the action runs. Each call site carries its own
+    justification comment."""
+    spark.conf.set(key, value)
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Make queries self-sufficient on a FOREIGN SparkSession (the external
     driver builds its own): nanos-parquet reads and UTC timestamp rendering

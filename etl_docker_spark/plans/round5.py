@@ -7,10 +7,10 @@ positional), closing the PPJoin+ set of Xiao et al. WWW'08.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (round-5 queries)
 
-from etl_docker_spark.plans._util import dec, t  # noqa: F401
+from etl_docker_spark.plans._util import dec, session_conf, t  # noqa: F401
 
 ROUND5: dict = {}
 
@@ -146,7 +146,7 @@ def q87_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
     # runs (found at ~sf1: 150k customers x 7 levels tripped the
     # restored 1M default). Session-level raise, no restore — the limit
     # is a runaway-recursion backstop and 50M keeps that role.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(50_000_000))
+    session_conf(spark, "spark.sql.cteRecursionRowLimit", str(50_000_000))
     return spark.sql("""
 WITH RECURSIVE anc AS (
   SELECT c_custkey AS node, c_custkey div 10 AS ancestor,
@@ -235,7 +235,9 @@ def d54_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
                                   F.asc("p1"), F.asc("p2"))))
                .filter(F.col("rn") == 1).select("p1", "p2"))
 
-        def merged(frame: DataFrame) -> Column:
+        def merged() -> Column:
+            # Rewrites whatever frame the caller selects on: references
+            # the post-crossJoin columns sp/p1/p2 by name only.
             return F.replace(
                 F.col("sp"),
                 F.concat(F.lit(" "), F.col("p1"), F.lit(" "),
@@ -243,8 +245,8 @@ def d54_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
                 F.concat(F.lit(" "), F.col("p1"), F.col("p2"),
                          F.lit(" "))).alias("sp")
 
-        wf = (wf.crossJoin(F.broadcast(top)).select(merged(wf), "f"))
-        wt = (wt.crossJoin(F.broadcast(top)).select("w", merged(wt)))
+        wf = (wf.crossJoin(F.broadcast(top)).select(merged(), "f"))
+        wt = (wt.crossJoin(F.broadcast(top)).select("w", merged()))
     sym = wt.select(
         "w", F.size(F.split(F.trim(F.col("sp")), " "))
         .cast("long").alias("n_sym"))
@@ -389,8 +391,15 @@ def s26_state_datasource(spark: SparkSession, sf: str) -> DataFrame:
             q = (agg.writeStream.outputMode("append").format("noop")
                  .option("checkpointLocation", ckpt)
                  .trigger(availableNow=True).start())
-            q.awaitTermination(300)
+            # A timed-out availableNow run leaves PARTIAL aggregates in
+            # the store — reading them as the answer would be silently
+            # wrong, so a non-terminated run must raise, never proceed.
+            finished = q.awaitTermination(300)
             q.stop()
+            if not finished:
+                raise RuntimeError(
+                    "s26: availableNow run did not terminate within "
+                    "300 s; refusing to read a partial state store")
             # Read under the SAME provider conf the write used — the
             # reader materializes the store files, not the progress API.
             state = (spark.read.format("statestore").load(ckpt)

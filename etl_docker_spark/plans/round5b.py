@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_docker_spark.plans._util import t
+from etl_docker_spark.plans._util import session_conf, t
 
 ROUND5B: dict = {}
 
@@ -170,10 +170,15 @@ BEGIN
     END IF;
   END WHILE;
   SET below = (SELECT CAST(SUM(cents) AS BIGINT) FROM q90_li WHERE qty <= lo);
+  -- Widen before the multiply (the round2j DECIMAL(38,0) idiom):
+  -- below_cents ~1.6e13 at the 10x sweep corpus, so below * 1e6 would
+  -- overflow BIGINT exactly where the oracle's SUM silently widens to
+  -- HUGEINT — the engines must widen identically.
   SELECT CAST(lo AS BIGINT) AS qty_threshold,
          CAST(below AS BIGINT) AS below_cents,
          CAST(total AS BIGINT) AS total_cents,
-         CAST(below * 1000000 DIV total AS BIGINT) AS share_ppm;
+         CAST(CAST(below AS DECIMAL(38,0)) * 1000000 DIV total
+              AS BIGINT) AS share_ppm;
 END
 """)
 
@@ -207,6 +212,11 @@ ROUND5B.update({
 
 # ---------------------------------------------------------------- q91
 
+# Bounded gate slice: the PARTITION BY TABLE-argument semantics are fully
+# exercised by any multi-customer slice; the full-table per-row Python run
+# is priced separately in SCALE.md (it is not a plan you'd run at scale).
+_Q91_CUSTS = 1000
+
 
 def q91_python_udtf(spark: SparkSession, sf: str) -> DataFrame:
     """Python UDTF over a partitioned TABLE argument (native in Spark
@@ -224,10 +234,22 @@ def q91_python_udtf(spark: SparkSession, sf: str) -> DataFrame:
     tokenizer loops), not as the recommended plan for gaps. State is
     O(1) per group (previous date only); the eval resets on key change
     so correctness never depends on instance-per-group placement.
+
+    The gate runs on a BOUNDED slice (o_custkey < 1000, ~1/15 of the
+    customers, identical on both engines): the feature under test is
+    the PARTITION BY TABLE-argument semantics, which a slice exercises
+    completely, while the full-table run is a per-row Python generator
+    over every order — priced in SCALE.md as a machinery measurement,
+    not carried in the headline bench (at 100x it would be a pure
+    Python scale-killer; the LAG plan is what you'd run).
     """
     from pyspark.sql.functions import udtf
 
-    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    # Arrow-batched transfer for ALL Python UDTFs this session — strictly
+    # better than pickled rows, and the frame is lazy so a scoped
+    # set-then-restore would revert before execution (q87 lesson).
+    session_conf(spark, "spark.sql.execution.pythonUDTF.arrow.enabled",
+                 "true")
     t(spark, sf, "orders").createOrReplaceTempView("q91_orders")
 
     @udtf(returnType="o_custkey: bigint, seq: bigint, gap_days: bigint")
@@ -248,18 +270,19 @@ def q91_python_udtf(spark: SparkSession, sf: str) -> DataFrame:
             self.prev = d
 
     spark.udtf.register("q91_gaps", OrderGaps)
-    return spark.sql("""
+    return spark.sql(f"""
 SELECT o_custkey, seq, gap_days
 FROM q91_gaps(TABLE(SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
                            o_orderkey
-                    FROM q91_orders)
+                    FROM q91_orders WHERE o_custkey < {_Q91_CUSTS})
               PARTITION BY o_custkey ORDER BY (od, o_orderkey))
 """)
 
 
-Q91_SQL = """
+Q91_SQL = f"""
 WITH o AS (
-  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_orderkey FROM orders
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_orderkey
+  FROM orders WHERE o_custkey < {_Q91_CUSTS}
 ),
 s AS (
   SELECT o_custkey, od,
