@@ -7,7 +7,7 @@ components; this is the distributed formulation a 100 TB corpus needs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -141,3 +141,42 @@ def connected_components_two_phase(edges: DataFrame, src: str = "a",
     raise RuntimeError(
         f"two-phase CC did not converge in {max_rounds} rounds — "
         "raise max_rounds (silent fragmentation is never returned)")
+
+
+def bounded_sssp(edges: DataFrame, seed_pred: Column,
+                 max_hops: int) -> DataFrame:
+    """Bounded-hop weighted shortest paths by Bellman-Ford relaxation.
+
+    `edges` is a DIRECTED (a, b, w) frame (pass both directions for an
+    undirected graph); `seed_pred` selects seed rows by their `a` column;
+    the result is one row per (seed, node) reachable within `max_hops`
+    edges, with the min path cost over such paths — exactly the
+    depth-guarded recursive-CTE enumeration, but with one row per (seed,
+    node) carried between rounds instead of one row per PATH, which is
+    what makes it runnable on graphs whose path count explodes.
+
+    Per round: one frontier-x-edges equi-join shuffle on the node key and
+    a min-aggregate sharing that partitioning; the frame is
+    localCheckpoint'd so the plan stays flat across rounds. Early exit
+    when a round improves nothing (a bounded driver-side count — control
+    flow, not data); sound because relaxation is monotone: a no-improve
+    round implies all later rounds are no-improve.
+    """
+    dist = (edges.filter(seed_pred)
+            .select(F.col("a").alias("seed"), F.col("b").alias("node"),
+                    F.col("w").cast("long").alias("cost"))
+            .groupBy("seed", "node").agg(F.min("cost").alias("cost"))
+            .localCheckpoint())
+    for _ in range(max_hops - 1):
+        relaxed = (dist.join(edges, dist["node"] == edges["a"])
+                   .select("seed", F.col("b").alias("node"),
+                           (F.col("cost") + F.col("w")).alias("cost")))
+        nd = (dist.unionByName(relaxed)
+              .groupBy("seed", "node").agg(F.min("cost").alias("cost"))
+              .localCheckpoint())
+        improved = nd.join(dist, ["seed", "node", "cost"],
+                           "left_anti").count()
+        dist = nd
+        if improved == 0:
+            break
+    return dist

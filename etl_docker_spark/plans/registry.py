@@ -34,6 +34,8 @@ from etl_docker_spark.plans.round4b import ROUND4B
 from etl_docker_spark.plans.round4c import ROUND4C
 from etl_docker_spark.plans.round5 import ROUND5
 from etl_docker_spark.plans.round5b import ROUND5B
+from etl_docker_spark.plans.round6 import ROUND6
+from etl_docker_spark.plans.round6b import ROUND6B
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
@@ -107,7 +109,7 @@ def _build() -> dict[str, QuerySpec]:
                   ROUND2B, ROUND2C, ROUND2D, ROUND2E, ROUND2F, ROUND2G,
                   ROUND2H, ROUND2I, ROUND2J, ROUND2K, ROUND2L, ROUND2M,
                   ROUND2N, ROUND2O, ROUND2P, ROUND2Q, ROUND3, ROUND4,
-                  ROUND4B, ROUND4C, ROUND5, ROUND5B):
+                  ROUND4B, ROUND4C, ROUND5, ROUND5B, ROUND6, ROUND6B):
         for name, (builder, oracle) in table.items():
             specs[name] = QuerySpec(name, builder, oracle)
     assert len(_GATE_WINDOW) == 50, len(_GATE_WINDOW)
