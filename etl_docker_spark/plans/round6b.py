@@ -11,7 +11,7 @@ builder scales with the corpus for the SCALE.md stress table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_docker_spark.plans._util import t
@@ -161,4 +161,237 @@ WHERE 2 * p.inter_n >= len(sa.hs) + len(sb.hs) - p.inter_n
 
 ROUND6B.update({
     "d57_shared_prefix_stress": (d57_shared_prefix_stress, _d57_sql()),
+})
+
+# ---------------------------------------------------------------- s27/s28
+
+_S27_CUTOFF = "2024-01-11"  # the s14/s15/s26 10-day feed
+
+
+def _stage_daily_arrivals(spark: SparkSession, sf: str, work: str) -> str:
+    """Stage the events feed as one parquet file per day with ascending
+    mtimes (s18/s26's arrival discipline), so `maxFilesPerTrigger=1`
+    replays it as one deterministic micro-batch per day: file i IS
+    batch i. Returns the arrivals dir."""
+    import os
+    import shutil
+
+    ev = (t(spark, sf, "events")
+          .filter(F.col("ts") < F.lit(_S27_CUTOFF).cast("timestamp"))
+          .select("ts", "event_type",
+                  F.round(F.col("value") * 100, 0).cast("long")
+                  .alias("cents"),
+                  F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                  .alias("dcol")))
+    staged = os.path.join(work, "staged")
+    ev.coalesce(1).write.partitionBy("dcol").mode("overwrite").parquet(staged)
+    arrivals = os.path.join(work, "arrivals")
+    os.makedirs(arrivals)
+    days = sorted(d for d in os.listdir(staged) if d.startswith("dcol="))
+    for i, d in enumerate(days):
+        src_dir = os.path.join(staged, d)
+        src = next(f for f in os.listdir(src_dir) if f.endswith(".parquet"))
+        dst = os.path.join(arrivals, f"{i:03d}.parquet")
+        shutil.copyfile(os.path.join(src_dir, src), dst)
+        os.utime(dst, (1700000000 + i * 60,) * 2)
+    return arrivals
+
+
+def s27_state_changefeed(spark: SparkSession, sf: str) -> DataFrame:
+    """State CHANGE FEED introspection (`readChangeFeed` on the state
+    data source, native in this Spark 4.1 build — found by the round-6
+    probe): after the availableNow day-windowed run, read every state
+    transition the job ever committed — (batch_id, change_type, key,
+    value) — and gate the per-key LIFECYCLE: in which batch each
+    (day, event_type) group was first written, how many times it was
+    rewritten, the final buffered aggregate, and whether the watermark
+    evicted it. s26 snapshots the END state (open windows only); this
+    reads the state's HISTORY, the primitive for debugging watermark
+    bugs and sizing state churn (how many keys rewrite per batch =
+    changelog volume a RocksDB-changelog checkpoint would upload).
+
+    The feed's determinism comes from the arrival discipline: one file
+    per day in mtime order + maxFilesPerTrigger=1 means day i's groups
+    are touched exactly once, in batch i — so first_update_batch equals
+    the day index and n_updates is 1, both oracle-computable. Evicted
+    == NOT open, the exact complement of s26's HAVING clause. The state
+    key keeps PHYSICAL names (`window`, `count`), read under the same
+    provider conf as the write (s26's lessons).
+
+    Found by this query: the change feed replays per-batch CHANGELOGS,
+    which the RocksDB provider only writes under changelog
+    checkpointing — so that knob is not just an upload-cost dial (the
+    ~sf1 negative result in SCALE.md), it is a PREREQUISITE for change
+    feed introspection. Scoped on here for the run + read.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from etl_docker_spark.plans._util import (scoped_conf,
+                                              stream_state_partitions)
+
+    work = tempfile.mkdtemp(prefix="s27_")
+    try:
+        arrivals = _stage_daily_arrivals(spark, sf, work)
+        probe = spark.read.parquet(arrivals)
+        stream = (spark.readStream.schema(probe.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(arrivals))
+        agg = (stream.withWatermark("ts", "1 minute")
+               .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+               .agg(F.count("*").cast("long").alias("n_events")))
+        ckpt = os.path.join(work, "ckpt")
+        changelog_key = ("spark.sql.streaming.stateStore.rocksdb."
+                        "changelogCheckpointing.enabled")
+        with stream_state_partitions(spark, 4), \
+                scoped_conf(spark, changelog_key, "true"):
+            q = (agg.writeStream.outputMode("append").format("noop")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            finished = q.awaitTermination(300)
+            q.stop()
+            if not finished:
+                raise RuntimeError(
+                    "s27: availableNow run did not terminate within "
+                    "300 s; refusing to read a partial change feed")
+            feed = (spark.read.format("statestore")
+                    .option("readChangeFeed", "true")
+                    .option("changeStartBatchId", "0")
+                    .load(ckpt)
+                    .localCheckpoint())
+        upd = F.col("change_type") == "update"
+        return (feed.groupBy(
+            F.col("key.window.start").alias("day"),
+            F.col("key.event_type").alias("event_type"))
+            .agg(F.min(F.when(upd, F.col("batch_id"))).cast("long")
+                 .alias("first_update_batch"),
+                 F.sum(F.when(upd, 1).otherwise(0)).cast("long")
+                 .alias("n_updates"),
+                 F.max(F.when(upd, F.col("value.count"))).cast("long")
+                 .alias("n_events"),
+                 F.bool_or(F.col("change_type") == "delete")
+                 .alias("evicted")))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+S27_SQL = f"""
+WITH ev AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, ts
+  FROM events WHERE ts < TIMESTAMP '{_S27_CUTOFF} 00:00:00'
+),
+wm AS (SELECT MAX(ts) - INTERVAL 1 MINUTE AS w FROM ev),
+idx AS (
+  SELECT day, CAST(dense_rank() OVER (ORDER BY day) - 1 AS BIGINT) AS di
+  FROM (SELECT DISTINCT day FROM ev)
+)
+SELECT e.day, e.event_type,
+       i.di AS first_update_batch,
+       CAST(1 AS BIGINT) AS n_updates,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       e.day + INTERVAL 1 DAY <= wm.w AS evicted
+FROM ev e JOIN idx i ON i.day = e.day, wm
+GROUP BY e.day, e.event_type, i.di, wm.w
+"""
+
+ROUND6B.update({
+    "s27_state_changefeed": (s27_state_changefeed, S27_SQL),
+})
+
+
+def s28_foreachbatch_idempotent(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACTLY-ONCE custom sink under retry: the foreachBatch +
+    batch-id-keyed overwrite pattern — the one streaming sink discipline
+    the battery hadn't gated (s18 proves the FILE sink's transaction
+    log; this proves the pattern for sinks with NO transaction log,
+    which is how Structured Streaming writes to JDBC/KV stores in
+    production: make the write a deterministic function of batch_id and
+    OVERWRITE, so redelivery after a commit-ack failure is harmless).
+
+    Each update-mode micro-batch lands in its own batch_id-keyed
+    directory, then the writer immediately re-applies itself (the
+    simulated redelivery — same frame, same batch_id). Read-back then
+    RAISES if any (batch_id, key) landed more than once (an append-mode
+    sink would double every retried batch); the gated answer takes each
+    key's value at its max batch_id — equal to the plain batch
+    aggregate, because update mode emits a key's latest running value
+    whenever it changes and day d's count is complete within batch d.
+
+    Scale shape: per batch one overwrite of the changed keys only
+    (update mode), partitioned by the stream's shuffle partitioning; the
+    read-back dedup check groups on (batch, key) — bench-scale bounded,
+    and on a cluster it is the sink's own primary-key constraint.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from etl_docker_spark.plans._util import stream_state_partitions
+
+    work = tempfile.mkdtemp(prefix="s28_")
+    try:
+        arrivals = _stage_daily_arrivals(spark, sf, work)
+        probe = spark.read.parquet(arrivals)
+        stream = (spark.readStream.schema(probe.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(arrivals))
+        agg = (stream.withWatermark("ts", "1 minute")
+               .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+               .agg(F.count("*").cast("long").alias("n_events"),
+                    F.sum("cents").alias("total_cents"))
+               .select(F.col("w.start").alias("day"), "event_type",
+                       "n_events", "total_cents"))
+        sink = os.path.join(work, "sink")
+        ckpt = os.path.join(work, "ckpt")
+
+        def write_batch(bdf: DataFrame, bid: int) -> None:
+            out = bdf.withColumn("batch_id", F.lit(bid).cast("long"))
+            path = os.path.join(sink, f"b={bid}")
+            out.write.mode("overwrite").parquet(path)
+            # simulated redelivery: the sink must absorb a full re-apply
+            # of the same batch without duplicating (idempotence is the
+            # OVERWRITE; append here would double the batch)
+            out.write.mode("overwrite").parquet(path)
+
+        with stream_state_partitions(spark, 4):
+            q = (agg.writeStream.outputMode("update")
+                 .foreachBatch(write_batch)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            finished = q.awaitTermination(300)
+            q.stop()
+            if not finished:
+                raise RuntimeError(
+                    "s28: availableNow run did not terminate within "
+                    "300 s; refusing to read a partial sink")
+        parts = [os.path.join(sink, d) for d in sorted(os.listdir(sink))]
+        parts = [p for p in parts
+                 if any(f.endswith(".parquet") for f in os.listdir(p))]
+        rows = spark.read.parquet(*parts).localCheckpoint()
+        dup = (rows.groupBy("batch_id", "day", "event_type")
+               .count().filter("count > 1").count())
+        if dup:
+            raise RuntimeError(
+                f"s28: {dup} (batch, key) rows duplicated — the sink is "
+                "not idempotent under redelivery")
+        w = Window.partitionBy("day", "event_type") \
+            .orderBy(F.desc("batch_id"))
+        return (rows.withColumn("rn", F.row_number().over(w))
+                .filter("rn = 1")
+                .select("day", "event_type", "n_events", "total_cents"))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+S28_SQL = f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+WHERE ts < TIMESTAMP '{_S27_CUTOFF} 00:00:00'
+GROUP BY 1, 2
+"""
+
+ROUND6B.update({
+    "s28_foreachbatch_idempotent": (s28_foreachbatch_idempotent, S28_SQL),
 })

@@ -164,10 +164,14 @@ def main() -> None:
           "whole-stage codegen spans; pushdown = parquet PushedFilters "
           "non-empty; bnlj = BroadcastNestedLoopJoin (accepted ONLY where "
           "the broadcast side is constant-size by construction: the "
-          "brute-force scorers' query batch (e01/e03/e04), k-row centroid "
-          "or 1-row scalar/total frames crossJoined in "
-          "e05/e08/e09/q43/q47/d31/d34/d35, and d54's six 1-row "
-          "winning-merge-pair broadcasts — 3 BPE steps x 2 frames); "
+          "brute-force scorers' query batch (e01/e03/e04), the coarse-"
+          "stage query batches of e22 (matryoshka prefix) and e23 "
+          "(binary signatures) — both <= 8 broadcast rows at any corpus "
+          "size, k-row centroid or 1-row scalar/total frames crossJoined "
+          "in e05/e08/e09/q43/q47/d31/d34/d35, d54's six 1-row "
+          "winning-merge-pair broadcasts — 3 BPE steps x 2 frames, "
+          "d56's |sources|^2 quota matrix (sources are a catalog, not "
+          "data), and d57's 1-row pool-size scalar; "
           "cartesian must be empty everywhere.")
     print()
     print("Queries serving a per-session memoized artifact "
