@@ -61,11 +61,19 @@ _GATE_WINDOW = [
     # round-1 anchors (q02/d01 rotated out for q82/q83 — both were
     # under the driver gate in rounds 1-3 already)
     "q01_pricing_summary", "s01_stream_tumbling",
-    # round-2 cross-section (trimmed for round-4c: the three
-    # global-window rewrites stay, q33/q41/q43/d18/e11 rotate out)
-    "d21_bm25_search", "d24_perplexity_buckets",
-    "e05_ivf_train", "e08_hybrid_rrf", "g01_pagerank",
+    # round-2 cross-section. Round-6 rotation: d21/g01 (HUGEINT-red in
+    # r4, fix driver-confirmed green in r5) rotate out now that the
+    # full-surface artifact is committed (CORRECTNESS_full_r6.json);
+    # d24/e08 stay as the reps of the same two once-red families
+    # (HUGEINT oracle casts, global-window rewrites).
+    "d24_perplexity_buckets",
+    "e05_ivf_train", "e08_hybrid_rrf",
     "s05_stream_stream_join",
+    # round-6, complete (newest surface, least externally verified)
+    "q92_sql_table_function", "d57_shared_prefix_stress",
+    "d58_linear_classifier_scores", "e23_binary_hamming_search",
+    "g07_bounded_sssp", "s27_state_changefeed",
+    "s28_foreachbatch_idempotent",
     # round-5, complete (newest surface, least externally verified)
     "d53_suffix_filter_jaccard", "d54_bpe_encode",
     "d55_self_dedup_curation", "g06_cc_largestar",
@@ -75,26 +83,25 @@ _GATE_WINDOW = [
     "q88_pipe_syntax", "q89_session_variables", "q90_sql_scripting",
     "q91_python_udtf", "d56_cross_source_leakage",
     "e22_matryoshka_search",
-    # round-4 cross-section (e20 stays full-artifact-only; q71/q72/q74/
-    # d46/d48/e19 were driver-gated green in r4 and rotated out for
-    # round 5; d21/g01/s14/s15 MUST stay this round — their oracles
-    # were HUGEINT-red in r4 and the driver must confirm the fix)
+    # round-4 cross-section. Round-6 rotation: s14/s15 (HUGEINT-red in
+    # r4, driver-confirmed green in r5) rotate out with the full
+    # artifact committed; s16 stays as the applyInPandasWithState
+    # family rep.
     "q70_incremental_lifecycle", "q73_bucketed_cojoin",
     "d47_prefix_filter_jaccard",
-    "s13_stream_late_data_drop", "s14_stream_ttl_eviction",
-    "s15_stream_session_close", "s16_stream_dedup_expiry",
+    "s13_stream_late_data_drop", "s16_stream_dedup_expiry",
     "s17_stream_outer_join", "s18_stream_checkpoint_resume",
     "g05_hierarchy_rollup",
-    # round-4c cross-section (was complete through round 5's first
-    # half; q75-q80 rotated out for round-5b, all gated green in r4)
+    # round-4c cross-section (q83/q84/s19 — all driver-gated green in
+    # BOTH r4 and r5 — rotate out for the round-6 seven; q85/q86 stay,
+    # the most quirk-prone calendar/pruning gates)
     "q81_xml_roundtrip",
-    "q82_sql_udf_installments", "q83_collated_grouping",
-    "q84_not_in_null_semantics", "q85_calendar_tz_battery",
+    "q82_sql_udf_installments", "q85_calendar_tz_battery",
     "q86_dynamic_partition_pruning", "s24_watermark_policy_max",
     "s25_stream_dedup_then_agg", "d52_internal_repetition",
     "d49_positional_jaccard", "d50_substring_runs",
     "d51_substring_decontam", "e21_base_delta_serving",
-    "s19_stream_chained_aggs", "s20_stream_full_outer_join",
+    "s20_stream_full_outer_join",
     "s21_stream_state_accounting", "s22_stream_update_mode",
     "s23_stream_join_then_agg",
     # round-3 cross-section (the rest of round 3 rotated out across

@@ -27,6 +27,10 @@ _D57_POOL_X = 4       # pool size = 4x corpus size (keeps dfreq ~15 at any N)
 _D57_CLONE_MOD = 50   # doc_id % 50 == 1 -> clone of doc_id - 1
 _D57_K = 256          # suffix histogram buckets — sized to ~set size (see
                       # docstring: K >= |set| is what makes the bound bite)
+_D57_GATE_DOCS = 2000  # gate-corpus cap: the GATE pins exactness, which a
+                       # bounded corpus fully exercises (q91's slice idiom);
+                       # full-corpus candidate VOLUME is the stress
+                       # harness's job (tools/stress_d57.py -> SCALE.md)
 
 
 def d57_adversarial_tokens_spark() -> str:
@@ -59,10 +63,14 @@ def d57_adversarial_tokens_spark() -> str:
     )
 
 
-def d57_adversarial_frame(spark: SparkSession, sf: str) -> DataFrame:
+def d57_adversarial_frame(spark: SparkSession, sf: str,
+                          cap: int | None = None) -> DataFrame:
     """(doc_id, text) with the adversarial construction — shared by the
-    gate query and the SCALE.md stage-count stress harness."""
+    gate query (bounded corpus) and the SCALE.md stage-count stress
+    harness (full corpus: cap=None)."""
     docs = t(spark, sf, "documents").select("doc_id")
+    if cap is not None:
+        docs = docs.filter(F.col("doc_id") < cap)
     n = docs.agg((F.count("*") * _D57_POOL_X).alias("pool"))
     base = (docs.crossJoin(F.broadcast(n))
             .withColumn("eid", F.expr(
@@ -101,7 +109,8 @@ def d57_shared_prefix_stress(spark: SparkSession, sf: str) -> DataFrame:
     """
     from etl_docker_spark.llm.dedup import prefix_filter_jaccard_pairs
 
-    adv = d57_adversarial_frame(spark, sf).localCheckpoint()
+    adv = d57_adversarial_frame(spark, sf, cap=_D57_GATE_DOCS) \
+        .localCheckpoint()
     return prefix_filter_jaccard_pairs(
         adv, "doc_id", "text", shingle_n=3, t_num=1, t_den=2,
         positional=True, suffix_buckets=_D57_K)
@@ -119,13 +128,16 @@ def _d57_sql() -> str:
         f"'s' || {r} || 'c', 'x', 'y'])))"
     )
     return f"""
-WITH base AS (
+WITH capped AS (
+  SELECT doc_id FROM documents WHERE doc_id < {_D57_GATE_DOCS}
+),
+base AS (
   SELECT doc_id,
          CASE WHEN doc_id % {_D57_CLONE_MOD} = 1 THEN doc_id - 1
               ELSE doc_id END AS eid,
          doc_id // {_D57_GROUP} AS gid,
-         (SELECT {_D57_POOL_X} * COUNT(*) FROM documents) AS pool
-  FROM documents
+         (SELECT {_D57_POOL_X} * COUNT(*) FROM capped) AS pool
+  FROM capped
 ),
 toks AS (
   SELECT doc_id, {tokens} AS tk FROM base

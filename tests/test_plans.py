@@ -170,11 +170,11 @@ def test_registry_complete_and_oracle_backed(spark):
     missing = set(qs) - set(oracles) - rows_only_allowed
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
-        *(f"q{i:02d}" for i in range(1, 92)),
-        *(f"d{i:02d}" for i in range(1, 57)),
-        *(f"e{i:02d}" for i in range(1, 23)),
-        *(f"s{i:02d}" for i in range(1, 27)),
-        "g01", "g02", "g03", "g04", "g05", "g06",
+        *(f"q{i:02d}" for i in range(1, 93)),
+        *(f"d{i:02d}" for i in range(1, 59)),
+        *(f"e{i:02d}" for i in range(1, 24)),
+        *(f"s{i:02d}" for i in range(1, 29)),
+        "g01", "g02", "g03", "g04", "g05", "g06", "g07",
     }
     assert {n.split("_")[0] for n in qs} == expected
 
@@ -192,8 +192,9 @@ def test_gate_window_samples_every_round(spark):
     r3 = {"q69_dag_audit_trail", "q68_rest_paginated_ingest"}
     assert r3 <= set(first50)
     # round-2 cross-section incl. the round-4 global-window rewrites
-    assert {"d21_bm25_search", "e08_hybrid_rrf",
-            "d24_perplexity_buckets"} <= set(first50)
+    # (d21/g01 rotated out in round 6 after the driver confirmed the
+    # HUGEINT fix in r5; d24/e08 remain the family reps)
+    assert {"e08_hybrid_rrf", "d24_perplexity_buckets"} <= set(first50)
     # round-1 anchors still sampled
     assert {"q01_pricing_summary", "s01_stream_tumbling"} <= set(first50)
     # round-5 complete set present (the newest surface), both halves
@@ -204,26 +205,26 @@ def test_gate_window_samples_every_round(spark):
             "q90_sql_scripting", "q91_python_udtf",
             "d56_cross_source_leakage",
             "e22_matryoshka_search"} <= set(first50)
-    # round-4 cross-section (q71/q72/q74/d46/d48/e19 gated green in r4
-    # and rotated out; the r4 HUGEINT-red four stay for confirmation)
+    # round-6 complete set present (the newest surface)
+    assert {"q92_sql_table_function", "d57_shared_prefix_stress",
+            "d58_linear_classifier_scores", "e23_binary_hamming_search",
+            "g07_bounded_sssp", "s27_state_changefeed",
+            "s28_foreachbatch_idempotent"} <= set(first50)
+    # round-4 cross-section (s14/s15, r4-red and r5-driver-confirmed,
+    # rotated out in round 6; s16 is the applyInPandasWithState rep)
     assert {"q70_incremental_lifecycle", "q73_bucketed_cojoin",
             "d47_prefix_filter_jaccard",
-            "s13_stream_late_data_drop", "s14_stream_ttl_eviction",
-            "s15_stream_session_close", "s16_stream_dedup_expiry",
+            "s13_stream_late_data_drop", "s16_stream_dedup_expiry",
             "g05_hierarchy_rollup"} <= set(first50)
-    # the four r4 HUGEINT-red queries must ALL be sampled this round
-    assert {"d21_bm25_search", "g01_pagerank", "s14_stream_ttl_eviction",
-            "s15_stream_session_close"} <= set(first50)
-    # round-4c cross-section (q75-q80 rotated out for round-5b; all
-    # were driver-gated green in r4)
+    # round-4c cross-section (q83/q84/s19 rotated out in round 6; all
+    # were driver-gated green in both r4 and r5)
     assert {"d49_positional_jaccard",
             "d50_substring_runs", "d51_substring_decontam",
-            "e21_base_delta_serving", "s19_stream_chained_aggs",
+            "e21_base_delta_serving",
             "s20_stream_full_outer_join", "s21_stream_state_accounting",
             "s22_stream_update_mode", "s23_stream_join_then_agg",
             "q81_xml_roundtrip",
-            "q82_sql_udf_installments", "q83_collated_grouping",
-            "q84_not_in_null_semantics", "q85_calendar_tz_battery",
+            "q82_sql_udf_installments", "q85_calendar_tz_battery",
             "q86_dynamic_partition_pruning", "s24_watermark_policy_max",
             "s25_stream_dedup_then_agg",
             "d52_internal_repetition"} <= set(first50)
