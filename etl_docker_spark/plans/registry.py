@@ -36,6 +36,7 @@ from etl_docker_spark.plans.round5 import ROUND5
 from etl_docker_spark.plans.round5b import ROUND5B
 from etl_docker_spark.plans.round6 import ROUND6
 from etl_docker_spark.plans.round6b import ROUND6B
+from etl_docker_spark.plans.round6c import ROUND6C
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
@@ -69,11 +70,15 @@ _GATE_WINDOW = [
     "d24_perplexity_buckets",
     "e05_ivf_train", "e08_hybrid_rrf",
     "s05_stream_stream_join",
-    # round-6, complete (newest surface, least externally verified)
+    # round-6, complete (newest surface, least externally verified):
+    # both halves — the core seven and the 6c four (d49/s13/s20/s22,
+    # driver-gated green in r4+r5, rotate out to make room)
     "q92_sql_table_function", "d57_shared_prefix_stress",
     "d58_linear_classifier_scores", "e23_binary_hamming_search",
     "g07_bounded_sssp", "s27_state_changefeed",
     "s28_foreachbatch_idempotent",
+    "q93_interval_battery", "d59_classifier_weight_join",
+    "e24_ivf_binary_funnel", "s29_changefeed_metrics_reconcile",
     # round-5, complete (newest surface, least externally verified)
     "d53_suffix_filter_jaccard", "d54_bpe_encode",
     "d55_self_dedup_curation", "g06_cc_largestar",
@@ -89,7 +94,7 @@ _GATE_WINDOW = [
     # family rep.
     "q70_incremental_lifecycle", "q73_bucketed_cojoin",
     "d47_prefix_filter_jaccard",
-    "s13_stream_late_data_drop", "s16_stream_dedup_expiry",
+    "s16_stream_dedup_expiry",
     "s17_stream_outer_join", "s18_stream_checkpoint_resume",
     "g05_hierarchy_rollup",
     # round-4c cross-section (q83/q84/s19 — all driver-gated green in
@@ -99,10 +104,9 @@ _GATE_WINDOW = [
     "q82_sql_udf_installments", "q85_calendar_tz_battery",
     "q86_dynamic_partition_pruning", "s24_watermark_policy_max",
     "s25_stream_dedup_then_agg", "d52_internal_repetition",
-    "d49_positional_jaccard", "d50_substring_runs",
+    "d50_substring_runs",
     "d51_substring_decontam", "e21_base_delta_serving",
-    "s20_stream_full_outer_join",
-    "s21_stream_state_accounting", "s22_stream_update_mode",
+    "s21_stream_state_accounting",
     "s23_stream_join_then_agg",
     # round-3 cross-section (the rest of round 3 rotated out across
     # rounds 4b/4c — all stay green in the full artifact)
@@ -116,7 +120,8 @@ def _build() -> dict[str, QuerySpec]:
                   ROUND2B, ROUND2C, ROUND2D, ROUND2E, ROUND2F, ROUND2G,
                   ROUND2H, ROUND2I, ROUND2J, ROUND2K, ROUND2L, ROUND2M,
                   ROUND2N, ROUND2O, ROUND2P, ROUND2Q, ROUND3, ROUND4,
-                  ROUND4B, ROUND4C, ROUND5, ROUND5B, ROUND6, ROUND6B):
+                  ROUND4B, ROUND4C, ROUND5, ROUND5B, ROUND6, ROUND6B,
+                  ROUND6C):
         for name, (builder, oracle) in table.items():
             specs[name] = QuerySpec(name, builder, oracle)
     assert len(_GATE_WINDOW) == 50, len(_GATE_WINDOW)

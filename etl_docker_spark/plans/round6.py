@@ -217,6 +217,16 @@ _E23_K = 5           # exact-ranked results returned
 _E23_NQ = 8          # queries = vec_id < 8, as in e01/e19/e22
 
 
+def sig_half(lo: int) -> F.Column:
+    """One 32-bit half of the 64-dim sign-bit signature: bits 0..31 of
+    dims lo+1 .. lo+32 (sign bit: x > 0), packed into a BIGINT by a
+    per-row fold. Shared by e23 and e24's funnel."""
+    return F.expr(
+        f"aggregate(transform(slice(embedding, {lo + 1}, 32), "
+        "(x, i) -> IF(x > 0, shiftleft(CAST(1 AS BIGINT), i), "
+        "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, b) -> a | b)")
+
+
 def e23_binary_hamming_search(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-quantization two-stage retrieval: 1-bit sign quantization
     (64 dims -> one 64-bit signature), Hamming-distance shortlist, exact
@@ -238,15 +248,9 @@ def e23_binary_hamming_search(spark: SparkSession, sf: str) -> DataFrame:
     """
     from etl_docker_spark.llm.similarity import cosine_expr, fan_out
 
-    def half(lo: int) -> F.Column:
-        # bits 0..31 of dims lo+1 .. lo+32 (sign bit: x > 0)
-        return F.expr(
-            f"aggregate(transform(slice(embedding, {lo + 1}, 32), "
-            "(x, i) -> IF(x > 0, shiftleft(CAST(1 AS BIGINT), i), "
-            "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, b) -> a | b)")
-
     emb = t(spark, sf, "embeddings")
-    sigs = emb.select("vec_id", half(0).alias("lo"), half(32).alias("hi"))
+    sigs = emb.select("vec_id", sig_half(0).alias("lo"),
+                      sig_half(32).alias("hi"))
     q = (sigs.filter(F.col("vec_id") < _E23_NQ)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("lo").alias("qlo"), F.col("hi").alias("qhi")))

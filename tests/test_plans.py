@@ -170,10 +170,10 @@ def test_registry_complete_and_oracle_backed(spark):
     missing = set(qs) - set(oracles) - rows_only_allowed
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
-        *(f"q{i:02d}" for i in range(1, 93)),
-        *(f"d{i:02d}" for i in range(1, 59)),
-        *(f"e{i:02d}" for i in range(1, 24)),
-        *(f"s{i:02d}" for i in range(1, 29)),
+        *(f"q{i:02d}" for i in range(1, 94)),
+        *(f"d{i:02d}" for i in range(1, 60)),
+        *(f"e{i:02d}" for i in range(1, 25)),
+        *(f"s{i:02d}" for i in range(1, 30)),
         "g01", "g02", "g03", "g04", "g05", "g06", "g07",
     }
     assert {n.split("_")[0] for n in qs} == expected
@@ -205,24 +205,26 @@ def test_gate_window_samples_every_round(spark):
             "q90_sql_scripting", "q91_python_udtf",
             "d56_cross_source_leakage",
             "e22_matryoshka_search"} <= set(first50)
-    # round-6 complete set present (the newest surface)
+    # round-6 complete set present (the newest surface, both halves)
     assert {"q92_sql_table_function", "d57_shared_prefix_stress",
             "d58_linear_classifier_scores", "e23_binary_hamming_search",
             "g07_bounded_sssp", "s27_state_changefeed",
-            "s28_foreachbatch_idempotent"} <= set(first50)
+            "s28_foreachbatch_idempotent",
+            "q93_interval_battery", "d59_classifier_weight_join",
+            "e24_ivf_binary_funnel",
+            "s29_changefeed_metrics_reconcile"} <= set(first50)
     # round-4 cross-section (s14/s15, r4-red and r5-driver-confirmed,
     # rotated out in round 6; s16 is the applyInPandasWithState rep)
     assert {"q70_incremental_lifecycle", "q73_bucketed_cojoin",
             "d47_prefix_filter_jaccard",
-            "s13_stream_late_data_drop", "s16_stream_dedup_expiry",
+            "s16_stream_dedup_expiry",
             "g05_hierarchy_rollup"} <= set(first50)
-    # round-4c cross-section (q83/q84/s19 rotated out in round 6; all
-    # were driver-gated green in both r4 and r5)
-    assert {"d49_positional_jaccard",
-            "d50_substring_runs", "d51_substring_decontam",
+    # round-4c cross-section (q83/q84/s19/d49/s13/s20/s22 rotated out in
+    # round 6; all were driver-gated green in both r4 and r5)
+    assert {"d50_substring_runs", "d51_substring_decontam",
             "e21_base_delta_serving",
-            "s20_stream_full_outer_join", "s21_stream_state_accounting",
-            "s22_stream_update_mode", "s23_stream_join_then_agg",
+            "s21_stream_state_accounting",
+            "s23_stream_join_then_agg",
             "q81_xml_roundtrip",
             "q82_sql_udf_installments", "q85_calendar_tz_battery",
             "q86_dynamic_partition_pruning", "s24_watermark_policy_max",

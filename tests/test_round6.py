@@ -241,3 +241,63 @@ def test_s28_matches_batch_aggregate(spark):
                   .alias("c")))
     want = {(r.day, r.event_type): (r.n, r.c) for r in batch.collect()}
     assert got == want
+
+
+def test_d59_totals_agree_with_d58(spark):
+    """The model-as-data join (d59) and the folded-formula path (d58)
+    compute the SAME per-doc scores, so their per-lang score mass must
+    agree exactly — the mutual pin that licenses swapping plans as the
+    model artifact grows."""
+    from pyspark.sql import functions as F
+
+    from etl_docker_spark.plans.round6 import d58_linear_classifier_scores
+    from etl_docker_spark.plans.round6c import d59_classifier_weight_join
+
+    a = {r.lang: r.s for r in d58_linear_classifier_scores(spark, SF_SMOKE)
+         .groupBy("lang").agg(F.sum("sum_score_ppm").alias("s")).collect()}
+    b = {r.lang: r.s for r in d59_classifier_weight_join(spark, SF_SMOKE)
+         .groupBy("lang").agg(F.sum("sum_score_ppm").alias("s")).collect()}
+    assert a == b
+
+
+def test_q93_interval_path_equals_integer_path(spark):
+    """Spark's interval-typed SUM/extract must equal plain integer epoch
+    arithmetic computed in the same engine (the cross-STYLE agreement
+    the oracle then pins cross-engine)."""
+    from pyspark.sql import functions as F
+
+    from etl_docker_spark.plans._util import t
+    from etl_docker_spark.plans.round6c import q93_interval_battery
+
+    got = {r.o_orderpriority: (r.total_gap_secs, r.max_gap_secs)
+           for r in q93_interval_battery(spark, SF_SMOKE).collect()}
+    li = t(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = t(spark, SF_SMOKE, "orders")
+    want = {r.o_orderpriority: (r.tot, r.mx)
+            for r in li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum(F.unix_timestamp("l_shipdate")
+                       - F.unix_timestamp("o_orderdate")).alias("tot"),
+                 F.max(F.unix_timestamp("l_shipdate")
+                       - F.unix_timestamp("o_orderdate")).alias("mx"))
+            .collect()}
+    assert got == want
+
+
+def test_e24_full_shortlist_equals_e06(spark):
+    """With the Hamming stage wide open, the funnel reduces to e06's
+    trained-IVF search exactly (stage 2 is lossless unless it cuts;
+    stages 1 and 3 are shared machinery)."""
+    import etl_docker_spark.plans.round6c as r6c
+    from etl_docker_spark.plans.round2 import e06_trained_ivf_search
+
+    orig = r6c._E24_SHORT
+    r6c._E24_SHORT = 10 ** 9
+    try:
+        got = {(r.query_id, r.neighbor_id, r.exact_rank)
+               for r in r6c.e24_ivf_binary_funnel(spark, SF_SMOKE).collect()}
+    finally:
+        r6c._E24_SHORT = orig
+    want = {(r.query_id, r.neighbor_id, r.rank)
+            for r in e06_trained_ivf_search(spark, SF_SMOKE).collect()}
+    assert got == want
