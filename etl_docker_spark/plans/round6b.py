@@ -184,7 +184,13 @@ def _stage_daily_arrivals(spark: SparkSession, sf: str, work: str) -> str:
     """Stage the events feed as one parquet file per day with ascending
     mtimes (s18/s26's arrival discipline), so `maxFilesPerTrigger=1`
     replays it as one deterministic micro-batch per day: file i IS
-    batch i. Returns the arrivals dir."""
+    batch i. Returns the arrivals dir.
+
+    One-file-per-day comes from `repartition(dcol)` — each day's rows
+    land wholly in one task, so each partition DIRECTORY gets exactly
+    one file, while distinct days still write in parallel (the
+    coalesce(1) idiom serializes the whole feed through a single task:
+    ~10 s per rep per query at ~sf1, measured)."""
     import os
     import shutil
 
@@ -196,7 +202,8 @@ def _stage_daily_arrivals(spark: SparkSession, sf: str, work: str) -> str:
                   F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
                   .alias("dcol")))
     staged = os.path.join(work, "staged")
-    ev.coalesce(1).write.partitionBy("dcol").mode("overwrite").parquet(staged)
+    ev.repartition(F.col("dcol")).write.partitionBy("dcol") \
+        .mode("overwrite").parquet(staged)
     arrivals = os.path.join(work, "arrivals")
     os.makedirs(arrivals)
     days = sorted(d for d in os.listdir(staged) if d.startswith("dcol="))
