@@ -237,6 +237,69 @@ def main() -> None:
     dfq.assign(complete=dfq.n_prio == n_all).groupby("segment").agg(
         n_customers=("complete", "size"), n_complete=("complete", "sum"))
     timings["q71_relational_division"] = round(time.perf_counter() - t0, 3)
+    # ---------------- round-6 ops ----------------
+
+    t0 = time.perf_counter()
+    # d58: hashed unigram+bigram linear classifier (same md5 bucketing)
+    def _d58(text: str) -> int:
+        toks = text.split(" ")
+        feats = toks + [a + "_" + b for a, b in zip(toks, toks[1:])]
+        s = 0
+        for f in feats:
+            b = int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % 4096
+            s += (b % 2001) - 1000
+        q = abs(s) // len(feats) * (1 if s >= 0 else -1)
+        return q - 2000
+    score = documents.text.map(_d58)
+    documents.assign(score=score, keep=score > 0).groupby(
+        ["lang", "keep"]).agg(n_docs=("doc_id", "size"))
+    timings["d58_linear_classifier_scores"] = round(
+        time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    # e23: sign-bit signatures, Hamming shortlist 32, exact rerank top-5
+    bits = (mat > 0)
+    packed = np.packbits(bits, axis=1)
+    lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                        axis=1).sum(axis=1)
+    for qi in qidx:
+        ham = lut[np.bitwise_xor(packed, packed[qi])].sum(axis=1)
+        ham[qi] = 1 << 30
+        short = np.argsort(ham, kind="stable")[:32]
+        cos = (mat[short] @ mat[qi]) / (norms[short] * norms[qi])
+        short[np.argsort(-cos, kind="stable")[:5]]
+    timings["e23_binary_hamming_search"] = round(
+        time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    # g07: bounded-hop weighted SSSP over the mutual top-8 co-trade graph
+    os_ = lineitem[["l_orderkey", "l_suppkey"]].drop_duplicates()
+    pr = os_.merge(os_, on="l_orderkey")
+    pr = pr[pr.l_suppkey_x < pr.l_suppkey_y]
+    cnt = pr.groupby(["l_suppkey_x", "l_suppkey_y"]).size().reset_index(
+        name="n")
+    directed = pd.concat([
+        cnt.rename(columns={"l_suppkey_x": "s1", "l_suppkey_y": "s2"}),
+        cnt.rename(columns={"l_suppkey_x": "s2", "l_suppkey_y": "s1"})])
+    directed = directed.sort_values(["s1", "n", "s2"],
+                                    ascending=[True, False, True])
+    top = directed.groupby("s1").head(8)[["s1", "s2"]]
+    mutual = top.merge(top, left_on=["s1", "s2"], right_on=["s2", "s1"])
+    edges = mutual[mutual.s1_x < mutual.s2_x][["s1_x", "s2_x"]]
+    adj: dict = {}
+    for a, b in edges.itertuples(index=False):
+        w = int(hashlib.md5(f"{min(a,b)}_{max(a,b)}".encode())
+                .hexdigest()[:8], 16) % 99 + 1
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    for s in [x for x in adj if x < 10]:
+        dist = {s: 0}
+        for _ in range(4):
+            for u, du in list(dist.items()):
+                for v, w in adj.get(u, []):
+                    if du + w < dist.get(v, 1 << 30):
+                        dist[v] = du + w
+    timings["g07_bounded_sssp"] = round(time.perf_counter() - t0, 3)
 
     print(json.dumps({
         "metric": "pandas_singlenode_wall_seconds",
