@@ -35,9 +35,35 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 PER_QUERY_FILE = "BENCH_QUERIES.json"
 
+# Contention sentinel (round-6 verdict item 1): the round-6 artifact was
+# taken on a loaded box and overstated the engine ~20-30% (d11 committed
+# at 7.48 s, reproduces at 0.94 s on a quiet machine). A fixed anchor
+# query is re-timed at start / middle / end of the sweep; if the box's
+# throughput drifted more than SENTINEL_MAX_SPREAD across the run, the
+# per-query artifact is NOT written — a contaminated artifact is worse
+# than no artifact, because it silently misprices every query.
+SENTINEL_ANCHOR = "q01_pricing_summary"
+SENTINEL_MAX_SPREAD = 1.5
+
+
+def sentinel_verdict(anchor_times: list[float],
+                     max_spread: float = SENTINEL_MAX_SPREAD
+                     ) -> tuple[bool, float]:
+    """Pure decision function (unit-tested): given the anchor query's
+    wall times across the run, return (quiet_box, spread) where spread
+    = max/min. Degenerate inputs (fewer than 2 samples, or a ~0 floor)
+    count as quiet — the sentinel only ever REFUSES on positive
+    evidence of drift."""
+    if len(anchor_times) < 2 or min(anchor_times) <= 1e-6:
+        return True, 1.0
+    spread = max(anchor_times) / min(anchor_times)
+    return spread <= max_spread, round(spread, 3)
+
 
 def summary_payload(total: float, sf: float, n_queries: int, reps: int,
-                    artifact_state: str) -> dict:
+                    artifact_state: str,
+                    sentinel_spread: float = 1.0,
+                    artifact_written: bool = True) -> dict:
     """The ENTIRE final stdout line — scalars only, never per-query maps.
 
     Keep this a pure function: tests/test_bench_contract.py asserts the
@@ -52,6 +78,8 @@ def summary_payload(total: float, sf: float, n_queries: int, reps: int,
         "reps": reps,
         "artifact_cache": artifact_state,
         "per_query_file": PER_QUERY_FILE,
+        "sentinel_spread": sentinel_spread,
+        "artifact_written": artifact_written,
     }
 
 
@@ -83,29 +111,63 @@ def main() -> None:
     # best-of-N per query: scheduling noise on a busy box is +/- 1-2 s,
     # which would otherwise dominate sub-second queries
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
+    def run_once(spec) -> float:
+        start = time.perf_counter()
+        df = spec.builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - start
+
+    def time_query(spec) -> float:
+        return min(run_once(spec) for _ in range(reps))
+
+    anchor_spec = QUERIES.get(SENTINEL_ANCHOR)
+    anchor_times: list[float] = []
+
+    def probe_anchor(tag: str) -> None:
+        if anchor_spec is None:
+            return
+        wall = time_query(anchor_spec)
+        anchor_times.append(wall)
+        print(f"[bench] sentinel {tag}: {wall:.3f}s", file=sys.stderr)
+
+    probe_anchor("start")
     timings: dict[str, float] = {}
     total = 0.0
-    for name, spec in QUERIES.items():
-        best = float("inf")
-        for _ in range(reps):
-            start = time.perf_counter()
-            df = spec.builder(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
+    names = list(QUERIES)
+    midpoint = len(names) // 2
+    for i, name in enumerate(names):
+        if i == midpoint:
+            probe_anchor("middle")
+        best = time_query(QUERIES[name])
         timings[name] = round(best, 3)
         total += best
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
+    probe_anchor("end")
+
+    quiet, spread = sentinel_verdict(anchor_times)
 
     # Per-query map goes to a FILE (committed for the judge), never stdout:
     # 148+ timings are ~4 KB of JSON, which overflows the driver's tail
-    # capture and made rounds 2-3 unparseable.
+    # capture and made rounds 2-3 unparseable. On a contended box the
+    # artifact is REFUSED (stale numbers misprice the engine; see the
+    # sentinel comment above) — the summary line still reports the total
+    # with artifact_written=false so the refusal is visible, not silent.
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, PER_QUERY_FILE), "w") as f:
-        json.dump({"sf": sf, "reps": reps, "artifact_cache": artifact_state,
-                   "total_sec": round(total, 3), "queries": timings},
-                  f, indent=1, sort_keys=True)
+    if quiet:
+        with open(os.path.join(here, PER_QUERY_FILE), "w") as f:
+            json.dump({"sf": sf, "reps": reps,
+                       "artifact_cache": artifact_state,
+                       "sentinel_spread": spread,
+                       "total_sec": round(total, 3), "queries": timings},
+                      f, indent=1, sort_keys=True)
+    else:
+        print(f"[bench] CONTENTION: anchor spread {spread}x exceeds "
+              f"{SENTINEL_MAX_SPREAD}x — {PER_QUERY_FILE} NOT written; "
+              "re-run on a quiet box", file=sys.stderr)
 
-    out = summary_payload(total, sf, len(timings), reps, artifact_state)
+    out = summary_payload(total, sf, len(timings), reps, artifact_state,
+                          sentinel_spread=spread, artifact_written=quiet)
     spark.stop()
     if tmp_cache:
         shutil.rmtree(tmp_cache, ignore_errors=True)

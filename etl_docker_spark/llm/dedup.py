@@ -360,11 +360,35 @@ def ngram_jaccard_pair_cols(sh_a: Column, sh_b: Column) -> Column:
     return inter / union
 
 
+def auto_suffix_buckets(median_set_size: float,
+                        lo: int = 16, hi: int = 1024) -> int:
+    """The d57 design rule (SCALE.md round-6 stress table), productized:
+    size the suffix-filter histogram K to the corpus's TYPICAL
+    shingle-set size, so per-bucket counts are ~0/1 and min-summing
+    approaches true-intersection counting. K << |set| provably cannot
+    prune equal-size interleaved disjoint suffixes (an o(n)-bit counting
+    sketch carries too little information); K ~ |set| fully
+    discriminated the adversarial corpus (37,392 candidates -> the 10
+    true pairs at sf0.01).
+
+    Returns the power of two nearest to the median in log space
+    (histograms stay cache-friendly fixed-width arrays; pmod on a pow2
+    is a mask), clamped to [lo, hi] — below 16 the sketch carries too
+    few bits to ever bite, above 1024 the 8 KB-per-doc histogram starts
+    competing with the full token array it exists to avoid."""
+    import math
+
+    if median_set_size is None or median_set_size < 1:
+        return lo
+    k = 2 ** round(math.log2(median_set_size))
+    return max(lo, min(hi, k))
+
+
 def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                                 shingle_n: int = 3, t_num: int = 1,
                                 t_den: int = 2,
                                 positional: bool = False,
-                                suffix_buckets: int = 0) -> DataFrame:
+                                suffix_buckets: int | str = 0) -> DataFrame:
     """EXACT Jaccard >= t (default 1/2) similarity self-join via prefix
     filtering —
     the AllPairs/PPJoin candidate scheme (Bayardo et al. WWW'07, Xiao et
@@ -405,7 +429,11 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     the output is identical by construction).
 
     `suffix_buckets=K` (K > 0) adds the SUFFIX-filter role (Xiao et al.
-    WWW'08 §3.3) in a distributed-exact shape: the sequential
+    WWW'08 §3.3); `suffix_buckets="auto"` sizes K from the corpus's
+    median shingle-set size per the d57 design rule (see
+    `auto_suffix_buckets` — one bounded scalar aggregate over the
+    already-checkpointed per-doc frame, control flow not data). The
+    distributed-exact shape: the sequential
     divide-and-conquer probe of the classic filter is replaced by a
     K-bucket hash-partition overlap bound. Each doc carries a K-int
     histogram hist[k] = |{tokens with pmod(h, K) = k}| (128 bytes at
@@ -476,10 +504,24 @@ def _jaccard_candidates(df: DataFrame, id_col: str, text_col: str,
             .alias("ord"))
         .withColumn("sz", F.size("ord").cast("long"))
     )
+    per_doc = per_doc.localCheckpoint()
+    if suffix_buckets == "auto":
+        # Resolve K from the corpus itself (the d57 design rule). One
+        # bounded scalar aggregate over the just-checkpointed frame —
+        # a model-sizing decision on the driver, not a data collect.
+        med = per_doc.agg(F.median("sz").alias("m")).first()["m"]
+        suffix_buckets = auto_suffix_buckets(med)
+    elif isinstance(suffix_buckets, str):
+        raise ValueError(
+            f"suffix_buckets must be an int or 'auto', got "
+            f"{suffix_buckets!r}")
     if suffix_buckets:
         # K-bucket token histogram (per-row fold, no shuffle): the
-        # suffix filter's overlap bound is computed from these 128-byte
-        # sketches instead of the full token arrays.
+        # suffix filter's overlap bound is computed from these
+        # fixed-width sketches instead of the full token arrays. Added
+        # AFTER the checkpoint: it is consumed exactly once (the
+        # candidate-cap join), so recomputing the fold there beats
+        # persisting K extra longs per doc.
         per_doc = per_doc.withColumn(
             "hist",
             F.aggregate(
@@ -491,7 +533,6 @@ def _jaccard_candidates(df: DataFrame, id_col: str, text_col: str,
                     acc,
                     lambda c, i: c + F.when(i == b, F.lit(1).cast("long"))
                     .otherwise(F.lit(0).cast("long")))))
-    per_doc = per_doc.localCheckpoint()
     # prefix length = sz - ceil(t*sz) + 1, ceil in exact int arithmetic
     ceil_t_sz = F.floor((F.lit(t_num) * F.col("sz") + F.lit(t_den - 1))
                         / F.lit(t_den))

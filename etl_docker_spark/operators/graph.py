@@ -162,6 +162,11 @@ def bounded_sssp(edges: DataFrame, seed_pred: Column,
     flow, not data); sound because relaxation is monotone: a no-improve
     round implies all later rounds are no-improve.
     """
+    if max_hops < 1:
+        raise ValueError(
+            f"max_hops must be >= 1, got {max_hops} — the initial frame "
+            "already encodes 1-hop seed distances, so smaller bounds "
+            "cannot be honored")
     dist = (edges.filter(seed_pred)
             .select(F.col("a").alias("seed"), F.col("b").alias("node"),
                     F.col("w").cast("long").alias("cost"))

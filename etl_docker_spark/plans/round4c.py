@@ -1440,7 +1440,8 @@ def s24_watermark_policy_max(spark: SparkSession, sf: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from etl_docker_spark.plans._util import stream_state_partitions
+    from etl_docker_spark.plans._util import (scoped_conf,
+                                              stream_state_partitions)
 
     ev = (t(spark, sf, "events")
           .filter(F.col("ts") < F.lit(_S24_CUTOFF).cast("timestamp")))
@@ -1457,7 +1458,6 @@ def s24_watermark_policy_max(spark: SparkSession, sf: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="s24_")
     policy_key = "spark.sql.streaming.multipleWatermarkPolicy"
-    before = spark.conf.get(policy_key, None)
     try:
         vdir = os.path.join(work, "views")
         os.makedirs(vdir)
@@ -1466,44 +1466,46 @@ def s24_watermark_policy_max(spark: SparkSession, sf: str) -> DataFrame:
             .parquet(staged)
         days = sorted(d for d in os.listdir(staged) if d.startswith("dcol="))
         for i, d in enumerate(days):
-            src = next(f for f in os.listdir(os.path.join(staged, d))
-                       if f.endswith(".parquet"))
+            matches = [f for f in os.listdir(os.path.join(staged, d))
+                       if f.endswith(".parquet")]
+            if len(matches) != 1:
+                raise RuntimeError(
+                    f"expected exactly one parquet file in {staged}/{d}, "
+                    f"found {matches} — a multi-file day would silently "
+                    "drop rows from the staged feed")
             dst = os.path.join(vdir, f"{i:03d}.parquet")
-            shutil.copyfile(os.path.join(staged, d, src), dst)
+            shutil.copyfile(os.path.join(staged, d, matches[0]), dst)
             os.utime(dst, (1700000000 + i * 60,) * 2)
         bdir = os.path.join(work, "buys")
         buys.coalesce(1).write.mode("overwrite").parquet(bdir)
 
-        spark.conf.set(policy_key, "max")
-        pv = spark.read.parquet(vdir)
-        pb = spark.read.parquet(bdir)
-        sv = (spark.readStream.schema(pv.schema)
-              .option("maxFilesPerTrigger", "1").parquet(vdir)
-              .drop("dcol").withWatermark("view_ts", "1 minute"))
-        sb = (spark.readStream.schema(pb.schema).parquet(bdir)
-              .withWatermark("buy_ts", "1 minute"))
-        joined = (sv.join(
-            sb,
-            F.expr("""v_user = b_user
-                      AND buy_ts >= view_ts
-                      AND buy_ts <= view_ts + interval 6 hours"""),
-            "leftOuter")
-            .select(F.col("v_user").alias("user_id"), "view_id",
-                    "purchase_id",
-                    (F.unix_micros("buy_ts") - F.unix_micros("view_ts"))
-                    .alias("delta_us")))
-        name = f"s24_sink_{abs(hash(sf)) % 10 ** 8}"
-        with stream_state_partitions(spark, 4):
-            q = (joined.writeStream.outputMode("append").format("memory")
-                 .queryName(name).trigger(availableNow=True).start())
-            q.awaitTermination(300)
-            q.stop()
-        return spark.table(name).localCheckpoint()
+        with scoped_conf(spark, policy_key, "max"):
+            pv = spark.read.parquet(vdir)
+            pb = spark.read.parquet(bdir)
+            sv = (spark.readStream.schema(pv.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(vdir)
+                  .drop("dcol").withWatermark("view_ts", "1 minute"))
+            sb = (spark.readStream.schema(pb.schema).parquet(bdir)
+                  .withWatermark("buy_ts", "1 minute"))
+            joined = (sv.join(
+                sb,
+                F.expr("""v_user = b_user
+                          AND buy_ts >= view_ts
+                          AND buy_ts <= view_ts + interval 6 hours"""),
+                "leftOuter")
+                .select(F.col("v_user").alias("user_id"), "view_id",
+                        "purchase_id",
+                        (F.unix_micros("buy_ts") - F.unix_micros("view_ts"))
+                        .alias("delta_us")))
+            name = f"s24_sink_{abs(hash(sf)) % 10 ** 8}"
+            with stream_state_partitions(spark, 4):
+                q = (joined.writeStream.outputMode("append")
+                     .format("memory")
+                     .queryName(name).trigger(availableNow=True).start())
+                q.awaitTermination(300)
+                q.stop()
+            return spark.table(name).localCheckpoint()
     finally:
-        if before is None:
-            spark.conf.unset(policy_key)
-        else:
-            spark.conf.set(policy_key, before)
         shutil.rmtree(work, ignore_errors=True)
 
 

@@ -108,7 +108,13 @@ ROUND6.update({
 # ---------------------------------------------------------------- d58
 
 _D58_BUCKETS = 4096   # hashed feature space (fastText-style)
-_D58_BIAS_PPM = -2000  # decision bias in ppm units
+# Decision bias in ppm units. Must sit INSIDE the achievable score range
+# or the keep branch degenerates: per-doc scores are MEAN feature weight
+# (weights uniform-ish in [-1000, 1000] ppm), so raw scores concentrate
+# near 0 — measured [-210, 302] ppm across the sf0.001/sf0.01 corpora.
+# -50 keeps roughly the top third, so BOTH keep branches carry rows at
+# every SF (the round-6 ADVICE: the old -2000 made keep constant-false).
+_D58_BIAS_PPM = -50
 
 
 def d58_linear_classifier_scores(spark: SparkSession, sf: str) -> DataFrame:

@@ -25,8 +25,9 @@ _D57_GTOKS = 29       # tokens in the group-shared block
 _D57_TRIPLES = 60     # pool triples drawn per doc
 _D57_POOL_X = 4       # pool size = 4x corpus size (keeps dfreq ~15 at any N)
 _D57_CLONE_MOD = 50   # doc_id % 50 == 1 -> clone of doc_id - 1
-_D57_K = 256          # suffix histogram buckets — sized to ~set size (see
-                      # docstring: K >= |set| is what makes the bound bite)
+_D57_K = 256          # the K auto-sizing must pick here: ~330-token sets,
+                      # nearest pow2 in log space (pinned by
+                      # tests/test_round6.py::test_d57_auto_k_matches_rule)
 _D57_GATE_DOCS = 2000  # gate-corpus cap: the GATE pins exactness, which a
                        # bounded corpus fully exercises (q91's slice idiom);
                        # full-corpus candidate VOLUME is the stress
@@ -111,9 +112,11 @@ def d57_shared_prefix_stress(spark: SparkSession, sf: str) -> DataFrame:
 
     adv = d57_adversarial_frame(spark, sf, cap=_D57_GATE_DOCS) \
         .localCheckpoint()
+    # "auto" resolves to _D57_K on this corpus (test-pinned): the design
+    # rule this query established is now the default sizing path.
     return prefix_filter_jaccard_pairs(
         adv, "doc_id", "text", shingle_n=3, t_num=1, t_den=2,
-        positional=True, suffix_buckets=_D57_K)
+        positional=True, suffix_buckets="auto")
 
 
 def _d57_sql() -> str:
@@ -209,9 +212,16 @@ def _stage_daily_arrivals(spark: SparkSession, sf: str, work: str) -> str:
     days = sorted(d for d in os.listdir(staged) if d.startswith("dcol="))
     for i, d in enumerate(days):
         src_dir = os.path.join(staged, d)
-        src = next(f for f in os.listdir(src_dir) if f.endswith(".parquet"))
+        matches = [f for f in os.listdir(src_dir) if f.endswith(".parquet")]
+        if len(matches) != 1:
+            # a foreign maxRecordsPerFile (or any future write-path change)
+            # splitting a day into multiple files must fail HERE, not as a
+            # confusing downstream mismatch in the s27/s28/s29 gates
+            raise RuntimeError(
+                f"expected exactly one parquet file per day in {src_dir}, "
+                f"found {matches}")
         dst = os.path.join(arrivals, f"{i:03d}.parquet")
-        shutil.copyfile(os.path.join(src_dir, src), dst)
+        shutil.copyfile(os.path.join(src_dir, matches[0]), dst)
         os.utime(dst, (1700000000 + i * 60,) * 2)
     return arrivals
 

@@ -15,8 +15,18 @@ ROUND6C: dict = {}
 
 # ---------------------------------------------------------------- d59
 
-_D59_BUCKETS = 4096    # same hashed feature space as d58
-_D59_BIAS_PPM = -2000
+# the SAME model as d58 — imported, not redeclared, so the two plans'
+# mutual pin (test_d59_totals_agree_with_d58) can never drift
+from etl_docker_spark.plans.round6 import _D58_BIAS_PPM as _D59_BIAS_PPM
+from etl_docker_spark.plans.round6 import _D58_BUCKETS as _D59_BUCKETS
+
+# Calibration-histogram grid: 10 fixed ppm buckets over [-300, 300],
+# clamped at the edges. Scores = mean feature weight + bias concentrate
+# near the bias (measured raw range [-210, 302] ppm; see the d58 bias
+# comment), so a grid matched to that spread populates the full
+# histogram — the old [-3000, 1000] grid left deciles 5-9 unreachable.
+_D59_GRID_LO = -300
+_D59_GRID_W = 601
 
 
 def d59_classifier_weight_join(spark: SparkSession, sf: str) -> DataFrame:
@@ -62,12 +72,15 @@ def d59_classifier_weight_join(spark: SparkSession, sf: str) -> DataFrame:
                    F.sum("w_ppm").cast("long").alias("sum_ppm")))
     score = F.expr("sum_ppm DIV n_feats") + F.lit(_D59_BIAS_PPM)
     per_doc = scored.select("lang", score.alias("score_ppm"))
-    # decile over a fixed ppm grid (score in [-3000, 1000] by
-    # construction: mean weight in [-1000, 1000], bias -2000) — grid
-    # bucketing, not rank bucketing, so it is embarrassingly parallel
-    bucket = (F.col("score_ppm") + 3000) * 10 / 4001
+    # decile over a FIXED ppm grid, clamped at both edges (see the
+    # _D59_GRID_* comment for the range choice) — grid bucketing, not
+    # rank bucketing, so it is embarrassingly parallel
+    bucket = F.floor((F.col("score_ppm") - _D59_GRID_LO) * 10
+                     / _D59_GRID_W)
     return (per_doc
-            .withColumn("decile", F.floor(bucket).cast("long"))
+            .withColumn("decile",
+                        F.least(F.greatest(bucket, F.lit(0)), F.lit(9))
+                        .cast("long"))
             .groupBy("lang", "decile")
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum("score_ppm").cast("long").alias("sum_score_ppm"))
@@ -106,7 +119,9 @@ p AS (
   SELECT lang, sum_ppm // n_feats + {_D59_BIAS_PPM} AS score_ppm FROM s
 )
 SELECT lang,
-       CAST(floor((score_ppm + 3000) * 10 / 4001) AS BIGINT) AS decile,
+       CAST(least(greatest(
+         floor((score_ppm - {_D59_GRID_LO}) * 10 / {_D59_GRID_W}), 0), 9)
+         AS BIGINT) AS decile,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(score_ppm) AS BIGINT) AS sum_score_ppm
 FROM p

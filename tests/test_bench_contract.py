@@ -24,3 +24,34 @@ def test_summary_line_fits_driver_tail_capture():
 def test_summary_has_no_queries_key():
     payload = bench.summary_payload(1.0, 0.01, 148, 2, "cold")
     assert "queries" not in payload
+
+
+def test_sentinel_accepts_quiet_box():
+    quiet, spread = bench.sentinel_verdict([1.00, 1.12, 0.95])
+    assert quiet
+    assert spread == round(1.12 / 0.95, 3)
+
+
+def test_sentinel_refuses_contended_box():
+    # the round-6 failure shape: the box slowed mid-run (d11 0.9s -> 7.5s
+    # class drift); the anchor sees it and the artifact must be refused
+    quiet, spread = bench.sentinel_verdict([1.0, 2.4, 1.1])
+    assert not quiet
+    assert spread == 2.4
+
+
+def test_sentinel_boundary_and_degenerate_inputs():
+    # exactly at the threshold is still quiet (<=)
+    assert bench.sentinel_verdict([1.0, 1.5])[0]
+    # too few samples / zero floor: no positive evidence -> quiet
+    assert bench.sentinel_verdict([]) == (True, 1.0)
+    assert bench.sentinel_verdict([1.0]) == (True, 1.0)
+    assert bench.sentinel_verdict([0.0, 5.0]) == (True, 1.0)
+
+
+def test_summary_carries_sentinel_fields():
+    payload = bench.summary_payload(1.0, 0.01, 148, 2, "cold",
+                                    sentinel_spread=1.8,
+                                    artifact_written=False)
+    assert payload["sentinel_spread"] == 1.8
+    assert payload["artifact_written"] is False

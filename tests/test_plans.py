@@ -306,3 +306,26 @@ def test_e19_exact_work_is_shortlist_bounded(spark):
     against queries."""
     plan = formatted_plan(spark, "e19_adc_exact_rerank")
     assert "CartesianProduct" not in plan
+
+
+def test_no_bare_conf_set_outside_util():
+    """The grep-auditability contract `session_conf`'s docstring states:
+    all runtime-conf mutation in plans/ goes through `_util.scoped_conf`
+    / `_util.session_conf` / `_util.stream_state_partitions`, so one
+    grep of _util.py audits every mutation site. A bare
+    `spark.conf.set(...)` in a plan file escapes restore-discipline
+    review (the round-6 s24 finding)."""
+    import os
+
+    import etl_docker_spark.plans as plans_pkg
+
+    plans_dir = os.path.dirname(plans_pkg.__file__)
+    offenders = []
+    for fname in sorted(os.listdir(plans_dir)):
+        if not fname.endswith(".py") or fname == "_util.py":
+            continue
+        with open(os.path.join(plans_dir, fname)) as f:
+            for lineno, line in enumerate(f, 1):
+                if ".conf.set(" in line or ".conf.unset(" in line:
+                    offenders.append(f"{fname}:{lineno}: {line.strip()}")
+    assert not offenders, offenders

@@ -301,3 +301,75 @@ def test_e24_full_shortlist_equals_e06(spark):
     want = {(r.query_id, r.neighbor_id, r.rank)
             for r in e06_trained_ivf_search(spark, SF_SMOKE).collect()}
     assert got == want
+
+
+def test_bounded_sssp_rejects_nonpositive_hops(spark):
+    """max_hops < 1 cannot be honored (the initial frame is already the
+    1-hop relaxation) and must raise instead of silently returning it."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_docker_spark.operators.graph import bounded_sssp
+
+    df = spark.createDataFrame([(0, 1, 5)], "a long, b long, w long")
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="max_hops"):
+            bounded_sssp(df, F.col("a") == 0, bad)
+
+
+def test_d58_both_keep_branches_carry_rows(spark):
+    """The decision bias must sit inside the achievable score range so
+    the verdict dimension of the rollup is actually exercised (round-6
+    ADVICE: bias -2000 made keep constant-false), and d59's clamped
+    grid must spread the same scores over several histogram buckets."""
+    from etl_docker_spark.plans.round6 import d58_linear_classifier_scores
+    from etl_docker_spark.plans.round6c import d59_classifier_weight_join
+
+    keeps = {r.keep for r in
+             d58_linear_classifier_scores(spark, SF_SMOKE).collect()}
+    assert keeps == {True, False}
+    deciles = {r.decile for r in
+               d59_classifier_weight_join(spark, SF_SMOKE).collect()}
+    assert len(deciles) >= 4, deciles
+    assert deciles <= set(range(10)), deciles
+
+
+def test_auto_suffix_buckets_rule():
+    """Pure sizing rule: nearest power of two in log space, clamped."""
+    from etl_docker_spark.llm.dedup import auto_suffix_buckets
+
+    assert auto_suffix_buckets(330) == 256   # the d57 corpus (log2=8.37)
+    assert auto_suffix_buckets(256) == 256
+    assert auto_suffix_buckets(400) == 512   # log2=8.64 rounds up
+    assert auto_suffix_buckets(3) == 16      # clamp low
+    assert auto_suffix_buckets(10 ** 6) == 1024  # clamp high
+    assert auto_suffix_buckets(None) == 16
+
+
+def test_d57_auto_k_matches_rule(spark):
+    """On the adversarial corpus, auto-sizing must land on _D57_K — the
+    design rule SCALE.md recorded, now the default path: median
+    shingle-set size ~327 -> nearest pow2 = 256."""
+    from pyspark.sql import functions as F
+
+    from etl_docker_spark.llm.dedup import (auto_suffix_buckets,
+                                            shingle_rows, _base_hash)
+    from etl_docker_spark.plans.round6b import (_D57_K,
+                                                d57_adversarial_frame)
+
+    adv = d57_adversarial_frame(spark, SF_SMOKE, cap=200)
+    per_doc = (shingle_rows(adv, "doc_id", "text", 3)
+               .select("doc", _base_hash(F.col("s")).alias("h")).distinct()
+               .groupBy("doc").agg(F.count("*").alias("sz")))
+    med = per_doc.agg(F.median("sz").alias("m")).first()["m"]
+    assert auto_suffix_buckets(med) == _D57_K
+
+
+def test_suffix_buckets_rejects_unknown_string(spark):
+    import pytest as _pytest
+    from etl_docker_spark.llm.dedup import prefix_filter_jaccard_pairs
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="'banana'"):
+        prefix_filter_jaccard_pairs(df, "doc_id", "text",
+                                    suffix_buckets="banana").count()
