@@ -249,7 +249,7 @@ def main() -> None:
             b = int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % 4096
             s += (b % 2001) - 1000
         q = abs(s) // len(feats) * (1 if s >= 0 else -1)
-        return q - 2000
+        return q - 50  # keep in lockstep with plans/round6.py _D58_BIAS_PPM
     score = documents.text.map(_d58)
     documents.assign(score=score, keep=score > 0).groupby(
         ["lang", "keep"]).agg(n_docs=("doc_id", "size"))
@@ -300,6 +300,72 @@ def main() -> None:
                     if du + w < dist.get(v, 1 << 30):
                         dist[v] = du + w
     timings["g07_bounded_sssp"] = round(time.perf_counter() - t0, 3)
+
+    # ---------------- round-7 ops ----------------
+
+    t0 = time.perf_counter()
+    # d60: train per-bucket polarity weights from the d26-style verdicts,
+    # then run inference — the full lifecycle single-core
+    tok_re = re.compile(r"\w+|[^\w\s]")
+    n_toks = documents.text.map(lambda s: len(tok_re.findall(s)))
+    n_uniq = documents.text.map(lambda s: len(set(tok_re.findall(s))))
+    dup_rn = documents.assign(
+        dig=documents.text.map(
+            lambda s: hashlib.md5(s.encode()).hexdigest())
+    ).sort_values("doc_id").groupby("dig").cumcount()
+    verdict = np.where(n_toks < 30, "too_short",
+                       np.where(2 * n_uniq < n_toks, "low_diversity",
+                                np.where(dup_rn > 0, "exact_dup", "keep")))
+    y = (verdict == "keep").astype(int)
+
+    def _buckets(text: str) -> list:
+        toks = text.split(" ")
+        feats = toks + [a + "_" + b for a, b in zip(toks, toks[1:])]
+        return [int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % 4096
+                for f in feats]
+
+    blists = documents.text.map(_buckets)
+    occ = pd.DataFrame({
+        "bucket": np.concatenate([np.array(b) for b in blists]),
+        "y": np.repeat(y, blists.map(len)),
+        "doc": np.repeat(documents.doc_id.values, blists.map(len)),
+        "verdict": np.repeat(verdict, blists.map(len))})
+    cnt = occ.groupby("bucket").y.agg(["sum", "size"])
+    n1, n0 = cnt["sum"], cnt["size"] - cnt["sum"]
+    g1, g0 = int(n1.sum()), int(n0.sum())
+    w = ((n1 - n0) * 1_000_000 // (n1 + n0)
+         - (g1 - g0) * 1_000_000 // (g1 + g0))
+    occ = occ.assign(w=occ.bucket.map(w))
+    sc = occ.groupby(["doc", "verdict"]).w.agg(["sum", "size"])
+    score = sc["sum"] // sc["size"]
+    pd.DataFrame({"score": score, "keep_pred": score > 0}).groupby(
+        [sc.index.get_level_values("verdict"), "keep_pred"]).size()
+    timings["d60_trained_classifier"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    # q94: relational -> JSON -> parse -> typed extraction loop
+    items94 = lineitem.assign(
+        qty=lineitem.l_quantity.astype(int),
+        price_c=(lineitem.l_extendedprice * 100).round().astype(int))
+    per_o = (items94.sort_values(
+        ["l_orderkey", "l_linenumber", "qty", "price_c"])
+        .groupby("l_orderkey")
+        .apply(lambda g: json.dumps({
+            "okey": int(g.name),
+            "items": [{"ln": int(r.l_linenumber), "qty": int(r.qty),
+                       "price_c": int(r.price_c)}
+                      for r in g.itertuples()]}), include_groups=False))
+    parsed = per_o.map(json.loads)
+    pd.DataFrame({
+        "okey": parsed.map(lambda d: d["okey"]),
+        "n_items": parsed.map(lambda d: len(d["items"])),
+        "sum_qty": parsed.map(lambda d: sum(i["qty"] for i in d["items"])),
+        "first_qty": parsed.map(lambda d: d["items"][0]["qty"]),
+    }).merge(orders[["o_orderkey", "o_orderpriority"]],
+             left_on="okey", right_on="o_orderkey").groupby(
+        "o_orderpriority").agg({"n_items": "sum", "sum_qty": "sum",
+                                "first_qty": "sum"})
+    timings["q94_variant_battery"] = round(time.perf_counter() - t0, 3)
 
     print(json.dumps({
         "metric": "pandas_singlenode_wall_seconds",

@@ -56,7 +56,107 @@ def build(n_total: int, hot_frac: float, path: str) -> None:
     pq.write_table(tbl, path)
 
 
+def build_zipf_corpus(n_docs: int, hot_frac: float, path: str,
+                      words_per_doc: int = 120, vocab: int = 50_000) -> None:
+    """Natural-language-shaped corpus for the classifier-join stress
+    (round-6 verdict item 6): token frequencies Zipfian, plus one
+    engineered hot token carrying `hot_frac` of ALL feature mass — the
+    worst case for a shuffle-by-bucket model join (d59/d60's explode+join
+    shape when the weight table outgrows broadcast)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    # Zipf ranks (a=1.3 keeps the tail long enough to fill 4096 buckets)
+    ranks = rng.zipf(1.3, size=(n_docs, words_per_doc)) % vocab
+    hot = rng.random((n_docs, words_per_doc)) < hot_frac
+    texts = []
+    for i in range(n_docs):
+        row = np.where(hot[i], -1, ranks[i])
+        texts.append(" ".join(
+            "tok_hot" if r < 0 else f"tok_{r}" for r in row))
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+        "lang": pa.array(["xx"] * n_docs),
+        "text": pa.array(texts),
+    })
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(tbl, path)
+
+
+def zipf_classifier_join(n_docs: int, hot_frac: float) -> None:
+    """Measure d59/d60's explode + model-join inference under Zipfian
+    feature skew, across the three join shapes a growing model walks
+    through: broadcast (default), shuffle join with AQE skew handling
+    (the multi-GB-model shape), and shuffle join + salted replication
+    (the mitigation, to see whether it is ever needed)."""
+    from pyspark.sql import functions as F
+
+    from etl_docker_spark.session import get_spark
+
+    path = "/tmp/skew_corpus/zipf_docs.parquet"
+    build_zipf_corpus(n_docs, hot_frac, path)
+    spark = get_spark("zipf_skew_bench")
+    docs = spark.read.parquet(path)
+    docs.count()
+
+    buckets = 4096
+    bucket = (f"pmod(CAST(conv(substring(md5(f), 1, 8), 16, 10) AS BIGINT), "
+              f"{buckets})")
+    occ = (docs.select("doc_id",
+                       F.explode(F.split("text", " ")).alias("f"))
+           .select("doc_id", F.expr(bucket).alias("bucket")))
+    weights = (spark.range(buckets)
+               .select(F.col("id").alias("bucket"),
+                       (F.col("id") % 2001 - 1000).alias("w_ppm")))
+
+    def score(joined):
+        return (joined.groupBy("doc_id")
+                .agg(F.sum("w_ppm").alias("s"), F.count("*").alias("n")))
+
+    def run(tag: str, df) -> dict:
+        t0 = time.perf_counter()
+        n = df.count()
+        return {"wall_s": round(time.perf_counter() - t0, 2), "rows": n}
+
+    out: dict = {"mode": "zipf_classifier_join", "n_docs": n_docs,
+                 "hot_frac": hot_frac, "buckets": buckets}
+
+    # 1. broadcast: per-row hash lookup, no shuffle by bucket at all —
+    #    feature skew cannot matter (the hot bucket is just a hot hash
+    #    slot); this is the shape every <=few-hundred-MB model should use
+    out["broadcast"] = run(
+        "broadcast", score(occ.join(F.broadcast(weights), "bucket")))
+
+    # 2. forced shuffle join (the only option once the model is multi-GB
+    #    and bucketed on the join key) — AQE ON, its skew-join splitter
+    #    allowed to do its job
+    shuffled = score(occ.hint("shuffle_hash")
+                     .join(weights.hint("shuffle_hash"), "bucket"))
+    out["shuffle_aqe"] = run("shuffle_aqe", shuffled)
+
+    # 3. salted shuffle join: weight rows replicated SALTS ways, feature
+    #    side picks a deterministic salt — the classic mitigation, priced
+    #    so SCALE.md can say whether it is ever worth the replication
+    salts = 16
+    wsalt = weights.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+    osalt = occ.withColumn("salt",
+                           F.pmod(F.col("doc_id"), F.lit(salts)).cast("int"))
+    salted = score(osalt.hint("shuffle_hash")
+                   .join(wsalt.hint("shuffle_hash"), ["bucket", "salt"]))
+    out["shuffle_salted_16"] = run("salted", salted)
+
+    print(json.dumps(out))
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "zipf":
+        n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+        hot_frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.1
+        zipf_classifier_join(n_docs, hot_frac)
+        return
     n_total = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     hot_frac = float(sys.argv[2]) if len(sys.argv) > 2 else 0.1
     path = "/tmp/skew_corpus/embeddings.parquet"
