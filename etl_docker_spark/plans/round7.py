@@ -444,3 +444,137 @@ GROUP BY 1
 ROUND7.update({
     "s30_stream_variant_ingest": (s30_stream_variant_ingest, S30_SQL),
 })
+
+# ---------------------------------------------------------------- d61
+
+_D61_GRID_LO = -300   # same clamped ppm grid discipline as d59
+_D61_GRID_W = 601
+_D61_CELLS = 20
+
+
+def d61_threshold_yield_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """The curation-economics consumer of d60's trained scores: the
+    THRESHOLD SWEEP — for every candidate keep-threshold on a fixed ppm
+    grid, how many documents and how much token mass survive. This is
+    the table a curation team actually reads to place the knife (the
+    d18/d23/d43 economics family, now driven by a LEARNED score instead
+    of rule verdicts): each row answers "keep everything scoring above
+    cell c" with exact cumulative counts.
+
+    Scale shape: per-doc scores come from the d60 inference plan (one
+    corpus pass; the trained table broadcast from the index cache);
+    the sweep itself is a 20-cell grid rollup (map-side partials) plus
+    a cumulative window over those 20 rows — the window input is
+    GRID-SIZED, not data-sized, so the 'global window' is a constant
+    20-row frame at any corpus scale (the same trick as d59's grid
+    bucketing: histogram first, order statistics second).
+    """
+    from pyspark.sql import Window
+
+    weights = d60_weights_frame(spark, sf)
+    from etl_docker_spark.llm.text import token_count
+
+    labeled = _labeled_docs(spark, sf).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens"),
+        F.explode(F.expr(feats_sql())).alias("f"))
+    occ = labeled.select("doc_id", "n_tokens",
+                         F.expr(_BUCKET_SPARK).alias("bucket"))
+    scored = (occ.join(F.broadcast(weights), "bucket")
+              .groupBy("doc_id", "n_tokens")
+              .agg(F.count("*").cast("long").alias("n_feats"),
+                   F.sum("w_ppm").cast("long").alias("sum_ppm")))
+    cell_w = _D61_GRID_W * 1.0 / _D61_CELLS
+    score = F.expr("sum_ppm DIV n_feats")
+    cell = F.least(F.greatest(
+        F.floor((score - _D61_GRID_LO) / cell_w), F.lit(0)),
+        F.lit(_D61_CELLS - 1)).cast("long")
+    hist = (scored.select(cell.alias("cell"), "n_tokens")
+            .groupBy("cell")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens")))
+    # cumulative FROM THE TOP: "keep cell c and above" — a 20-row window
+    w_desc = (Window.orderBy(F.col("cell").desc())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (hist.select(
+        "cell",
+        F.sum("n_docs").over(w_desc).cast("long").alias("docs_kept"),
+        F.sum("n_tokens").over(w_desc).cast("long").alias("tokens_kept"))
+        .orderBy("cell"))
+
+
+# Oracle: re-derives d60's trained scores end-to-end (training included),
+# then the same grid histogram + top-down running totals.
+D61_SQL = rf"""
+WITH labeled AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+           AS n_tokens,
+         CASE WHEN CAST(len(regexp_extract_all(text, '\w+|[^\w\s]'))
+                        AS BIGINT) < 30 THEN 0
+              WHEN 2 * CAST(len(list_distinct(
+                       regexp_extract_all(text, '\w+|[^\w\s]')))
+                       AS BIGINT)
+                   < CAST(len(regexp_extract_all(text, '\w+|[^\w\s]'))
+                          AS BIGINT) THEN 0
+              WHEN row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) > 1 THEN 0
+              ELSE 1 END AS y,
+         {_D60_FEATS_DUCK} AS feats
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, n_tokens, y,
+         CAST('0x' || substring(md5(unnest(feats)), 1, 8) AS BIGINT)
+           % {_D58_BUCKETS} AS bucket
+  FROM labeled
+),
+counts AS (
+  SELECT bucket,
+         CAST(SUM(y) AS BIGINT) AS n1,
+         CAST(SUM(1 - y) AS BIGINT) AS n0
+  FROM occ GROUP BY bucket
+),
+prior AS (
+  SELECT CAST(SUM(n1) AS BIGINT) AS g1, CAST(SUM(n0) AS BIGINT) AS g0
+  FROM counts
+),
+w AS (
+  SELECT bucket,
+         CAST((n1 - n0) * {_D60_SCALE} // (n1 + n0)
+              - (g1 - g0) * {_D60_SCALE} // (g1 + g0) AS BIGINT) AS w_ppm
+  FROM counts, prior
+),
+scored AS (
+  SELECT doc_id, any_value(n_tokens) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_feats,
+         CAST(SUM(w.w_ppm) AS BIGINT) AS sum_ppm
+  FROM occ JOIN w USING (bucket)
+  GROUP BY doc_id
+),
+cells AS (
+  SELECT least(greatest(CAST(floor(
+           ((sum_ppm // n_feats) - {_D61_GRID_LO})
+           / ({_D61_GRID_W} * 1.0 / {_D61_CELLS})) AS BIGINT), 0),
+           {_D61_CELLS - 1}) AS cell,
+         n_tokens
+  FROM scored
+),
+hist AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM cells GROUP BY cell
+)
+SELECT cell,
+       CAST(SUM(n_docs) OVER (ORDER BY cell DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS docs_kept,
+       CAST(SUM(n_tokens) OVER (ORDER BY cell DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS tokens_kept
+FROM hist
+ORDER BY cell
+"""
+
+ROUND7.update({
+    "d61_threshold_yield_curve": (d61_threshold_yield_curve, D61_SQL),
+})

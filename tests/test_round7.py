@@ -92,3 +92,20 @@ def test_s30_metric_covers_every_shape(spark):
             assert 0 < r.n_fatal <= r.n_events
         else:
             assert r.n_fatal == 0
+
+
+def test_d61_yield_curve_is_cumulative_and_total(spark):
+    """The sweep's lowest cell must account for every document (keep
+    everything above the floor == keep all), and kept counts must be
+    non-increasing as the threshold rises."""
+    from etl_docker_spark.plans._util import t
+    from etl_docker_spark.plans.round7 import d61_threshold_yield_curve
+
+    rows = d61_threshold_yield_curve(spark, SF_SMOKE).collect()
+    assert rows == sorted(rows, key=lambda r: r.cell)
+    n_docs = t(spark, SF_SMOKE, "documents").count()
+    assert rows[0].docs_kept == n_docs
+    for a, b in zip(rows, rows[1:]):
+        assert a.docs_kept >= b.docs_kept
+        assert a.tokens_kept >= b.tokens_kept
+    assert len({r.cell for r in rows}) == len(rows)
