@@ -71,9 +71,14 @@ _GATE_WINDOW = [
     "d24_perplexity_buckets",
     "e05_ivf_train", "e08_hybrid_rrf",
     "s05_stream_stream_join",
-    # round-6, complete (newest surface, least externally verified):
-    # both halves — the core seven and the 6c four (d49/s13/s20/s22,
-    # driver-gated green in r4+r5, rotate out to make room)
+    # round-7, complete (newest surface, least externally verified).
+    # Rotation: g05/s18/d54/q81 (driver-gated green across rounds 4-6,
+    # families never red or represented elsewhere in the window)
+    # rotate out to make room.
+    "d60_trained_classifier", "d61_threshold_yield_curve",
+    "q94_variant_battery", "s30_stream_variant_ingest",
+    # round-6, complete: both halves — the core seven and the 6c four
+    # (d49/s13/s20/s22, driver-gated green in r4+r5, rotated out in r6)
     "q92_sql_table_function", "d57_shared_prefix_stress",
     "d58_linear_classifier_scores", "e23_binary_hamming_search",
     "g07_bounded_sssp", "s27_state_changefeed",
@@ -81,7 +86,7 @@ _GATE_WINDOW = [
     "q93_interval_battery", "d59_classifier_weight_join",
     "e24_ivf_binary_funnel", "s29_changefeed_metrics_reconcile",
     # round-5, complete (newest surface, least externally verified)
-    "d53_suffix_filter_jaccard", "d54_bpe_encode",
+    "d53_suffix_filter_jaccard",
     "d55_self_dedup_curation", "g06_cc_largestar",
     "q87_recursive_cte", "s26_state_datasource",
     # round-5b, complete (q75/q76/q77/q78/q79/q80 — all driver-gated
@@ -96,12 +101,10 @@ _GATE_WINDOW = [
     "q70_incremental_lifecycle", "q73_bucketed_cojoin",
     "d47_prefix_filter_jaccard",
     "s16_stream_dedup_expiry",
-    "s17_stream_outer_join", "s18_stream_checkpoint_resume",
-    "g05_hierarchy_rollup",
+    "s17_stream_outer_join",
     # round-4c cross-section (q83/q84/s19 — all driver-gated green in
-    # BOTH r4 and r5 — rotate out for the round-6 seven; q85/q86 stay,
+    # BOTH r4 and r5 — rotated out for the round-6 seven; q85/q86 stay,
     # the most quirk-prone calendar/pruning gates)
-    "q81_xml_roundtrip",
     "q82_sql_udf_installments", "q85_calendar_tz_battery",
     "q86_dynamic_partition_pruning", "s24_watermark_policy_max",
     "s25_stream_dedup_then_agg", "d52_internal_repetition",

@@ -463,14 +463,16 @@ def d61_threshold_yield_curve(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: per-doc scores come from the d60 inference plan (one
     corpus pass; the trained table broadcast from the index cache);
-    the sweep itself is a 20-cell grid rollup (map-side partials) plus
-    a cumulative window over those 20 rows — the window input is
-    GRID-SIZED, not data-sized, so the 'global window' is a constant
-    20-row frame at any corpus scale (the same trick as d59's grid
-    bucketing: histogram first, order statistics second).
+    the sweep itself is a 20-cell grid rollup (map-side partials)
+    followed by a grid x histogram triangle join — the 20-row
+    threshold grid (a `spark.range` literal, constant at any corpus
+    size) broadcast against the 20-row histogram, LEFT so every
+    candidate threshold reports a row even when nothing scores above
+    it. Histogram first, order statistics second (d59's trick): the
+    cumulative step never sees a data-sized frame, and unlike a
+    global-window rewrite the boundedness is structural (the BNLJ's
+    broadcast side is a literal range), surviving AQE replanning.
     """
-    from pyspark.sql import Window
-
     weights = d60_weights_frame(spark, sf)
     from etl_docker_spark.llm.text import token_count
 
@@ -488,18 +490,21 @@ def d61_threshold_yield_curve(spark: SparkSession, sf: str) -> DataFrame:
     cell = F.least(F.greatest(
         F.floor((score - _D61_GRID_LO) / cell_w), F.lit(0)),
         F.lit(_D61_CELLS - 1)).cast("long")
-    hist = (scored.select(cell.alias("cell"), "n_tokens")
-            .groupBy("cell")
+    hist = (scored.select(cell.alias("hcell"), "n_tokens")
+            .groupBy("hcell")
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum("n_tokens").cast("long").alias("n_tokens")))
-    # cumulative FROM THE TOP: "keep cell c and above" — a 20-row window
-    w_desc = (Window.orderBy(F.col("cell").desc())
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (hist.select(
-        "cell",
-        F.sum("n_docs").over(w_desc).cast("long").alias("docs_kept"),
-        F.sum("n_tokens").over(w_desc).cast("long").alias("tokens_kept"))
-        .orderBy("cell"))
+    # cumulative FROM THE TOP: "keep cell c and above" — every histogram
+    # cell >= the threshold contributes; LEFT keeps empty thresholds
+    grid = spark.range(_D61_CELLS).select(F.col("id").alias("cell"))
+    return (F.broadcast(grid)
+            .join(hist, F.col("hcell") >= F.col("cell"), "left")
+            .groupBy("cell")
+            .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long")
+                 .alias("docs_kept"),
+                 F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long")
+                 .alias("tokens_kept"))
+            .orderBy("cell"))
 
 
 # Oracle: re-derives d60's trained scores end-to-end (training included),
@@ -563,16 +568,16 @@ hist AS (
   SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
   FROM cells GROUP BY cell
+),
+grid AS (
+  SELECT unnest(generate_series(0, {_D61_CELLS - 1})) AS cell
 )
-SELECT cell,
-       CAST(SUM(n_docs) OVER (ORDER BY cell DESC
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS BIGINT) AS docs_kept,
-       CAST(SUM(n_tokens) OVER (ORDER BY cell DESC
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS BIGINT) AS tokens_kept
-FROM hist
-ORDER BY cell
+SELECT g.cell,
+       CAST(COALESCE(SUM(h.n_docs), 0) AS BIGINT) AS docs_kept,
+       CAST(COALESCE(SUM(h.n_tokens), 0) AS BIGINT) AS tokens_kept
+FROM grid g LEFT JOIN hist h ON h.cell >= g.cell
+GROUP BY g.cell
+ORDER BY g.cell
 """
 
 ROUND7.update({

@@ -170,10 +170,10 @@ def test_registry_complete_and_oracle_backed(spark):
     missing = set(qs) - set(oracles) - rows_only_allowed
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
-        *(f"q{i:02d}" for i in range(1, 94)),
-        *(f"d{i:02d}" for i in range(1, 60)),
+        *(f"q{i:02d}" for i in range(1, 95)),
+        *(f"d{i:02d}" for i in range(1, 62)),
         *(f"e{i:02d}" for i in range(1, 25)),
-        *(f"s{i:02d}" for i in range(1, 30)),
+        *(f"s{i:02d}" for i in range(1, 31)),
         "g01", "g02", "g03", "g04", "g05", "g06", "g07",
     }
     assert {n.split("_")[0] for n in qs} == expected
@@ -197,8 +197,11 @@ def test_gate_window_samples_every_round(spark):
     assert {"e08_hybrid_rrf", "d24_perplexity_buckets"} <= set(first50)
     # round-1 anchors still sampled
     assert {"q01_pricing_summary", "s01_stream_tumbling"} <= set(first50)
-    # round-5 complete set present (the newest surface), both halves
-    assert {"d53_suffix_filter_jaccard", "d54_bpe_encode",
+    # round-7 complete set present (the newest surface)
+    assert {"d60_trained_classifier", "d61_threshold_yield_curve",
+            "q94_variant_battery", "s30_stream_variant_ingest"} <= set(first50)
+    # round-5 cross-section (d54, green r4-r6, rotated out in round 7)
+    assert {"d53_suffix_filter_jaccard",
             "d55_self_dedup_curation", "g06_cc_largestar",
             "q87_recursive_cte", "s26_state_datasource",
             "q88_pipe_syntax", "q89_session_variables",
@@ -213,19 +216,18 @@ def test_gate_window_samples_every_round(spark):
             "q93_interval_battery", "d59_classifier_weight_join",
             "e24_ivf_binary_funnel",
             "s29_changefeed_metrics_reconcile"} <= set(first50)
-    # round-4 cross-section (s14/s15, r4-red and r5-driver-confirmed,
-    # rotated out in round 6; s16 is the applyInPandasWithState rep)
+    # round-4 cross-section (s14/s15 rotated out in round 6 —
+    # s16 is the applyInPandasWithState rep; g05/s18 green across
+    # rounds 4-6, rotated out in round 7)
     assert {"q70_incremental_lifecycle", "q73_bucketed_cojoin",
             "d47_prefix_filter_jaccard",
-            "s16_stream_dedup_expiry",
-            "g05_hierarchy_rollup"} <= set(first50)
+            "s16_stream_dedup_expiry"} <= set(first50)
     # round-4c cross-section (q83/q84/s19/d49/s13/s20/s22 rotated out in
     # round 6; all were driver-gated green in both r4 and r5)
     assert {"d50_substring_runs", "d51_substring_decontam",
             "e21_base_delta_serving",
             "s21_stream_state_accounting",
             "s23_stream_join_then_agg",
-            "q81_xml_roundtrip",
             "q82_sql_udf_installments", "q85_calendar_tz_battery",
             "q86_dynamic_partition_pruning", "s24_watermark_policy_max",
             "s25_stream_dedup_then_agg",
@@ -236,6 +238,7 @@ def test_gate_window_samples_every_round(spark):
     "d21_bm25_search", "e08_hybrid_rrf", "d24_perplexity_buckets",
     "d25_sequence_packing", "q43_zonemap_layout", "d31_weighted_sample",
     "q14_running_spend", "d18_token_budget_curation",
+    "d61_threshold_yield_curve",
 ])
 def test_no_unbounded_global_window(spark, name):
     """Round-3 verdict: three queries still ranked/tiled through an

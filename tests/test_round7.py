@@ -101,11 +101,13 @@ def test_d61_yield_curve_is_cumulative_and_total(spark):
     from etl_docker_spark.plans._util import t
     from etl_docker_spark.plans.round7 import d61_threshold_yield_curve
 
+    from etl_docker_spark.plans.round7 import _D61_CELLS
+
     rows = d61_threshold_yield_curve(spark, SF_SMOKE).collect()
-    assert rows == sorted(rows, key=lambda r: r.cell)
+    assert len(rows) == _D61_CELLS  # every threshold reports, even empty
+    assert [r.cell for r in rows] == list(range(_D61_CELLS))
     n_docs = t(spark, SF_SMOKE, "documents").count()
     assert rows[0].docs_kept == n_docs
     for a, b in zip(rows, rows[1:]):
         assert a.docs_kept >= b.docs_kept
         assert a.tokens_kept >= b.tokens_kept
-    assert len({r.cell for r in rows}) == len(rows)
