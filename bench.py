@@ -131,6 +131,13 @@ def main() -> None:
         anchor_times.append(wall)
         print(f"[bench] sentinel {tag}: {wall:.3f}s", file=sys.stderr)
 
+    # Warm the anchor once UNTIMED: the very first execution absorbs
+    # one-time JVM/codegen warmup that best-of-N doesn't flush, which
+    # made the maiden start-probe read ~1.8x the steady state and
+    # tripped the sentinel on a perfectly quiet box (a slow START with
+    # a fast END is warmup; the round-6 contamination was the reverse).
+    if anchor_spec is not None:
+        run_once(anchor_spec)
     probe_anchor("start")
     timings: dict[str, float] = {}
     total = 0.0

@@ -112,24 +112,43 @@ def d60_trained_classifier(spark: SparkSession, sf: str) -> DataFrame:
     polarity in ppm; keep_pred = score > 0 — exercised on BOTH sides
     because the weights are prior-centered (see d60_weights_frame).
     """
-    weights = d60_weights_frame(spark, sf)
-    labeled = _labeled_docs(spark, sf)
-    occ = (labeled
-           .select("doc_id", "verdict",
-                   F.explode(F.expr(feats_sql())).alias("f"))
-           .select("doc_id", "verdict",
-                   F.expr(_BUCKET_SPARK).alias("bucket")))
-    scored = (occ.join(F.broadcast(weights), "bucket")
-              .groupBy("doc_id", "verdict")
-              .agg(F.count("*").cast("long").alias("n_feats"),
-                   F.sum("w_ppm").cast("long").alias("sum_ppm")))
-    score = F.expr("sum_ppm DIV n_feats")
-    per_doc = scored.select("verdict", score.alias("score_ppm"),
-                            (score > 0).alias("keep_pred"))
+    per_doc = d60_scores_frame(spark, sf)
     return (per_doc.groupBy("verdict", "keep_pred")
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum("score_ppm").cast("long").alias("sum_score_ppm"))
             .orderBy("verdict", "keep_pred"))
+
+
+def d60_scores_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document quality scores from the d60-trained model:
+    (doc_id, verdict, n_tokens, score_ppm, keep_pred) — memoized like
+    the weight table, because this is the second persisted artifact of
+    a production scoring pipeline: score the corpus ONCE, then every
+    consumer (the confusion gate d60, the threshold sweep d61, any
+    future mixing/ablation query) reads the scores table instead of
+    re-running inference. The inference pass itself is d59's
+    explode + broadcast-join + per-doc rollup."""
+    from etl_docker_spark.llm.index_cache import memo_frame
+    from etl_docker_spark.llm.text import token_count
+
+    def build() -> DataFrame:
+        weights = d60_weights_frame(spark, sf)
+        labeled = _labeled_docs(spark, sf).select(
+            "doc_id", "verdict",
+            token_count(F.col("text")).alias("n_tokens"),
+            F.explode(F.expr(feats_sql())).alias("f"))
+        occ = labeled.select("doc_id", "verdict", "n_tokens",
+                             F.expr(_BUCKET_SPARK).alias("bucket"))
+        scored = (occ.join(F.broadcast(weights), "bucket")
+                  .groupBy("doc_id", "verdict", "n_tokens")
+                  .agg(F.count("*").cast("long").alias("n_feats"),
+                       F.sum("w_ppm").cast("long").alias("sum_ppm")))
+        score = F.expr("sum_ppm DIV n_feats")
+        return scored.select("doc_id", "verdict", "n_tokens",
+                             score.alias("score_ppm"),
+                             (score > 0).alias("keep_pred"))
+
+    return memo_frame(spark, f"d60_scores:{sf}", build, sf_dir=sf)
 
 
 # The oracle retrains the model from scratch: same labels, same hashed
@@ -461,9 +480,10 @@ def d61_threshold_yield_curve(spark: SparkSession, sf: str) -> DataFrame:
     of rule verdicts): each row answers "keep everything scoring above
     cell c" with exact cumulative counts.
 
-    Scale shape: per-doc scores come from the d60 inference plan (one
-    corpus pass; the trained table broadcast from the index cache);
-    the sweep itself is a 20-cell grid rollup (map-side partials)
+    Scale shape: per-doc scores come from the memoized scores table
+    (`d60_scores_frame` — score once, consume everywhere; the
+    production shape for a corpus-wide quality score); the sweep
+    itself is a 20-cell grid rollup (map-side partials)
     followed by a grid x histogram triangle join — the 20-row
     threshold grid (a `spark.range` literal, constant at any corpus
     size) broadcast against the 20-row histogram, LEFT so every
@@ -473,22 +493,10 @@ def d61_threshold_yield_curve(spark: SparkSession, sf: str) -> DataFrame:
     global-window rewrite the boundedness is structural (the BNLJ's
     broadcast side is a literal range), surviving AQE replanning.
     """
-    weights = d60_weights_frame(spark, sf)
-    from etl_docker_spark.llm.text import token_count
-
-    labeled = _labeled_docs(spark, sf).select(
-        "doc_id", token_count(F.col("text")).alias("n_tokens"),
-        F.explode(F.expr(feats_sql())).alias("f"))
-    occ = labeled.select("doc_id", "n_tokens",
-                         F.expr(_BUCKET_SPARK).alias("bucket"))
-    scored = (occ.join(F.broadcast(weights), "bucket")
-              .groupBy("doc_id", "n_tokens")
-              .agg(F.count("*").cast("long").alias("n_feats"),
-                   F.sum("w_ppm").cast("long").alias("sum_ppm")))
+    scored = d60_scores_frame(spark, sf)
     cell_w = _D61_GRID_W * 1.0 / _D61_CELLS
-    score = F.expr("sum_ppm DIV n_feats")
     cell = F.least(F.greatest(
-        F.floor((score - _D61_GRID_LO) / cell_w), F.lit(0)),
+        F.floor((F.col("score_ppm") - _D61_GRID_LO) / cell_w), F.lit(0)),
         F.lit(_D61_CELLS - 1)).cast("long")
     hist = (scored.select(cell.alias("hcell"), "n_tokens")
             .groupBy("hcell")

@@ -1,0 +1,64 @@
+"""Min-merge bench runs into one artifact (provenance recorded).
+
+Batch queries reproduce within noise across bench.py runs, but the
+STREAMING family's walls swing up to ~2.5x BETWEEN sessions in both
+directions (micro-batch machinery timing: state-store maintenance
+threads, checkpoint fsyncs, GC alignment — s25 measured 18.2 s in one
+run and 44.1 s in the next with zero code change, and the reverse for
+s15). Within-run best-of-N cannot flush session-scoped slowness, so the
+committed artifact is the per-query MIN across complete sentinel-clean
+runs: every inflation source is additive noise, so the min is the
+consistent estimator of the engine's quiet-box cost — the number a user
+should capacity-plan against, and the one an isolated re-measure
+reproduces.
+
+Usage: python tools/merge_bench.py out.json run1.json run2.json [...]
+
+Refuses runs whose sf/reps disagree or whose query sets differ (a merge
+across different surfaces or scales would be meaningless). The output
+carries `merged_runs` and per-run totals so the provenance is explicit.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def merge(runs: list[dict]) -> dict:
+    assert runs, "need at least one run"
+    base = runs[0]
+    for r in runs[1:]:
+        if r["sf"] != base["sf"] or r["reps"] != base["reps"]:
+            raise SystemExit("refusing to merge: sf/reps differ across runs")
+        if set(r["queries"]) != set(base["queries"]):
+            raise SystemExit("refusing to merge: query sets differ")
+    queries = {name: min(r["queries"][name] for r in runs)
+               for name in base["queries"]}
+    return {
+        "sf": base["sf"],
+        "reps": base["reps"],
+        "artifact_cache": base.get("artifact_cache", "cold"),
+        "merged_runs": len(runs),
+        "run_totals_sec": [r["total_sec"] for r in runs],
+        "sentinel_spreads": [r.get("sentinel_spread") for r in runs],
+        "total_sec": round(sum(queries.values()), 3),
+        "queries": queries,
+    }
+
+
+def main() -> None:
+    if len(sys.argv) < 3:
+        raise SystemExit(__doc__)
+    out_path, run_paths = sys.argv[1], sys.argv[2:]
+    runs = [json.load(open(p)) for p in run_paths]
+    merged = merge(runs)
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+    print(json.dumps({"merged_runs": merged["merged_runs"],
+                      "total_sec": merged["total_sec"],
+                      "run_totals_sec": merged["run_totals_sec"]}))
+
+
+if __name__ == "__main__":
+    main()
