@@ -38,6 +38,7 @@ from etl_docker_spark.plans.round6 import ROUND6
 from etl_docker_spark.plans.round6b import ROUND6B
 from etl_docker_spark.plans.round6c import ROUND6C
 from etl_docker_spark.plans.round7 import ROUND7
+from etl_docker_spark.plans.round8 import ROUND8
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
@@ -125,7 +126,7 @@ def _build() -> dict[str, QuerySpec]:
                   ROUND2H, ROUND2I, ROUND2J, ROUND2K, ROUND2L, ROUND2M,
                   ROUND2N, ROUND2O, ROUND2P, ROUND2Q, ROUND3, ROUND4,
                   ROUND4B, ROUND4C, ROUND5, ROUND5B, ROUND6, ROUND6B,
-                  ROUND6C, ROUND7):
+                  ROUND6C, ROUND7, ROUND8):
         for name, (builder, oracle) in table.items():
             specs[name] = QuerySpec(name, builder, oracle)
     assert len(_GATE_WINDOW) == 50, len(_GATE_WINDOW)

@@ -1,16 +1,13 @@
-"""Round-8 STAGED queries — written and oracle-verified in round 7,
-deliberately NOT yet imported by the registry: round 7's committed
-artifacts (CORRECTNESS_full_r7 / PLANS.md / BENCH_QUERIES / BENCH_SF1)
-were regenerated at the 216-query surface, and registering a 217th
-after the fact would desynchronize every artifact count (the round-5
-lesson). Round 8 registers this module first thing, then regenerates.
+"""Round-8 queries.
 
-Verified this round (manual oracle run, sf0.01: PASS, rows=5):
-q95_variant_persistence. Probe findings it builds on: VARIANT survives
-a parquet write/read round trip (shredded two-binary encoding),
+q95 was written and oracle-verified in round 7 but held off the
+registry until round 8 so the committed 216-query artifacts stayed
+synchronized (the round-5 lesson); it registers here first thing.
+Probe findings the VARIANT family builds on: VARIANT survives a
+parquet write/read round trip (shredded two-binary encoding),
 `to_variant_object` constructs variants natively from nested
 structs/arrays (no JSON text on the write path), and
-`from_json(..., 'variant')` works for streaming ingest.
+`from_json(..., 'variant')` works for streaming ingest (s31).
 """
 
 from __future__ import annotations
