@@ -127,6 +127,45 @@ def main() -> None:
                 print(f"[bench] stream pre-warm failed: {exc}",
                       file=sys.stderr)
 
+    # Pre-warm the PYTHON STATEFUL WORKER pool: s14/s15's floor is the
+    # applyInPandasWithState path (Python daemon fork + Arrow codec +
+    # state-protocol code), which the JVM-side s01 pre-warm above never
+    # touches — their first timed run otherwise absorbs the cold start
+    # that the round-7 min-merge had to flush across runs. One throwaway
+    # 256-row micro-stream through the same operator warms it in ~2 s.
+    # Disable: SPARK_GRAFT_BENCH_PYWORKER_WARMUP=0
+    if os.environ.get("SPARK_GRAFT_BENCH_PYWORKER_WARMUP", "1") != "0":
+        try:
+            from pyspark.sql import functions as F
+
+            from etl_docker_spark.plans._util import stream_state_partitions
+            from etl_docker_spark.streaming.stateful import \
+                running_user_totals
+            wdir = tempfile.mkdtemp(prefix="bench-pywarm-")
+            try:
+                src = os.path.join(wdir, "src")
+                (spark.range(256)
+                 .select((F.col("id") % 16).alias("user_id"),
+                         F.timestamp_micros(F.col("id") * 1_000_000)
+                         .alias("ts"),
+                         (F.col("id") * 1.0).alias("value"))
+                 .write.parquet(src))
+                probe = spark.read.parquet(src)
+                stream = spark.readStream.schema(probe.schema).parquet(src)
+                with stream_state_partitions(spark, 4):
+                    q = (running_user_totals(stream)
+                         .writeStream.outputMode("update").format("noop")
+                         .trigger(availableNow=True).start())
+                    q.awaitTermination(120)
+                    q.stop()
+                print("[bench] python stateful worker pre-warmed",
+                      file=sys.stderr)
+            finally:
+                shutil.rmtree(wdir, ignore_errors=True)
+        except Exception as exc:  # never let warmup kill the bench
+            print(f"[bench] python worker pre-warm failed: {exc}",
+                  file=sys.stderr)
+
     # best-of-N per query: scheduling noise on a busy box is +/- 1-2 s,
     # which would otherwise dominate sub-second queries
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))

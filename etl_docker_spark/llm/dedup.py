@@ -519,9 +519,10 @@ def _jaccard_candidates(df: DataFrame, id_col: str, text_col: str,
         # K-bucket token histogram (per-row fold, no shuffle): the
         # suffix filter's overlap bound is computed from these
         # fixed-width sketches instead of the full token arrays. Added
-        # AFTER the checkpoint: it is consumed exactly once (the
-        # candidate-cap join), so recomputing the fold there beats
-        # persisting K extra longs per doc.
+        # AFTER the checkpoint, so the candidate-cap self-join
+        # recomputes the fold once per join side (twice per run) —
+        # still cheaper than persisting K extra longs per doc in the
+        # checkpoint, which every later stage would then carry.
         per_doc = per_doc.withColumn(
             "hist",
             F.aggregate(

@@ -72,28 +72,35 @@ _GATE_WINDOW = [
     "d24_perplexity_buckets",
     "e05_ivf_train", "e08_hybrid_rrf",
     "s05_stream_stream_join",
-    # round-7, complete (newest surface, least externally verified).
+    # round-8, complete (newest surface, least externally verified).
+    # Rotation: q87/q88/q89/q90/q91/q92 (the SQL-surface battery —
+    # driver-gated green for 2-3 consecutive rounds, families never
+    # red) rotate out to make room for the six round-8 queries.
+    "q95_variant_persistence", "s31_stream_variant_landing",
+    "d62_lang_calibrated_thresholds", "d63_holdout_generalization",
+    "q96_xml_battery", "d64_theta_source_overlap",
+    # round-7, complete.
     # Rotation: g05/s18/d54/q81 (driver-gated green across rounds 4-6,
     # families never red or represented elsewhere in the window)
     # rotate out to make room.
     "d60_trained_classifier", "d61_threshold_yield_curve",
     "q94_variant_battery", "s30_stream_variant_ingest",
     # round-6, complete: both halves — the core seven and the 6c four
-    # (d49/s13/s20/s22, driver-gated green in r4+r5, rotated out in r6)
-    "q92_sql_table_function", "d57_shared_prefix_stress",
+    # (d49/s13/s20/s22, driver-gated green in r4+r5, rotated out in r6;
+    # q92 rotated out in r8 with the rest of the SQL-surface battery)
+    "d57_shared_prefix_stress",
     "d58_linear_classifier_scores", "e23_binary_hamming_search",
     "g07_bounded_sssp", "s27_state_changefeed",
     "s28_foreachbatch_idempotent",
     "q93_interval_battery", "d59_classifier_weight_join",
     "e24_ivf_binary_funnel", "s29_changefeed_metrics_reconcile",
-    # round-5, complete (newest surface, least externally verified)
+    # round-5, complete (q87 rotated out in r8)
     "d53_suffix_filter_jaccard",
     "d55_self_dedup_curation", "g06_cc_largestar",
-    "q87_recursive_cte", "s26_state_datasource",
-    # round-5b, complete (q75/q76/q77/q78/q79/q80 — all driver-gated
-    # green in r4 — rotated out to make room)
-    "q88_pipe_syntax", "q89_session_variables", "q90_sql_scripting",
-    "q91_python_udtf", "d56_cross_source_leakage",
+    "s26_state_datasource",
+    # round-5b remainder (q75-q80 rotated out in r6; q88/q89/q90/q91
+    # rotated out in r8)
+    "d56_cross_source_leakage",
     "e22_matryoshka_search",
     # round-4 cross-section. Round-6 rotation: s14/s15 (HUGEINT-red in
     # r4, driver-confirmed green in r5) rotate out with the full

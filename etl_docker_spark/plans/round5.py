@@ -205,8 +205,6 @@ def d54_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
     scanned twice in total (once for types, once for per-doc counts) —
     at 100 TB the type table join is the whole cost, and it is a plain
     shuffle-hash join on the word."""
-    from pyspark.sql import Window
-
     docs = t(spark, sf, "documents")
     to_sp = F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 "))
     wf = (docs.select(F.explode(F.split("text", " ")).alias("w"))
@@ -229,11 +227,20 @@ def d54_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
                    .alias("pr"))
                .select(F.col("pr.p1").alias("p1"),
                        F.col("pr.p2").alias("p2"), "f"))
+        # top-1 as a ONE-ROW aggregate, not a global row_number window:
+        # min(struct(-count, p1, p2)) is lexicographic (max count, then
+        # min p1, min p2) — same winner, zero WindowExec nodes, so bench
+        # and oracle logs stay free of "No Partition Defined" spam and a
+        # FUTURE unpartitioned window in a log is a real alarm. (The old
+        # filter(rn == 1) plan was provably bounded — Catalyst rewrote
+        # it to TakeOrderedAndProject — but warned 6x per sweep step.)
         top = (prs.groupBy("p1", "p2").agg(F.sum("f").alias("pair_count"))
-               .withColumn("rn", F.row_number().over(
-                   Window.orderBy(F.desc("pair_count"),
-                                  F.asc("p1"), F.asc("p2"))))
-               .filter(F.col("rn") == 1).select("p1", "p2"))
+               .agg(F.min(F.struct(
+                   (-F.col("pair_count")).alias("neg_count"),
+                   F.col("p1").alias("p1"),
+                   F.col("p2").alias("p2"))).alias("t"))
+               .select(F.col("t.p1").alias("p1"),
+                       F.col("t.p2").alias("p2")))
 
         def merged() -> Column:
             # Rewrites whatever frame the caller selects on: references

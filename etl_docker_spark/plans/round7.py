@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_docker_spark.plans._util import t
+from etl_docker_spark.plans.round2f import _MIN_TOKENS as _ORACLE_MIN_TOKENS
 from etl_docker_spark.plans.round6 import _D58_BUCKETS, feats_sql
 
 ROUND7: dict = {}
@@ -168,7 +169,7 @@ list_concat(
 D60_SQL = rf"""
 WITH labeled AS (
   SELECT doc_id, text,
-         CASE WHEN n_tokens < 30 THEN 'too_short'
+         CASE WHEN n_tokens < {_ORACLE_MIN_TOKENS} THEN 'too_short'
               WHEN 2 * n_unique < n_tokens THEN 'low_diversity'
               WHEN dup_rn > 1 THEN 'exact_dup'
               ELSE 'keep' END AS verdict
@@ -268,11 +269,16 @@ def q94_variant_battery(spark: SparkSession, sf: str) -> DataFrame:
     orders = t(spark, sf, "orders")
     items = (li.select(
         "l_orderkey",
+        # floor() before the bigint cast makes the truncation EXPLICIT
+        # on both engines (Spark's decimal->bigint cast truncates while
+        # DuckDB's rounds; these columns are integer-valued and
+        # positive, so floor == trunc and both engines agree by
+        # construction rather than by corpus luck)
         F.struct(
             F.col("l_linenumber").cast("int").alias("ln"),
-            F.col("l_quantity").cast("decimal(12,4)").cast("bigint")
-            .alias("qty"),
-            (F.col("l_extendedprice").cast("decimal(12,4)") * 100)
+            F.floor(F.col("l_quantity").cast("decimal(12,4)"))
+            .cast("bigint").alias("qty"),
+            F.floor(F.col("l_extendedprice").cast("decimal(12,4)") * 100)
             .cast("bigint").alias("price_c")).alias("it"))
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_list("it")).alias("items")))
@@ -315,9 +321,9 @@ def q94_variant_battery(spark: SparkSession, sf: str) -> DataFrame:
 Q94_SQL = """
 WITH it AS (
   SELECT l_orderkey, l_linenumber AS ln,
-         CAST(CAST(l_quantity AS DECIMAL(12,4)) AS BIGINT) AS qty,
-         CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 100 AS BIGINT)
-           AS price_c
+         CAST(floor(CAST(l_quantity AS DECIMAL(12,4))) AS BIGINT) AS qty,
+         CAST(floor(CAST(l_extendedprice AS DECIMAL(12,4)) * 100)
+              AS BIGINT) AS price_c
   FROM lineitem
 ),
 per_order AS (
@@ -523,7 +529,7 @@ WITH labeled AS (
          CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
            AS n_tokens,
          CASE WHEN CAST(len(regexp_extract_all(text, '\w+|[^\w\s]'))
-                        AS BIGINT) < 30 THEN 0
+                        AS BIGINT) < {_ORACLE_MIN_TOKENS} THEN 0
               WHEN 2 * CAST(len(list_distinct(
                        regexp_extract_all(text, '\w+|[^\w\s]')))
                        AS BIGINT)

@@ -55,3 +55,36 @@ def test_summary_carries_sentinel_fields():
                                     artifact_written=False)
     assert payload["sentinel_spread"] == 1.8
     assert payload["artifact_written"] is False
+
+
+def _run(total, q, spread=1.1):
+    return {"sf": 0.1, "reps": 2, "total_sec": total,
+            "sentinel_spread": spread, "queries": q}
+
+
+def test_merge_refuses_unverified_runs():
+    import pytest
+
+    from tools.merge_bench import merge
+
+    good = _run(1.0, {"q01": 1.0})
+    for bad in (_run(1.0, {"q01": 0.5}, spread=None),
+                _run(1.0, {"q01": 0.5}, spread=1.7)):
+        with pytest.raises(SystemExit, match="refusing to merge run"):
+            merge([good, bad])
+        # explicit override still merges (and the cheap bad run wins the min)
+        assert merge([good, bad], allow_unverified=True)["queries"]["q01"] \
+            == 0.5
+
+
+def test_merge_carries_min_and_median():
+    from tools.merge_bench import merge
+
+    runs = [_run(1.0, {"q01": 1.0, "q02": 3.0}),
+            _run(1.2, {"q01": 1.2, "q02": 2.0}),
+            _run(1.4, {"q01": 1.4, "q02": 2.5})]
+    m = merge(runs)
+    assert m["queries"] == {"q01": 1.0, "q02": 2.0}
+    assert m["queries_median"] == {"q01": 1.2, "q02": 2.5}
+    assert m["total_sec"] == 3.0
+    assert m["total_median_sec"] == 3.7

@@ -170,10 +170,10 @@ def test_registry_complete_and_oracle_backed(spark):
     missing = set(qs) - set(oracles) - rows_only_allowed
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
-        *(f"q{i:02d}" for i in range(1, 95)),
-        *(f"d{i:02d}" for i in range(1, 62)),
+        *(f"q{i:02d}" for i in range(1, 97)),
+        *(f"d{i:02d}" for i in range(1, 65)),
         *(f"e{i:02d}" for i in range(1, 25)),
-        *(f"s{i:02d}" for i in range(1, 31)),
+        *(f"s{i:02d}" for i in range(1, 32)),
         "g01", "g02", "g03", "g04", "g05", "g06", "g07",
     }
     assert {n.split("_")[0] for n in qs} == expected
@@ -197,19 +197,24 @@ def test_gate_window_samples_every_round(spark):
     assert {"e08_hybrid_rrf", "d24_perplexity_buckets"} <= set(first50)
     # round-1 anchors still sampled
     assert {"q01_pricing_summary", "s01_stream_tumbling"} <= set(first50)
-    # round-7 complete set present (the newest surface)
+    # round-8 complete set present (the newest surface)
+    assert {"q95_variant_persistence", "s31_stream_variant_landing",
+            "d62_lang_calibrated_thresholds", "d63_holdout_generalization",
+            "q96_xml_battery", "d64_theta_source_overlap"} <= set(first50)
+    # round-7 complete set present
     assert {"d60_trained_classifier", "d61_threshold_yield_curve",
             "q94_variant_battery", "s30_stream_variant_ingest"} <= set(first50)
-    # round-5 cross-section (d54, green r4-r6, rotated out in round 7)
+    # round-5 cross-section (d54, green r4-r6, rotated out in round 7;
+    # q87/q88/q89/q90/q91 — the SQL-surface battery, green r5-r7 —
+    # rotated out in round 8)
     assert {"d53_suffix_filter_jaccard",
             "d55_self_dedup_curation", "g06_cc_largestar",
-            "q87_recursive_cte", "s26_state_datasource",
-            "q88_pipe_syntax", "q89_session_variables",
-            "q90_sql_scripting", "q91_python_udtf",
+            "s26_state_datasource",
             "d56_cross_source_leakage",
             "e22_matryoshka_search"} <= set(first50)
-    # round-6 complete set present (the newest surface, both halves)
-    assert {"q92_sql_table_function", "d57_shared_prefix_stress",
+    # round-6 set present (q92 rotated out in round 8 with the rest of
+    # the SQL-surface battery)
+    assert {"d57_shared_prefix_stress",
             "d58_linear_classifier_scores", "e23_binary_hamming_search",
             "g07_bounded_sssp", "s27_state_changefeed",
             "s28_foreachbatch_idempotent",

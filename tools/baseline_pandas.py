@@ -333,11 +333,17 @@ def main() -> None:
     cnt = occ.groupby("bucket").y.agg(["sum", "size"])
     n1, n0 = cnt["sum"], cnt["size"] - cnt["sum"]
     g1, g0 = int(n1.sum()), int(n0.sum())
-    w = ((n1 - n0) * 1_000_000 // (n1 + n0)
-         - (g1 - g0) * 1_000_000 // (g1 + g0))
+    # truncating division (sign-adjusted abs//) mirroring Spark DIV /
+    # DuckDB // — Python's bare // FLOORS, which diverges on negative
+    # numerators (polarities and scores go negative)
+    def tdiv(a, b):
+        return np.sign(a) * (np.abs(a) // np.abs(b))
+
+    w = (tdiv((n1 - n0) * 1_000_000, n1 + n0)
+         - tdiv((g1 - g0) * 1_000_000, g1 + g0))
     occ = occ.assign(w=occ.bucket.map(w))
     sc = occ.groupby(["doc", "verdict"]).w.agg(["sum", "size"])
-    score = sc["sum"] // sc["size"]
+    score = tdiv(sc["sum"], sc["size"])
     pd.DataFrame({"score": score, "keep_pred": score > 0}).groupby(
         [sc.index.get_level_values("verdict"), "keep_pred"]).size()
     timings["d60_trained_classifier"] = round(time.perf_counter() - t0, 3)

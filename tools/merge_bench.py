@@ -12,22 +12,39 @@ consistent estimator of the engine's quiet-box cost — the number a user
 should capacity-plan against, and the one an isolated re-measure
 reproduces.
 
-Usage: python tools/merge_bench.py out.json run1.json run2.json [...]
+Usage: python tools/merge_bench.py [--allow-unverified] out.json run1.json
+       run2.json [...]
 
 Refuses runs whose sf/reps disagree or whose query sets differ (a merge
-across different surfaces or scales would be meaningless). The output
-carries `merged_runs` and per-run totals so the provenance is explicit.
+across different surfaces or scales would be meaningless), and runs with
+a missing or out-of-bounds contention sentinel (a pre-sentinel or
+contaminated run would otherwise poison the min — pass
+--allow-unverified to override explicitly). The output carries
+`merged_runs`, per-run totals, and per-query medians so both estimators
+(warm floor and typical run) are in the artifact.
 """
 
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 
+SENTINEL_MAX_SPREAD = 1.5  # bench.py's own refusal threshold
 
-def merge(runs: list[dict]) -> dict:
+
+def merge(runs: list[dict], allow_unverified: bool = False) -> dict:
     assert runs, "need at least one run"
     base = runs[0]
+    if not allow_unverified:
+        for i, r in enumerate(runs):
+            spread = r.get("sentinel_spread")
+            if spread is None or spread > SENTINEL_MAX_SPREAD:
+                raise SystemExit(
+                    f"refusing to merge run {i}: sentinel_spread={spread!r} "
+                    f"(missing or > {SENTINEL_MAX_SPREAD}) — a pre-sentinel "
+                    f"or contaminated run would poison the min; pass "
+                    f"--allow-unverified to override")
     for r in runs[1:]:
         if r["sf"] != base["sf"] or r["reps"] != base["reps"]:
             raise SystemExit("refusing to merge: sf/reps differ across runs")
@@ -35,6 +52,8 @@ def merge(runs: list[dict]) -> dict:
             raise SystemExit("refusing to merge: query sets differ")
     queries = {name: min(r["queries"][name] for r in runs)
                for name in base["queries"]}
+    medians = {name: round(statistics.median(
+        r["queries"][name] for r in runs), 3) for name in base["queries"]}
     return {
         "sf": base["sf"],
         "reps": base["reps"],
@@ -43,16 +62,21 @@ def merge(runs: list[dict]) -> dict:
         "run_totals_sec": [r["total_sec"] for r in runs],
         "sentinel_spreads": [r.get("sentinel_spread") for r in runs],
         "total_sec": round(sum(queries.values()), 3),
+        "total_median_sec": round(sum(medians.values()), 3),
         "queries": queries,
+        "queries_median": medians,
     }
 
 
 def main() -> None:
-    if len(sys.argv) < 3:
+    args = sys.argv[1:]
+    allow = "--allow-unverified" in args
+    args = [a for a in args if a != "--allow-unverified"]
+    if len(args) < 2:
         raise SystemExit(__doc__)
-    out_path, run_paths = sys.argv[1], sys.argv[2:]
+    out_path, run_paths = args[0], args[1:]
     runs = [json.load(open(p)) for p in run_paths]
-    merged = merge(runs)
+    merged = merge(runs, allow_unverified=allow)
     with open(out_path, "w") as f:
         json.dump(merged, f, indent=1, sort_keys=True)
     print(json.dumps({"merged_runs": merged["merged_runs"],
