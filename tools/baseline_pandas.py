@@ -373,6 +373,56 @@ def main() -> None:
                                 "first_qty": "sum"})
     timings["q94_variant_battery"] = round(time.perf_counter() - t0, 3)
 
+    t0 = time.perf_counter()
+    # q96: relational -> XML text -> ElementTree parse -> extraction loop
+    # (the pandas way to consume an XML feed: one parse per document)
+    import xml.etree.ElementTree as ET
+    per_x = (items94.sort_values(["l_orderkey", "l_linenumber", "qty"])
+             .groupby("l_orderkey")
+             .apply(lambda g: "<ROW><okey>%d</okey>%s</ROW>" % (
+                 g.name, "".join(
+                     f"<items><ln>{int(r.l_linenumber)}</ln>"
+                     f"<qty>{int(r.qty)}</qty></items>"
+                     for r in g.itertuples())), include_groups=False))
+    trees = per_x.map(ET.fromstring)
+    pd.DataFrame({
+        "okey": trees.map(lambda t: int(t.findtext("okey"))),
+        "n_items": trees.map(lambda t: len(t.findall("items"))),
+        "sum_qty": trees.map(lambda t: sum(
+            int(i.findtext("qty")) for i in t.findall("items"))),
+    }).merge(orders[["o_orderkey", "o_orderpriority"]],
+             left_on="okey", right_on="o_orderkey").groupby(
+        "o_orderpriority").agg({"n_items": "sum", "sum_qty": "sum"})
+    timings["q96_xml_battery"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    # d64: exact cross-source token-bucket overlap via python sets — the
+    # exact computation the theta sketches replace (pandas has no sketch
+    # tier; at sketch-exact gate scale the numbers are identical)
+    tok_src = documents[["source", "text"]].copy()
+    tok_src["toks"] = tok_src.text.str.split(" ")
+    per_src: dict = {}
+    for src, grp in tok_src.groupby("source"):
+        bs = set()
+        for toks in grp.toks:
+            for tk in toks:
+                bs.add(int(hashlib.md5(tk.encode()).hexdigest()[:8], 16)
+                       % 3000)
+        per_src[src] = bs
+    srcs = sorted(per_src)
+    rows64 = []
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            u = per_src[sa] | per_src[sb]
+            c = per_src[sa] & per_src[sb]
+            rows64.append((sa, sb, len(u), len(c),
+                           len(per_src[sa] - per_src[sb]),
+                           len(c) * 1_000_000 // len(u)))
+    pd.DataFrame(rows64, columns=[
+        "src_a", "src_b", "n_union", "n_common", "n_only_a",
+        "jaccard_ppm"])
+    timings["d64_theta_source_overlap"] = round(time.perf_counter() - t0, 3)
+
     print(json.dumps({
         "metric": "pandas_singlenode_wall_seconds",
         "value": round(sum(timings.values()), 3),

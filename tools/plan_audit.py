@@ -171,9 +171,11 @@ def main() -> None:
           "in e05/e08/e09/q43/q47/d31/d34/d35, d54's six 1-row "
           "winning-merge-pair broadcasts — 3 BPE steps x 2 frames, "
           "d56's |sources|^2 quota matrix (sources are a catalog, not "
-          "data), d57's 1-row pool-size scalar, and d61's 20-row "
-          "literal threshold grid (spark.range) triangle-joined against "
-          "the 20-row score histogram; "
+          "data), d57's 1-row pool-size scalar, d61's and d62's 20-row "
+          "literal threshold grids (spark.range) triangle-joined against "
+          "20-row score histograms, and d64's |sources|^2 pairwise join "
+          "of theta-sketch STATES (one fixed-size sketch per source — "
+          "constant at any corpus scale); "
           "cartesian must be empty everywhere.")
     print()
     print("Queries serving a per-session memoized artifact "
