@@ -151,13 +151,20 @@ def main() -> None:
                          (F.col("id") * 1.0).alias("value"))
                  .write.parquet(src))
                 probe = spark.read.parquet(src)
-                stream = spark.readStream.schema(probe.schema).parquet(src)
                 with stream_state_partitions(spark, 4):
-                    q = (running_user_totals(stream)
-                         .writeStream.outputMode("update").format("noop")
-                         .trigger(availableNow=True).start())
-                    q.awaitTermination(120)
-                    q.stop()
+                    # both stateful code paths: plain NoTimeout update AND
+                    # the watermark + EventTimeTimeout TTL machinery
+                    # (s14/s15's exact shape — timeout registration and
+                    # eviction JIT separately from the plain update)
+                    for kwargs in ({}, {"ttl_ms": 60_000,
+                                        "watermark_delay": "0 seconds"}):
+                        stream = (spark.readStream
+                                  .schema(probe.schema).parquet(src))
+                        q = (running_user_totals(stream, **kwargs)
+                             .writeStream.outputMode("update").format("noop")
+                             .trigger(availableNow=True).start())
+                        q.awaitTermination(120)
+                        q.stop()
                 print("[bench] python stateful worker pre-warmed",
                       file=sys.stderr)
             finally:
