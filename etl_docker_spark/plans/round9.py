@@ -240,3 +240,204 @@ ORDER BY 1
 ROUND9.update({
     "q99_variant_explode_lateral": (q99_variant_explode_lateral, Q99_SQL),
 })
+
+# ---------------------------------------------------------------- d65
+
+
+def d65_holdout_calibrated_thresholds(spark: SparkSession,
+                                      sf: str) -> DataFrame:
+    """d62 x d63 composition — per-language calibrated keep-thresholds
+    computed from HELD-OUT scores only: the split model (d63, trained
+    on the 80% train half) scores the 20% holdout, and each language's
+    knife is placed on those unseen-data scores. This is the
+    production-correct calibration order — placing the knife on
+    training-set scores (d62's shape, fine there because d60's model
+    is the corpus-wide artifact) overstates post-deployment yield
+    whenever the model memorizes (d63's gate shows train keep-rates of
+    100% vs holdout 62% at sf0.01 — exactly the optimism this removes).
+
+    Same grid and target as d62; the oracle re-derives everything
+    (split training included) in SQL. Scale shape: d63's two passes
+    plus d62's constant-size grid machinery; the holdout filter is a
+    per-row hash pushed into the scan projection.
+    """
+    from etl_docker_spark.llm.text import token_count
+    from etl_docker_spark.plans.round6 import feats_sql
+    from etl_docker_spark.plans.round7 import (_BUCKET_SPARK, _D61_CELLS,
+                                               _labeled_docs)
+    from etl_docker_spark.plans.round8 import (_D62_GRID_LO, _D62_GRID_W,
+                                               _D62_KEEP_TARGET_PCT,
+                                               _d63_split, d63_weights_frame)
+
+    weights = d63_weights_frame(spark, sf)
+    labeled = (_labeled_docs(spark, sf)
+               .filter(_d63_split() == "holdout"))
+    docs = t(spark, sf, "documents").select("doc_id", "lang")
+    occ = (labeled.select(
+        "doc_id", F.explode(F.expr(feats_sql())).alias("f"))
+        .select("doc_id", F.expr(_BUCKET_SPARK).alias("bucket")))
+    ntok = (labeled.select("doc_id",
+                           token_count(F.col("text")).alias("n_tokens")))
+    scored = (occ.join(F.broadcast(weights), "bucket", "left")
+              .groupBy("doc_id")
+              .agg(F.count("*").cast("long").alias("n_feats"),
+                   F.sum(F.coalesce(F.col("w_ppm"), F.lit(0)))
+                   .cast("long").alias("sum_ppm")))
+    per_doc = (scored.join(ntok, "doc_id").join(docs, "doc_id")
+               .select("lang", "n_tokens",
+                       F.expr("sum_ppm DIV n_feats").alias("score_ppm")))
+    cell_w = _D62_GRID_W * 1.0 / _D61_CELLS
+    cell = F.least(F.greatest(
+        F.floor((F.col("score_ppm") - _D62_GRID_LO) / cell_w), F.lit(0)),
+        F.lit(_D61_CELLS - 1)).cast("long")
+    hist = (per_doc.select("lang", cell.alias("hcell"), "n_tokens")
+            .groupBy("lang", "hcell")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens")))
+    totals = (hist.groupBy("lang")
+              .agg(F.sum("n_docs").cast("long").alias("total_docs"),
+                   F.sum("n_tokens").cast("long").alias("total_tokens")))
+    grid = spark.range(_D61_CELLS).select(F.col("id").alias("cell"))
+    cum = (F.broadcast(grid)
+           .join(hist, F.col("hcell") >= F.col("cell"))
+           .groupBy("lang", "cell")
+           .agg(F.sum("n_docs").cast("long").alias("docs_kept"),
+                F.sum("n_tokens").cast("long").alias("tokens_kept")))
+    ok = (cum.join(totals, "lang")
+          .filter(F.col("tokens_kept") * 100
+                  >= _D62_KEEP_TARGET_PCT * F.col("total_tokens")))
+    return (ok.groupBy("lang")
+            .agg(F.max("cell").cast("long").alias("chosen_cell"),
+                 F.max_by("docs_kept", "cell").cast("long")
+                 .alias("docs_kept"),
+                 F.max_by("tokens_kept", "cell").cast("long")
+                 .alias("tokens_kept"),
+                 F.max("total_docs").cast("long").alias("total_docs"),
+                 F.max("total_tokens").cast("long").alias("total_tokens"))
+            .select("lang", "chosen_cell", "docs_kept", "tokens_kept",
+                    "total_docs", "total_tokens",
+                    F.expr("tokens_kept * 1000000 DIV total_tokens")
+                    .cast("long").alias("kept_ppm"))
+            .orderBy("lang"))
+
+
+def _d65_sql() -> str:
+    from etl_docker_spark.plans.round2f import _MIN_TOKENS
+    from etl_docker_spark.plans.round6 import _D58_BUCKETS
+    from etl_docker_spark.plans.round7 import (_D60_FEATS_DUCK, _D60_SCALE,
+                                               _D61_CELLS)
+    from etl_docker_spark.plans.round8 import (_D62_GRID_LO, _D62_GRID_W,
+                                               _D62_KEEP_TARGET_PCT,
+                                               _D63_TRAIN_PCT)
+    return rf"""
+WITH labeled AS (
+  SELECT doc_id, lang, text,
+         CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+           AS n_tokens,
+         CASE WHEN CAST(len(regexp_extract_all(text, '\w+|[^\w\s]'))
+                        AS BIGINT) < {_MIN_TOKENS} THEN 0
+              WHEN 2 * CAST(len(list_distinct(
+                       regexp_extract_all(text, '\w+|[^\w\s]')))
+                       AS BIGINT)
+                   < CAST(len(regexp_extract_all(text, '\w+|[^\w\s]'))
+                          AS BIGINT) THEN 0
+              ELSE 1 END AS y0,
+         CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 8) AS BIGINT) % 100
+                   < {_D63_TRAIN_PCT}
+              THEN 'train' ELSE 'holdout' END AS split,
+         {_D60_FEATS_DUCK} AS feats
+  FROM documents
+),
+lab AS (
+  SELECT doc_id, lang, n_tokens, split, feats,
+         CASE WHEN y0 = 0 THEN 0
+              WHEN row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) > 1 THEN 0
+              ELSE 1 END AS y
+  FROM labeled
+),
+occ AS (
+  SELECT doc_id, lang, n_tokens, split, y,
+         CAST('0x' || substring(md5(unnest(feats)), 1, 8) AS BIGINT)
+           % {_D58_BUCKETS} AS bucket
+  FROM lab
+),
+counts AS (
+  SELECT bucket,
+         CAST(SUM(y) AS BIGINT) AS n1,
+         CAST(SUM(1 - y) AS BIGINT) AS n0
+  FROM occ WHERE split = 'train' GROUP BY bucket
+),
+prior AS (
+  SELECT CAST(SUM(n1) AS BIGINT) AS g1, CAST(SUM(n0) AS BIGINT) AS g0
+  FROM counts
+),
+w AS (
+  SELECT bucket,
+         CAST((n1 - n0) * {_D60_SCALE} // (n1 + n0)
+              - (g1 - g0) * {_D60_SCALE} // (g1 + g0) AS BIGINT) AS w_ppm
+  FROM counts, prior
+),
+scored AS (
+  SELECT o.doc_id, any_value(o.lang) AS lang,
+         any_value(o.n_tokens) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_feats,
+         CAST(SUM(COALESCE(w.w_ppm, 0)) AS BIGINT) AS sum_ppm
+  FROM occ o LEFT JOIN w USING (bucket)
+  WHERE o.split = 'holdout'
+  GROUP BY o.doc_id
+),
+cells AS (
+  SELECT lang,
+         least(greatest(CAST(floor(
+           ((sum_ppm // n_feats) - {_D62_GRID_LO})
+           / ({_D62_GRID_W} * 1.0 / {_D61_CELLS})) AS BIGINT), 0),
+           {_D61_CELLS - 1}) AS hcell,
+         n_tokens
+  FROM scored
+),
+hist AS (
+  SELECT lang, hcell, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM cells GROUP BY lang, hcell
+),
+totals AS (
+  SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM hist GROUP BY lang
+),
+grid AS (
+  SELECT unnest(generate_series(0, {_D61_CELLS - 1})) AS cell
+),
+cum AS (
+  SELECT h.lang, g.cell,
+         CAST(SUM(h.n_docs) AS BIGINT) AS docs_kept,
+         CAST(SUM(h.n_tokens) AS BIGINT) AS tokens_kept
+  FROM grid g JOIN hist h ON h.hcell >= g.cell
+  GROUP BY h.lang, g.cell
+),
+ok AS (
+  SELECT c.lang, c.cell, c.docs_kept, c.tokens_kept,
+         t.total_docs, t.total_tokens
+  FROM cum c JOIN totals t USING (lang)
+  WHERE c.tokens_kept * 100 >= {_D62_KEEP_TARGET_PCT} * t.total_tokens
+)
+SELECT lang,
+       CAST(MAX(cell) AS BIGINT) AS chosen_cell,
+       CAST(arg_max(docs_kept, cell) AS BIGINT) AS docs_kept,
+       CAST(arg_max(tokens_kept, cell) AS BIGINT) AS tokens_kept,
+       CAST(MAX(total_docs) AS BIGINT) AS total_docs,
+       CAST(MAX(total_tokens) AS BIGINT) AS total_tokens,
+       CAST(arg_max(tokens_kept, cell) * 1000000 // MAX(total_tokens)
+            AS BIGINT) AS kept_ppm
+FROM ok
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+ROUND9.update({
+    "d65_holdout_calibrated_thresholds": (d65_holdout_calibrated_thresholds,
+                                          _d65_sql()),
+})
