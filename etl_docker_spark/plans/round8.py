@@ -19,8 +19,7 @@ from etl_docker_spark.plans._util import t
 from etl_docker_spark.plans.round2f import _MIN_TOKENS
 from etl_docker_spark.plans.round6 import _D58_BUCKETS
 from etl_docker_spark.plans.round7 import (_D60_FEATS_DUCK, _D60_SCALE,
-                                           _D61_CELLS, _D61_GRID_LO,
-                                           _D61_GRID_W)
+                                           _D61_CELLS)
 
 ROUND8: dict = {}
 
@@ -289,7 +288,7 @@ WITH labeled AS (
          CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
            AS n_tokens,
          CASE WHEN CAST(len(regexp_extract_all(text, '\w+|[^\w\s]'))
-                        AS BIGINT) < 30 THEN 0
+                        AS BIGINT) < {_MIN_TOKENS} THEN 0
               WHEN 2 * CAST(len(list_distinct(
                        regexp_extract_all(text, '\w+|[^\w\s]')))
                        AS BIGINT)
@@ -642,12 +641,13 @@ ROUND8.update({
 # ---------------------------------------------------------------- d64
 
 # Bounded hash domain: projecting tokens into [0, 3000) caps each
-# sketch's distinct count at 3000 < 2^12 nominal entries, so the theta
-# sketches stay in EXACT mode at ANY corpus scale and the estimates are
-# integers the oracle reproduces as plain distinct counts (the same
-# exact-regime discipline d28 used for its portable HLL). A production
-# run sketching RAW token ids instead accepts the ~1/sqrt(2^12) = 1.6%
-# relative error — the machinery below is identical either way.
+# sketch's distinct count at 3000 < 2^13 (= _D64_LGK) nominal entries,
+# so the theta sketches stay in EXACT mode at ANY corpus scale and the
+# estimates are integers the oracle reproduces as plain distinct counts
+# (the same exact-regime discipline d28 used for its portable HLL). A
+# production run sketching RAW token ids instead accepts the
+# ~1/sqrt(2^13) = 1.1% relative error — the machinery below is
+# identical either way.
 _D64_DOMAIN = 3000
 _D64_LGK = 13
 

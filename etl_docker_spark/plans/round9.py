@@ -6,8 +6,9 @@ the fact would desynchronize every artifact count (the round-5 lesson,
 applied successfully for q95 in rounds 7->8). Round 9 registers this
 module first thing, then regenerates.
 
-Round-8 probe findings these build on (tests in tests/test_round8.py
-pin the primitives): collations are live (UTF8_LCASE / UNICODE_CI_AI;
+Round-8 probe findings these build on (tests/test_round8.py's
+test_collation_primitives / test_listagg_within_group /
+test_variant_explode_lateral pin the primitives): collations are live (UTF8_LCASE / UNICODE_CI_AI;
 a collated group-by keeps the FIRST-SEEN representation, so outputs
 must be canonicalized with lower() for cross-engine determinism),
 `listagg(...) WITHIN GROUP (ORDER BY ...)` is live (DuckDB parity via
@@ -272,20 +273,20 @@ def d65_holdout_calibrated_thresholds(spark: SparkSession,
     weights = d63_weights_frame(spark, sf)
     labeled = (_labeled_docs(spark, sf)
                .filter(_d63_split() == "holdout"))
-    docs = t(spark, sf, "documents").select("doc_id", "lang")
+    # lang and n_tokens ride the explode and the per-doc groupBy (the
+    # d60_scores_frame shape) — no second documents scan, no join-back
     occ = (labeled.select(
-        "doc_id", F.explode(F.expr(feats_sql())).alias("f"))
-        .select("doc_id", F.expr(_BUCKET_SPARK).alias("bucket")))
-    ntok = (labeled.select("doc_id",
-                           token_count(F.col("text")).alias("n_tokens")))
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens"),
+        F.explode(F.expr(feats_sql())).alias("f"))
+        .select("doc_id", "lang", "n_tokens",
+                F.expr(_BUCKET_SPARK).alias("bucket")))
     scored = (occ.join(F.broadcast(weights), "bucket", "left")
-              .groupBy("doc_id")
+              .groupBy("doc_id", "lang", "n_tokens")
               .agg(F.count("*").cast("long").alias("n_feats"),
                    F.sum(F.coalesce(F.col("w_ppm"), F.lit(0)))
                    .cast("long").alias("sum_ppm")))
-    per_doc = (scored.join(ntok, "doc_id").join(docs, "doc_id")
-               .select("lang", "n_tokens",
-                       F.expr("sum_ppm DIV n_feats").alias("score_ppm")))
+    per_doc = scored.select("lang", "n_tokens",
+                            F.expr("sum_ppm DIV n_feats").alias("score_ppm"))
     cell_w = _D62_GRID_W * 1.0 / _D61_CELLS
     cell = F.least(F.greatest(
         F.floor((F.col("score_ppm") - _D62_GRID_LO) / cell_w), F.lit(0)),

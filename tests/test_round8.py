@@ -14,8 +14,6 @@ def test_q95_variant_survives_parquet(spark):
     import shutil
     import tempfile
 
-    from pyspark.sql import functions as F
-
     df = spark.sql("""
         SELECT to_variant_object(named_struct(
                  'id', id, 'tags', array('a', 'b'),
@@ -192,6 +190,51 @@ def test_d64_sketch_domain_stays_exact(spark):
     for r in rows:
         assert 0 < r.n_common <= r.n_union <= _D64_DOMAIN
         assert r.jaccard_ppm == r.n_common * 1_000_000 // r.n_union
+
+
+def test_collation_primitives(spark):
+    """Round-8 probe finds staged for round 9 (plans/round9.py): pin
+    the collation behavior q97 depends on — UTF8_LCASE merges case
+    variants under GROUP BY and equality, and the group key keeps the
+    FIRST-SEEN representation (why q97 must canonicalize outputs)."""
+    rows = spark.sql("""
+        SELECT collate(x, 'UTF8_LCASE') k, count(*) n
+        FROM VALUES ('Abc'), ('aBC'), ('xyz') t(x)
+        GROUP BY k ORDER BY n DESC
+    """).collect()
+    assert [(r.k, r.n) for r in rows] == [("Abc", 2), ("xyz", 1)]
+    eq = spark.sql(
+        "SELECT collate('HeLLo', 'UTF8_LCASE') = 'hello' e").first()
+    assert eq.e is True
+
+
+def test_listagg_within_group(spark):
+    """Pin listagg WITHIN GROUP ordering (q98's determinism source):
+    ascending and descending orders both honored."""
+    row = spark.sql("""
+        SELECT listagg(x, ',') WITHIN GROUP (ORDER BY x) a,
+               listagg(x, '|') WITHIN GROUP (ORDER BY x DESC) d
+        FROM VALUES ('b'), ('c'), ('a') t(x)
+    """).first()
+    assert row.a == "a,b,c" and row.d == "c|b|a"
+
+
+def test_variant_explode_lateral(spark):
+    """Pin the variant_explode table function (q99's engine): object
+    fields come back as (pos, key, value), arrays carry ordinality."""
+    rows = spark.sql("""
+        SELECT e.pos, e.key, variant_get(e.value, '$', 'bigint') v
+        FROM (SELECT parse_json('[10,20,30]') vv) t,
+             LATERAL variant_explode(t.vv) e
+        ORDER BY e.pos
+    """).collect()
+    assert [(r.pos, r.key, r.v) for r in rows] == [
+        (0, None, 10), (1, None, 20), (2, None, 30)]
+    keys = spark.sql("""
+        SELECT e.key FROM (SELECT parse_json('{"a":1,"b":2}') vv) t,
+             LATERAL variant_explode(t.vv) e ORDER BY e.key
+    """).collect()
+    assert [r.key for r in keys] == ["a", "b"]
 
 
 def test_d63_generalization_gap_is_visible(spark):
