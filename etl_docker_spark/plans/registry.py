@@ -39,6 +39,8 @@ from etl_docker_spark.plans.round6b import ROUND6B
 from etl_docker_spark.plans.round6c import ROUND6C
 from etl_docker_spark.plans.round7 import ROUND7
 from etl_docker_spark.plans.round8 import ROUND8
+from etl_docker_spark.plans.round9 import ROUND9
+from etl_docker_spark.plans.round9b import ROUND9B
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
@@ -72,7 +74,21 @@ _GATE_WINDOW = [
     "d24_perplexity_buckets",
     "e05_ivf_train", "e08_hybrid_rrf",
     "s05_stream_stream_join",
-    # round-8, complete (newest surface, least externally verified).
+    # round-9 registrations (newest surface, never externally verified).
+    # Rotation: d53 (d57 stays as the suffix-filter family rep), g06
+    # (g07 stays for graph), e22 (e23/e24 stay for ANN), d56 (d64's
+    # sketch-tier leakage matrix is in-window) — all driver-gated green
+    # 3+ consecutive rounds, families never red.
+    "q97_collation_battery", "q98_listagg_battery",
+    "q99_variant_explode_lateral", "d65_holdout_calibrated_thresholds",
+    # round-8-continuation registrations (same session as the round-9
+    # four). Rotation: d55 (curation family repped by d60-d65), d50
+    # (d51 stays as the substring rep), e21 (e23/e24 stay for ANN
+    # serving), s21 (eight stream reps remain in-window) — all
+    # driver-gated green 3+ consecutive rounds.
+    "d66_heavy_hitter_buckets", "d67_hll_lang_coverage",
+    "d68_model_score_drift", "q100_accent_collation_battery",
+    # round-8, complete.
     # Rotation: q87/q88/q89/q90/q91/q92 (the SQL-surface battery —
     # driver-gated green for 2-3 consecutive rounds, families never
     # red) rotate out to make room for the six round-8 queries.
@@ -94,14 +110,13 @@ _GATE_WINDOW = [
     "s28_foreachbatch_idempotent",
     "q93_interval_battery", "d59_classifier_weight_join",
     "e24_ivf_binary_funnel", "s29_changefeed_metrics_reconcile",
-    # round-5, complete (q87 rotated out in r8)
-    "d53_suffix_filter_jaccard",
-    "d55_self_dedup_curation", "g06_cc_largestar",
+    # round-5, complete (q87 rotated out in r8; d53/g06 rotated out for
+    # the round-9 four, d55 for the continuation four — d57/g07 and the
+    # d60-d65 curation chain stay as the family reps)
     "s26_state_datasource",
     # round-5b remainder (q75-q80 rotated out in r6; q88/q89/q90/q91
-    # rotated out in r8)
-    "d56_cross_source_leakage",
-    "e22_matryoshka_search",
+    # rotated out in r8; d56/e22 rotated out for the round-9 four —
+    # d64/e23/e24 stay as the family reps)
     # round-4 cross-section. Round-6 rotation: s14/s15 (HUGEINT-red in
     # r4, driver-confirmed green in r5) rotate out with the full
     # artifact committed; s16 stays as the applyInPandasWithState
@@ -116,9 +131,7 @@ _GATE_WINDOW = [
     "q82_sql_udf_installments", "q85_calendar_tz_battery",
     "q86_dynamic_partition_pruning", "s24_watermark_policy_max",
     "s25_stream_dedup_then_agg", "d52_internal_repetition",
-    "d50_substring_runs",
-    "d51_substring_decontam", "e21_base_delta_serving",
-    "s21_stream_state_accounting",
+    "d51_substring_decontam",
     "s23_stream_join_then_agg",
     # round-3 cross-section (the rest of round 3 rotated out across
     # rounds 4b/4c — all stay green in the full artifact)
@@ -133,7 +146,7 @@ def _build() -> dict[str, QuerySpec]:
                   ROUND2H, ROUND2I, ROUND2J, ROUND2K, ROUND2L, ROUND2M,
                   ROUND2N, ROUND2O, ROUND2P, ROUND2Q, ROUND3, ROUND4,
                   ROUND4B, ROUND4C, ROUND5, ROUND5B, ROUND6, ROUND6B,
-                  ROUND6C, ROUND7, ROUND8):
+                  ROUND6C, ROUND7, ROUND8, ROUND9, ROUND9B):
         for name, (builder, oracle) in table.items():
             specs[name] = QuerySpec(name, builder, oracle)
     assert len(_GATE_WINDOW) == 50, len(_GATE_WINDOW)

@@ -170,8 +170,8 @@ def test_registry_complete_and_oracle_backed(spark):
     missing = set(qs) - set(oracles) - rows_only_allowed
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
-        *(f"q{i:02d}" for i in range(1, 97)),
-        *(f"d{i:02d}" for i in range(1, 65)),
+        *(f"q{i:02d}" for i in range(1, 101)),
+        *(f"d{i:02d}" for i in range(1, 69)),
         *(f"e{i:02d}" for i in range(1, 25)),
         *(f"s{i:02d}" for i in range(1, 32)),
         "g01", "g02", "g03", "g04", "g05", "g06", "g07",
@@ -204,14 +204,18 @@ def test_gate_window_samples_every_round(spark):
     # round-7 complete set present
     assert {"d60_trained_classifier", "d61_threshold_yield_curve",
             "q94_variant_battery", "s30_stream_variant_ingest"} <= set(first50)
+    # round-9 registrations present (newest, never externally verified)
+    assert {"q97_collation_battery", "q98_listagg_battery",
+            "q99_variant_explode_lateral",
+            "d65_holdout_calibrated_thresholds",
+            "d66_heavy_hitter_buckets", "d67_hll_lang_coverage",
+            "d68_model_score_drift",
+            "q100_accent_collation_battery"} <= set(first50)
     # round-5 cross-section (d54, green r4-r6, rotated out in round 7;
     # q87/q88/q89/q90/q91 — the SQL-surface battery, green r5-r7 —
-    # rotated out in round 8)
-    assert {"d53_suffix_filter_jaccard",
-            "d55_self_dedup_curation", "g06_cc_largestar",
-            "s26_state_datasource",
-            "d56_cross_source_leakage",
-            "e22_matryoshka_search"} <= set(first50)
+    # rotated out in round 8; d53/g06/d56/e22 rotated out for the
+    # round-9 four — d57/g07/d64/e23/e24 stay as the family reps)
+    assert {"s26_state_datasource"} <= set(first50)
     # round-6 set present (q92 rotated out in round 8 with the rest of
     # the SQL-surface battery)
     assert {"d57_shared_prefix_stress",
@@ -229,9 +233,7 @@ def test_gate_window_samples_every_round(spark):
             "s16_stream_dedup_expiry"} <= set(first50)
     # round-4c cross-section (q83/q84/s19/d49/s13/s20/s22 rotated out in
     # round 6; all were driver-gated green in both r4 and r5)
-    assert {"d50_substring_runs", "d51_substring_decontam",
-            "e21_base_delta_serving",
-            "s21_stream_state_accounting",
+    assert {"d51_substring_decontam",
             "s23_stream_join_then_agg",
             "q82_sql_udf_installments", "q85_calendar_tz_battery",
             "q86_dynamic_partition_pruning", "s24_watermark_policy_max",

@@ -1,0 +1,99 @@
+"""Round-8-continuation: the probe-found sketch/collation primitives
+behind d66/d67/q100 and the d68 drift gate, pinned in isolation so an
+environment regression is caught even before the oracle sweep runs."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def test_approx_top_k_boundary_stratum_dodge(spark):
+    """The k-boundary tie-break of approx_top_k is hash-order (round-8
+    probe), so raw top-k output is nondeterministic across engines —
+    but dropping the whole boundary stratum (count == min returned
+    count) leaves exactly the strictly-greater set, which IS
+    deterministic. Pin that on a frame with a deliberate tie AT the
+    boundary: {a:3, b:2, c:2, d:1}, k=2 -> only 'a' survives."""
+    rows = spark.sql("""
+        WITH d AS (SELECT explode(split('a a a b b c c d', ' ')) AS x)
+        SELECT tk FROM (SELECT approx_top_k(x, 2, 100) AS tk FROM d)
+    """).collect()
+    tk = rows[0][0]
+    assert len(tk) == 2 and tk[0]["item"] == "a" and tk[0]["count"] == 3
+    min_cnt = min(e["count"] for e in tk)
+    survivors = [e["item"] for e in tk if e["count"] > min_cnt]
+    assert survivors == ["a"]
+
+
+def test_hll_coupon_exact_phase_boundary(spark):
+    """d67's exactness argument: lgK=16 keeps the DataSketches HLL in
+    its coupon phase (estimate == exact) through the 3000-value bucket
+    domain, while lgK=14 has already promoted to HLL-array mode and
+    drifts — pinning BOTH sides documents why _D67_LGK is 16 and turns
+    a future default-lgK change into a test failure, not silent
+    estimate drift."""
+    exact = spark.sql("""
+        WITH d AS (SELECT CAST(id % 3000 AS BIGINT) AS v FROM range(60000))
+        SELECT CAST(hll_sketch_estimate(hll_sketch_agg(v, 16)) AS BIGINT)
+        FROM d
+    """).collect()[0][0]
+    assert exact == 3000
+    drifted = spark.sql("""
+        WITH d AS (SELECT CAST(id % 3000 AS BIGINT) AS v FROM range(60000))
+        SELECT CAST(hll_sketch_estimate(hll_sketch_agg(v, 14)) AS BIGINT)
+        FROM d
+    """).collect()[0][0]
+    assert drifted != 3000
+
+
+def test_hll_union_agg_exact_in_coupon_phase(spark):
+    """Unions of coupon-phase sketches stay coupon-phase while the
+    union cardinality is below the promotion threshold — the property
+    d67's cumulative-coverage triangle relies on."""
+    got = spark.sql("""
+        WITH s AS (
+          SELECT g, hll_sketch_agg(v, 16) AS sk FROM (
+            SELECT CAST(id % 4 AS INT) AS g,
+                   CAST((id * 7) % 2500 AS BIGINT) AS v
+            FROM range(50000)
+          ) GROUP BY g
+        )
+        SELECT CAST(hll_sketch_estimate(hll_union_agg(sk, true)) AS BIGINT)
+        FROM s
+    """).collect()[0][0]
+    assert got == 2500
+
+
+def test_unicode_ci_ai_equates_accent_and_case(spark):
+    """q100's collation legs: UNICODE_CI_AI must equate accent AND case
+    variants, both in equality and in count(DISTINCT ...)."""
+    row = spark.sql("""
+        SELECT collate('café', 'UNICODE_CI_AI')
+                 = collate('CAFE', 'UNICODE_CI_AI') AS eq_ai,
+               collate('BÚÍLDÍNG', 'UNICODE_CI_AI')
+                 = collate('building', 'UNICODE_CI_AI') AS eq_b
+    """).collect()[0]
+    assert row["eq_ai"] and row["eq_b"]
+    n = spark.sql("""
+        SELECT count(DISTINCT collate(x, 'UNICODE_CI_AI')) FROM VALUES
+        ('búíldíng'),('BUILDING'),('building'),('BúíldíNG') AS t(x)
+    """).collect()[0][0]
+    assert n == 1
+
+
+def test_d68_holdout_drift_is_nonzero(spark):
+    """The drift gate must actually see drift: removing 20% of training
+    data moves at least some holdout scores (mean_abs_delta_ppm > 0 on
+    the holdout split), while per-split doc counts partition the
+    corpus. Pinned at smoke scale."""
+    from etl_docker_spark.plans.round9b import d68_model_score_drift
+
+    rows = {r["split"]: r
+            for r in d68_model_score_drift(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"train", "holdout"}
+    n_docs = sum(r["n_docs"] for r in rows.values())
+    from etl_docker_spark.catalog import load_table
+    assert n_docs == load_table(spark, SF_SMOKE, "documents").count()
+    assert rows["holdout"]["mean_abs_delta_ppm"] > 0
+    assert all(r["max_abs_delta_ppm"] >= r["mean_abs_delta_ppm"]
+               for r in rows.values())
