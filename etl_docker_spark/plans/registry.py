@@ -84,10 +84,11 @@ _GATE_WINDOW = [
     # round-8-continuation registrations (same session as the round-9
     # four). Rotation: d55 (curation family repped by d60-d65), d50
     # (d51 stays as the substring rep), e21 (e23/e24 stay for ANN
-    # serving), s21 (eight stream reps remain in-window) — all
+    # serving), s21 and s23 (seven stream reps remain in-window) — all
     # driver-gated green 3+ consecutive rounds.
     "d66_heavy_hitter_buckets", "d67_hll_lang_coverage",
     "d68_model_score_drift", "q100_accent_collation_battery",
+    "s32_stream_hll_cardinality",
     # round-8, complete.
     # Rotation: q87/q88/q89/q90/q91/q92 (the SQL-surface battery —
     # driver-gated green for 2-3 consecutive rounds, families never
@@ -132,7 +133,6 @@ _GATE_WINDOW = [
     "q86_dynamic_partition_pruning", "s24_watermark_policy_max",
     "s25_stream_dedup_then_agg", "d52_internal_repetition",
     "d51_substring_decontam",
-    "s23_stream_join_then_agg",
     # round-3 cross-section (the rest of round 3 rotated out across
     # rounds 4b/4c — all stay green in the full artifact)
     "q68_rest_paginated_ingest", "q69_dag_audit_trail",

@@ -442,3 +442,70 @@ ROUND9B.update({
     "q100_accent_collation_battery": (q100_accent_collation_battery,
                                       Q100_SQL),
 })
+
+# ---------------------------------------------------------------- s32
+
+
+def s32_stream_hll_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING distinct-cardinality via native HLL sketch aggregation —
+    the streaming leg of the d64/d67 sketch family: per (event-time day,
+    event_type), the event count and the distinct user-bucket count,
+    where the cardinality state is an `hll_sketch_agg` sketch, not a
+    per-key exact-distinct state store.
+
+    This is THE 100-TB streaming-distinct design: an exact streaming
+    COUNT(DISTINCT) would carry every seen key in the state store
+    (state grows with cardinality, the classic streaming OOM); the HLL
+    state is a few KB per group regardless of how many distinct values
+    pass, merges associatively across micro-batches and shuffle
+    partitions, and the estimate is read once per emitted row. Gate
+    exactness: user ids fold into d64's bounded 3000-bucket domain, so
+    every sketch stays in its coupon-exact phase (_D67_LGK = 16,
+    exact through 8192 — tests/test_round9.py pins the boundary) and
+    the oracle pins estimates as plain COUNT(DISTINCT ...). At a real
+    100 TB feed you would drop the bucketing and accept the ±0.8%
+    HLL error — the plan does not change, only the exactness argument.
+    """
+    from etl_docker_spark.plans._util import stream_state_partitions
+    from etl_docker_spark.plans.advanced import (_events_stream,
+                                                 _state_partitions_for)
+
+    stream = _events_stream(spark, sf)
+    bucket = F.expr(
+        f"pmod(CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), "
+        f"16, 10) AS BIGINT), {_D64_DOMAIN})")
+    agg = (stream.select("ts", "event_type", bucket.alias("b"))
+           .withWatermark("ts", "1 minute")
+           .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+           .agg(F.count("*").cast("long").alias("n_events"),
+                F.expr(f"hll_sketch_estimate(hll_sketch_agg(b, {_D67_LGK}))")
+                .cast("long").alias("n_user_buckets"))
+           .select(F.col("w.start").alias("window_start"),
+                   F.col("w.end").alias("window_end"),
+                   "event_type", "n_events", "n_user_buckets"))
+    name = f"s32_sink_{abs(hash(sf)) % 10 ** 8}"
+    with stream_state_partitions(spark, _state_partitions_for(spark, sf)):
+        q = (agg.writeStream.outputMode("complete").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        q.stop()
+    return spark.table(name)
+
+
+S32_SQL = f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY
+         AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT
+              CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % {_D64_DOMAIN}) AS BIGINT)
+         AS n_user_buckets
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+ROUND9B.update({
+    "s32_stream_hll_cardinality": (s32_stream_hll_cardinality, S32_SQL),
+})

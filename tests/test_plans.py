@@ -173,7 +173,7 @@ def test_registry_complete_and_oracle_backed(spark):
         *(f"q{i:02d}" for i in range(1, 101)),
         *(f"d{i:02d}" for i in range(1, 69)),
         *(f"e{i:02d}" for i in range(1, 25)),
-        *(f"s{i:02d}" for i in range(1, 32)),
+        *(f"s{i:02d}" for i in range(1, 33)),
         "g01", "g02", "g03", "g04", "g05", "g06", "g07",
     }
     assert {n.split("_")[0] for n in qs} == expected
@@ -210,7 +210,8 @@ def test_gate_window_samples_every_round(spark):
             "d65_holdout_calibrated_thresholds",
             "d66_heavy_hitter_buckets", "d67_hll_lang_coverage",
             "d68_model_score_drift",
-            "q100_accent_collation_battery"} <= set(first50)
+            "q100_accent_collation_battery",
+            "s32_stream_hll_cardinality"} <= set(first50)
     # round-5 cross-section (d54, green r4-r6, rotated out in round 7;
     # q87/q88/q89/q90/q91 — the SQL-surface battery, green r5-r7 —
     # rotated out in round 8; d53/g06/d56/e22 rotated out for the
@@ -234,7 +235,6 @@ def test_gate_window_samples_every_round(spark):
     # round-4c cross-section (q83/q84/s19/d49/s13/s20/s22 rotated out in
     # round 6; all were driver-gated green in both r4 and r5)
     assert {"d51_substring_decontam",
-            "s23_stream_join_then_agg",
             "q82_sql_udf_installments", "q85_calendar_tz_battery",
             "q86_dynamic_partition_pruning", "s24_watermark_policy_max",
             "s25_stream_dedup_then_agg",
