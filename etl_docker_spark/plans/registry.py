@@ -88,7 +88,7 @@ _GATE_WINDOW = [
     # driver-gated green 3+ consecutive rounds.
     "d66_heavy_hitter_buckets", "d67_hll_lang_coverage",
     "d68_model_score_drift", "q100_accent_collation_battery",
-    "s32_stream_hll_cardinality",
+    "s32_stream_hll_cardinality", "d69_bitmap_exact_distinct",
     # round-8, complete.
     # Rotation: q87/q88/q89/q90/q91/q92 (the SQL-surface battery —
     # driver-gated green for 2-3 consecutive rounds, families never
@@ -125,7 +125,6 @@ _GATE_WINDOW = [
     "q70_incremental_lifecycle", "q73_bucketed_cojoin",
     "d47_prefix_filter_jaccard",
     "s16_stream_dedup_expiry",
-    "s17_stream_outer_join",
     # round-4c cross-section (q83/q84/s19 — all driver-gated green in
     # BOTH r4 and r5 — rotated out for the round-6 seven; q85/q86 stay,
     # the most quirk-prone calendar/pruning gates)

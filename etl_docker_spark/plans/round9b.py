@@ -509,3 +509,74 @@ GROUP BY 1, 2, 3
 ROUND9B.update({
     "s32_stream_hll_cardinality": (s32_stream_hll_cardinality, S32_SQL),
 })
+
+# ---------------------------------------------------------------- d69
+
+
+def d69_bitmap_exact_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT distinct counting via the native bitmap aggregate family
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+    bitmap_or_agg / bitmap_count — a NEW probe find this session; the
+    round-8 probe predates it). Per event type: exact distinct users
+    from segment bitmaps, plus the global exact distinct-user count
+    re-aggregated from the SAME bitmap states — no second scan.
+
+    This completes the cardinality tier ladder: d64 theta (set algebra,
+    approximate beyond exact mode), d67/s32 HLL (union-only, tiny
+    state), d69 bitmaps (EXACT, state = 1 bit per possible id inside
+    fixed 32 KB segments — the right tier when ids are dense integers,
+    e.g. user/doc ids). Unlike the sketch tiers, no bounded-domain
+    trick is needed for the gate: bitmaps are exact by construction at
+    any scale, so the oracle is a plain COUNT(DISTINCT user_id).
+
+    Scale shape: two cascaded aggregates — (type, segment)-keyed
+    bitmap build with map-side partial OR-merging, then a per-type
+    rollup summing per-segment popcounts, re-using the level-1 states
+    for the global union (grouped by segment — NOT a single-row
+    collapse; the global popcount is a sum over segment popcounts, so
+    state per task stays one 32 KB segment regardless of id range).
+    A 10^9-dense-id corpus is ~30k segments x 32 KB = manageable state
+    fanned across executors, where exact distinct via shuffle-distinct
+    would move every (type, id) pair.
+    """
+    ev = t(spark, sf, "events")
+    lvl1 = (ev.groupBy("event_type",
+                       F.expr("bitmap_bucket_number(user_id)").alias("seg"))
+            .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+                 .alias("bm"),
+                 F.count("*").cast("long").alias("n")))
+    per_type = (lvl1.groupBy("event_type")
+                .agg(F.sum(F.expr("bitmap_count(bm)")).cast("long")
+                     .alias("n_users"),
+                     F.sum("n").cast("long").alias("n_events")))
+    total = (lvl1.groupBy("seg")
+             .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+             .agg(F.sum(F.expr("bitmap_count(bm)")).cast("long")
+                  .alias("total_users")))
+    return (per_type.crossJoin(F.broadcast(total))
+            .select("event_type", "n_events", "n_users", "total_users",
+                    F.expr("n_users * 1000000 DIV total_users")
+                    .cast("long").alias("share_ppm"))
+            .orderBy("event_type"))
+
+
+D69_SQL = """
+WITH per_type AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS total_users
+  FROM events
+)
+SELECT event_type, n_events, n_users, total_users,
+       CAST(n_users * 1000000 // total_users AS BIGINT) AS share_ppm
+FROM per_type, tot
+ORDER BY event_type
+"""
+
+ROUND9B.update({
+    "d69_bitmap_exact_distinct": (d69_bitmap_exact_distinct, D69_SQL),
+})

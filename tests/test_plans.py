@@ -171,7 +171,7 @@ def test_registry_complete_and_oracle_backed(spark):
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
         *(f"q{i:02d}" for i in range(1, 101)),
-        *(f"d{i:02d}" for i in range(1, 69)),
+        *(f"d{i:02d}" for i in range(1, 70)),
         *(f"e{i:02d}" for i in range(1, 25)),
         *(f"s{i:02d}" for i in range(1, 33)),
         "g01", "g02", "g03", "g04", "g05", "g06", "g07",
@@ -211,7 +211,8 @@ def test_gate_window_samples_every_round(spark):
             "d66_heavy_hitter_buckets", "d67_hll_lang_coverage",
             "d68_model_score_drift",
             "q100_accent_collation_battery",
-            "s32_stream_hll_cardinality"} <= set(first50)
+            "s32_stream_hll_cardinality",
+            "d69_bitmap_exact_distinct"} <= set(first50)
     # round-5 cross-section (d54, green r4-r6, rotated out in round 7;
     # q87/q88/q89/q90/q91 — the SQL-surface battery, green r5-r7 —
     # rotated out in round 8; d53/g06/d56/e22 rotated out for the

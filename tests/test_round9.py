@@ -97,3 +97,33 @@ def test_d68_holdout_drift_is_nonzero(spark):
     assert rows["holdout"]["mean_abs_delta_ppm"] > 0
     assert all(r["max_abs_delta_ppm"] >= r["mean_abs_delta_ppm"]
                for r in rows.values())
+
+
+def test_bitmap_family_exact_merge(spark):
+    """d69's primitives: segment bitmaps count exactly, and OR-merging
+    per-segment states reproduces the distinct count of the union —
+    including across segment boundaries (bitmap_bucket_number splits
+    the id space every 32768 bits)."""
+    row = spark.sql("""
+        WITH ids AS (SELECT id * 9973 AS v FROM range(500))
+        SELECT CAST(SUM(c) AS BIGINT) FROM (
+          SELECT bitmap_count(bitmap_construct_agg(bitmap_bit_position(v)))
+                   AS c
+          FROM ids GROUP BY bitmap_bucket_number(v)
+        )
+    """).collect()[0]
+    assert row[0] == 500
+    merged = spark.sql("""
+        WITH a AS (SELECT id AS v FROM range(300)),
+             b AS (SELECT id + 200 AS v FROM range(300)),
+        bms AS (
+          SELECT bitmap_bucket_number(v) AS seg,
+                 bitmap_construct_agg(bitmap_bit_position(v)) AS bm
+          FROM (SELECT v FROM a UNION ALL SELECT v FROM b)
+          GROUP BY 1
+        )
+        SELECT CAST(SUM(bitmap_count(bm)) AS BIGINT) FROM (
+          SELECT seg, bitmap_or_agg(bm) AS bm FROM bms GROUP BY seg
+        )
+    """).collect()[0]
+    assert merged[0] == 500
