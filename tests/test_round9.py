@@ -127,3 +127,41 @@ def test_bitmap_family_exact_merge(spark):
         )
     """).collect()[0]
     assert merged[0] == 500
+
+
+def test_round10_primitives_levenshtein_and_try_parse_json(spark):
+    """Round-10 staged-query primitives (plans/round10.py, unregistered):
+    pinned now so an environment regression before registration is
+    caught. Includes the cross-engine gotcha: Spark levenshtein counts
+    CODEPOINTS ('café'->'cafe' = 1; DuckDB's byte-based counts 2),
+    which is why d70 ASCII-sanitizes its keys on both sides."""
+    row = spark.sql("""
+        SELECT levenshtein('kitten', 'sitting') AS d1,
+               levenshtein('café', 'cafe') AS d2,
+               try_parse_json('{"a": 1}') IS NULL AS ok_null,
+               try_parse_json('{bad') IS NULL AS bad_null,
+               is_variant_null(try_parse_json('null')) AS vnull,
+               is_variant_null(try_parse_json('1')) AS vnotnull
+    """).collect()[0]
+    assert row["d1"] == 3 and row["d2"] == 1
+    assert not row["ok_null"] and row["bad_null"]
+    assert row["vnull"] and not row["vnotnull"]
+
+
+def test_d70_deletion_blocking_complete_vs_bruteforce(spark):
+    """The staged d70's blocking claim, pinned against brute force on a
+    small slice: deletion-neighborhood candidates == the full quadratic
+    scan's substitution-distance-1 pairs (completeness AND precision)."""
+    brute = spark.sql("""
+        WITH k AS (SELECT c_custkey AS id, c_name AS key FROM
+                   parquet.`/root/testdata/sf0.001/customer.parquet`)
+        SELECT count(*) FROM k a JOIN k b
+        ON a.id < b.id AND length(a.key) = length(b.key)
+           AND levenshtein(a.key, b.key) <= 1
+    """).collect()[0][0]
+    from etl_docker_spark.plans.round10 import d70_edit_distance_blocking
+    row = d70_edit_distance_blocking(
+        spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_pairs"] == brute
+    assert row["n_cand"] == row["n_pairs"]  # precision 1.0
+    assert row["min_dist"] == row["max_dist"] == 1

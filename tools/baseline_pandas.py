@@ -423,6 +423,54 @@ def main() -> None:
         "jaccard_ppm"])
     timings["d64_theta_source_overlap"] = round(time.perf_counter() - t0, 3)
 
+    # d66/d67 — heavy-hitter and coverage-curve over per-lang token
+    # buckets (single-node answer: one pass building per-lang Counters /
+    # bucket sets; the engine answers both from mergeable sketch states)
+    t0 = time.perf_counter()
+    from collections import Counter
+    per_lang_cnt: dict[str, Counter] = {}
+    per_lang_set: dict[str, set] = {}
+    for lang, grp in documents.assign(
+            toks=documents.text.str.split(" ")).groupby("lang"):
+        c = Counter()
+        for toks in grp.toks:
+            for tk in toks:
+                c[int(hashlib.md5(tk.encode()).hexdigest()[:8], 16)
+                  % 3000] += 1
+        per_lang_cnt[lang] = c
+        per_lang_set[lang] = set(c)
+    rows66 = []
+    for lang, c in per_lang_cnt.items():
+        top = c.most_common(40)
+        thresh = top[-1][1]
+        rows66 += [(lang, b, n) for b, n in top if n > thresh]
+    pd.DataFrame(rows66, columns=["lang", "bucket", "cnt"])
+    timings["d66_heavy_hitter_buckets"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    langs = sorted(per_lang_set)
+    total = set().union(*per_lang_set.values())
+    cum: set = set()
+    rows67 = []
+    for lang in langs:
+        cum = cum | per_lang_set[lang]
+        rows67.append((lang, len(per_lang_set[lang]), len(cum),
+                       len(total), len(cum) * 1_000_000 // len(total)))
+    pd.DataFrame(rows67, columns=["lang", "own_buckets", "cum_buckets",
+                                  "total_buckets", "cum_ppm"])
+    timings["d67_hll_lang_coverage"] = round(time.perf_counter() - t0, 3)
+
+    # d69 — exact distinct users per event type + global (pandas nunique;
+    # the engine computes the same from mergeable segment bitmaps)
+    t0 = time.perf_counter()
+    g69 = events.groupby("event_type").agg(
+        n_events=("user_id", "size"), n_users=("user_id", "nunique"))
+    tot_users = events.user_id.nunique()
+    g69.assign(total_users=tot_users,
+               share_ppm=g69.n_users * 1_000_000 // tot_users)
+    timings["d69_bitmap_exact_distinct"] = round(
+        time.perf_counter() - t0, 3)
+
     print(json.dumps({
         "metric": "pandas_singlenode_wall_seconds",
         "value": round(sum(timings.values()), 3),

@@ -171,12 +171,14 @@ def main() -> None:
           "in e05/e08/e09/q43/q47/d31/d34/d35, d54's six 1-row "
           "winning-merge-pair broadcasts — 3 BPE steps x 2 frames, "
           "d56's |sources|^2 quota matrix (sources are a catalog, not "
-          "data), d57's 1-row pool-size scalar, d61's and d62's 20-row "
+          "data), d57's 1-row pool-size scalar, the d61/d62/d65 20-row "
           "literal threshold grids (spark.range) triangle-joined against "
-          "20-row score histograms, and d64's |sources|^2 pairwise join "
-          "of theta-sketch STATES (one fixed-size sketch per source — "
-          "constant at any corpus scale); "
-          "cartesian must be empty everywhere.")
+          "20-row score histograms, d64's |sources|^2 pairwise join "
+          "of theta-sketch STATES and d67's |langs|^2 triangle of HLL "
+          "states plus its 1-row union-total (one fixed-size sketch per "
+          "source/lang — constant at any corpus scale), d69's 1-row "
+          "bitmap-total broadcast, and q98's 1-row priority-roster "
+          "crossJoin; cartesian must be empty everywhere.")
     print()
     print("Queries serving a per-session memoized artifact "
           "(llm/index_cache: d06/d07/d08/d10/d14/d21 and the trained-index "
