@@ -84,8 +84,9 @@ _GATE_WINDOW = [
     # round-8-continuation registrations (same session as the round-9
     # four). Rotation: d55 (curation family repped by d60-d65), d50
     # (d51 stays as the substring rep), e21 (e23/e24 stay for ANN
-    # serving), s21 and s23 (seven stream reps remain in-window) — all
-    # driver-gated green 3+ consecutive rounds.
+    # serving), s21/s23/s17 (twelve s-entries remain in-window, incl.
+    # s05 as the stream-join rep) — all driver-gated green 3+
+    # consecutive rounds.
     "d66_heavy_hitter_buckets", "d67_hll_lang_coverage",
     "d68_model_score_drift", "q100_accent_collation_battery",
     "s32_stream_hll_cardinality", "d69_bitmap_exact_distinct",

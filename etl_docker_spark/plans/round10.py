@@ -73,10 +73,13 @@ def d70_edit_distance_blocking(spark: SparkSession, sf: str) -> DataFrame:
     pairs of records.
     """
     cust = t(spark, sf, "customer")
+    # length(key) > 0 guard: Spark's sequence(1, 0) yields a DESCENDING
+    # [1, 0] (step defaults to -1) while DuckDB's generate_series(1, 0)
+    # is empty — a key sanitized to '' would diverge (review finding)
     keys = cust.select(
         F.col("c_custkey").alias("id"),
         F.regexp_replace(F.col("c_name"), "[^\\x20-\\x7E]", "")
-        .alias("key"))
+        .alias("key")).filter(F.length("key") > 0)
     sigs = (keys.select(
         "id", "key",
         F.explode(F.expr("sequence(1, length(key))")).alias("pos"))
@@ -106,6 +109,7 @@ WITH keys AS (
   SELECT c_custkey AS id,
          regexp_replace(c_name, '[^\\x20-\\x7E]', '', 'g') AS key
   FROM customer
+  WHERE length(regexp_replace(c_name, '[^\\x20-\\x7E]', '', 'g')) > 0
 ),
 sigs AS (
   SELECT id, key, pos,
@@ -187,12 +191,20 @@ WITH fed AS (
   FROM events
 ),
 v AS (
+  -- NULL payload and whitespace-wrapped 'null' are classified
+  -- SEMANTICALLY (json_type), mirroring Spark's try_parse_json +
+  -- is_variant_null exactly: NULL/invalid -> malformed, JSON null ->
+  -- json_null; TRY_CAST mirrors try_variant_get's quiet NULL on a
+  -- non-integer $.k (review findings, round-8 continuation)
   SELECT event_type,
-         CASE WHEN NOT json_valid(payload) THEN 'malformed'
-              WHEN trim(payload) = 'null' THEN 'json_null'
+         CASE WHEN payload IS NULL OR NOT json_valid(payload)
+                THEN 'malformed'
+              WHEN json_type(CAST(payload AS JSON)) = 'NULL'
+                THEN 'json_null'
               ELSE 'value' END AS verdict,
-         CASE WHEN json_valid(payload) AND trim(payload) != 'null'
-              THEN CAST(json_extract_string(payload, '$.k') AS BIGINT)
+         CASE WHEN payload IS NOT NULL AND json_valid(payload)
+                   AND json_type(CAST(payload AS JSON)) != 'NULL'
+              THEN TRY_CAST(json_extract_string(payload, '$.k') AS BIGINT)
               ELSE NULL END AS k
   FROM fed
 )

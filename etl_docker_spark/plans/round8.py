@@ -651,6 +651,14 @@ ROUND8.update({
 _D64_DOMAIN = 3000
 _D64_LGK = 13
 
+# The one definition of the bounded token-hash domain, shared by every
+# sketch-tier consumer (d64 theta, d66 approx_top_k, d67 HLL, s32
+# streaming HLL) so the exactness arguments can never desynchronize.
+_TOK_BUCKET_SPARK = (f"pmod(CAST(conv(substring(md5(tok), 1, 8), 16, 10) "
+                     f"AS BIGINT), {_D64_DOMAIN})")
+_TOK_BUCKET_DUCK = (f"CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) "
+                    f"% {_D64_DOMAIN}")
+
 
 def d64_theta_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-source vocabulary overlap via NATIVE theta sketches (the
@@ -678,9 +686,7 @@ def d64_theta_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """
     docs = t(spark, sf, "documents")
     toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
-    bucket = F.expr(
-        f"pmod(CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT), "
-        f"{_D64_DOMAIN})")
+    bucket = F.expr(_TOK_BUCKET_SPARK)
     sk = (toks.select("source", bucket.alias("b"))
           .groupBy("source")
           .agg(F.expr(f"theta_sketch_agg(b, {_D64_LGK})").alias("sk")))
@@ -704,8 +710,7 @@ def d64_theta_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
 D64_SQL = f"""
 WITH tb AS (
   SELECT DISTINCT source,
-         CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT)
-           % {_D64_DOMAIN} AS b
+         {_TOK_BUCKET_DUCK} AS b
   FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
         FROM documents)
 ),

@@ -28,7 +28,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_docker_spark.plans._util import t
-from etl_docker_spark.plans.round8 import _D64_DOMAIN
+from etl_docker_spark.plans.round8 import (_D64_DOMAIN,
+                                            _TOK_BUCKET_DUCK,
+                                            _TOK_BUCKET_SPARK)
 
 ROUND9B: dict = {}
 
@@ -39,11 +41,6 @@ _D66_K = 40
 # corpus scale and the returned counts are exact — the same bounded-domain
 # argument as d64/d67 (see those docstrings).
 _D66_MAXTRACK = 8192
-
-_TOK_BUCKET_SPARK = (f"pmod(CAST(conv(substring(md5(tok), 1, 8), 16, 10) "
-                     f"AS BIGINT), {_D64_DOMAIN})")
-_TOK_BUCKET_DUCK = (f"CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) "
-                    f"% {_D64_DOMAIN}")
 
 
 def d66_heavy_hitter_buckets(spark: SparkSession, sf: str) -> DataFrame:

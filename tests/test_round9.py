@@ -152,16 +152,15 @@ def test_d70_deletion_blocking_complete_vs_bruteforce(spark):
     """The staged d70's blocking claim, pinned against brute force on a
     small slice: deletion-neighborhood candidates == the full quadratic
     scan's substitution-distance-1 pairs (completeness AND precision)."""
-    brute = spark.sql("""
+    brute = spark.sql(f"""
         WITH k AS (SELECT c_custkey AS id, c_name AS key FROM
-                   parquet.`/root/testdata/sf0.001/customer.parquet`)
+                   parquet.`{SF_SMOKE}/customer.parquet`)
         SELECT count(*) FROM k a JOIN k b
         ON a.id < b.id AND length(a.key) = length(b.key)
            AND levenshtein(a.key, b.key) <= 1
     """).collect()[0][0]
     from etl_docker_spark.plans.round10 import d70_edit_distance_blocking
-    row = d70_edit_distance_blocking(
-        spark, "/root/testdata/sf0.001").collect()[0]
+    row = d70_edit_distance_blocking(spark, SF_SMOKE).collect()[0]
     assert row["n_pairs"] == brute
     assert row["n_cand"] == row["n_pairs"]  # precision 1.0
     assert row["min_dist"] == row["max_dist"] == 1

@@ -429,7 +429,6 @@ def main() -> None:
     t0 = time.perf_counter()
     from collections import Counter
     per_lang_cnt: dict[str, Counter] = {}
-    per_lang_set: dict[str, set] = {}
     for lang, grp in documents.assign(
             toks=documents.text.str.split(" ")).groupby("lang"):
         c = Counter()
@@ -438,7 +437,6 @@ def main() -> None:
                 c[int(hashlib.md5(tk.encode()).hexdigest()[:8], 16)
                   % 3000] += 1
         per_lang_cnt[lang] = c
-        per_lang_set[lang] = set(c)
     rows66 = []
     for lang, c in per_lang_cnt.items():
         top = c.most_common(40)
@@ -448,6 +446,18 @@ def main() -> None:
     timings["d66_heavy_hitter_buckets"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
+    # rebuild the per-lang bucket sets inside d67's timed block so its
+    # reported wall is the STANDALONE cost (tokenize + hash included),
+    # not just the set unions over d66's already-built state
+    per_lang_set = {}
+    for lang, grp in documents.assign(
+            toks=documents.text.str.split(" ")).groupby("lang"):
+        bs = set()
+        for toks in grp.toks:
+            for tk in toks:
+                bs.add(int(hashlib.md5(tk.encode()).hexdigest()[:8], 16)
+                       % 3000)
+        per_lang_set[lang] = bs
     langs = sorted(per_lang_set)
     total = set().union(*per_lang_set.values())
     cum: set = set()
