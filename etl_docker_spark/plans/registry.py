@@ -41,6 +41,7 @@ from etl_docker_spark.plans.round7 import ROUND7
 from etl_docker_spark.plans.round8 import ROUND8
 from etl_docker_spark.plans.round9 import ROUND9
 from etl_docker_spark.plans.round9b import ROUND9B
+from etl_docker_spark.plans.round10 import ROUND10
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
@@ -90,6 +91,13 @@ _GATE_WINDOW = [
     "d66_heavy_hitter_buckets", "d67_hll_lang_coverage",
     "d68_model_score_drift", "q100_accent_collation_battery",
     "s32_stream_hll_cardinality", "d69_bitmap_exact_distinct",
+    # round-9 registrations (staged in round 8's plans/round10.py,
+    # registered first thing this round — never externally verified).
+    # Rotation: e23 (e24 stays as the binary-ANN funnel rep, e05 for
+    # IVF) and s28 (s29 stays as the foreachBatch-reconcile rep;
+    # s26/s27 keep the state-store family in-window) — both
+    # driver-gated green 3+ consecutive rounds, families never red.
+    "d70_edit_distance_blocking", "q101_try_parse_json_quarantine",
     # round-8, complete.
     # Rotation: q87/q88/q89/q90/q91/q92 (the SQL-surface battery —
     # driver-gated green for 2-3 consecutive rounds, families never
@@ -107,9 +115,8 @@ _GATE_WINDOW = [
     # (d49/s13/s20/s22, driver-gated green in r4+r5, rotated out in r6;
     # q92 rotated out in r8 with the rest of the SQL-surface battery)
     "d57_shared_prefix_stress",
-    "d58_linear_classifier_scores", "e23_binary_hamming_search",
+    "d58_linear_classifier_scores",
     "g07_bounded_sssp", "s27_state_changefeed",
-    "s28_foreachbatch_idempotent",
     "q93_interval_battery", "d59_classifier_weight_join",
     "e24_ivf_binary_funnel", "s29_changefeed_metrics_reconcile",
     # round-5, complete (q87 rotated out in r8; d53/g06 rotated out for
@@ -146,7 +153,7 @@ def _build() -> dict[str, QuerySpec]:
                   ROUND2H, ROUND2I, ROUND2J, ROUND2K, ROUND2L, ROUND2M,
                   ROUND2N, ROUND2O, ROUND2P, ROUND2Q, ROUND3, ROUND4,
                   ROUND4B, ROUND4C, ROUND5, ROUND5B, ROUND6, ROUND6B,
-                  ROUND6C, ROUND7, ROUND8, ROUND9, ROUND9B):
+                  ROUND6C, ROUND7, ROUND8, ROUND9, ROUND9B, ROUND10):
         for name, (builder, oracle) in table.items():
             specs[name] = QuerySpec(name, builder, oracle)
     assert len(_GATE_WINDOW) == 50, len(_GATE_WINDOW)

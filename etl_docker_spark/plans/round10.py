@@ -1,10 +1,8 @@
-"""Round-10 STAGED queries — written and oracle-verified in the round-8
-continuation session, deliberately NOT yet imported by the registry: the
-round-8 artifacts (CORRECTNESS_full_r8 at 232, PLANS.md, BENCH_QUERIES,
-BENCH_SF1) were regenerated at the 232-query surface, and registering
-after the fact would desynchronize every artifact count (the staging
-discipline of rounds 7->8->this session). The next round registers this
-module first thing, then regenerates.
+"""Round-10 queries — written and oracle-verified in the round-8
+continuation session, REGISTERED first thing in round 9 (the staging
+discipline of rounds 7->8->9: stage late-session queries, register them
+at the top of the next round, then regenerate every artifact at the new
+surface count).
 
 Probe findings these build on (pinned in tests/test_round9.py's
 round-10 primitive tests):
@@ -155,6 +153,16 @@ def q101_try_parse_json_quarantine(spark: SparkSession,
     path: bad rows are counted and routed, never thrown (ANSI-mode
     parse_json would abort the batch on the first bad payload).
 
+    $.k coercion is STRUCTURAL, not corpus luck (ADVICE r8): both
+    engines extract $.k as a STRING and apply the identical regex-gated
+    integer cast. The engines' native numeric coercions genuinely
+    diverge three ways (probed live: Spark
+    try_variant_get(...,'bigint') casts true->1 and 12.5->12; Spark
+    try_cast('12.5' as bigint) -> NULL; DuckDB TRY_CAST('12.5' AS
+    BIGINT) ROUNDS to 13), so no native path can agree — the shared
+    '^-?[0-9]{1,18}$' gate (length-capped so CAST can never overflow
+    and throw on either engine) makes a future corpus change safe.
+
     Scale shape: one scan; the verdict is a per-row codegen CASE over
     try_parse_json — no second pass, no UDF; the rollup is an ordinary
     per-type hash aggregate.
@@ -171,8 +179,11 @@ def q101_try_parse_json_quarantine(spark: SparkSession,
     verdict = (F.when(F.col("v").isNull(), "malformed")
                .when(F.expr("is_variant_null(v)"), "json_null")
                .otherwise("value"))
+    k_str = "try_variant_get(v, '$.k', 'string')"
     return (parsed.select("event_type", verdict.alias("verdict"),
-                          F.expr("try_variant_get(v, '$.k', 'bigint')")
+                          F.expr(f"CASE WHEN {k_str} RLIKE "
+                                 f"'^-?[0-9]{{1,18}}$' THEN "
+                                 f"CAST({k_str} AS BIGINT) END")
                           .alias("k"))
             .groupBy("event_type", "verdict")
             .agg(F.count("*").cast("long").alias("n_rows"),
@@ -194,8 +205,9 @@ v AS (
   -- NULL payload and whitespace-wrapped 'null' are classified
   -- SEMANTICALLY (json_type), mirroring Spark's try_parse_json +
   -- is_variant_null exactly: NULL/invalid -> malformed, JSON null ->
-  -- json_null; TRY_CAST mirrors try_variant_get's quiet NULL on a
-  -- non-integer $.k (review findings, round-8 continuation)
+  -- json_null. $.k: string extraction + the SAME regex-gated integer
+  -- cast the Spark side applies (ADVICE r8 — the engines' native
+  -- numeric coercions diverge on 'true'/'12.5', so neither is used)
   SELECT event_type,
          CASE WHEN payload IS NULL OR NOT json_valid(payload)
                 THEN 'malformed'
@@ -204,7 +216,10 @@ v AS (
               ELSE 'value' END AS verdict,
          CASE WHEN payload IS NOT NULL AND json_valid(payload)
                    AND json_type(CAST(payload AS JSON)) != 'NULL'
-              THEN TRY_CAST(json_extract_string(payload, '$.k') AS BIGINT)
+                   AND regexp_matches(
+                         json_extract_string(payload, '$.k'),
+                         '^-?[0-9]{1,18}$')
+              THEN CAST(json_extract_string(payload, '$.k') AS BIGINT)
               ELSE NULL END AS k
   FROM fed
 )

@@ -152,9 +152,15 @@ def test_d70_deletion_blocking_complete_vs_bruteforce(spark):
     """The staged d70's blocking claim, pinned against brute force on a
     small slice: deletion-neighborhood candidates == the full quadratic
     scan's substitution-distance-1 pairs (completeness AND precision)."""
-    brute = spark.sql(f"""
-        WITH k AS (SELECT c_custkey AS id, c_name AS key FROM
-                   parquet.`{SF_SMOKE}/customer.parquet`)
+    # ADVICE r8: go through the catalog loader (not a raw parquet path)
+    # so this brute-force frame sees the same normalization every plan
+    # sees — a physical-layout change breaks it loudly, not differently.
+    from etl_docker_spark.catalog import load_table
+    load_table(spark, SF_SMOKE, "customer") \
+        .createOrReplaceTempView("d70_brute_customer")
+    brute = spark.sql("""
+        WITH k AS (SELECT c_custkey AS id, c_name AS key
+                   FROM d70_brute_customer)
         SELECT count(*) FROM k a JOIN k b
         ON a.id < b.id AND length(a.key) = length(b.key)
            AND levenshtein(a.key, b.key) <= 1
