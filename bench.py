@@ -5,10 +5,14 @@ no driver-side collection — the same shape as writing results to a table).
 
 Output contract (the driver captures only the LAST ~2,000 characters of
 stdout, so the printed payload must be SMALL):
-  - per-query timings -> BENCH_QUERIES.json next to this file (committed)
+  - per-query timings -> a RUN-STAMPED file under bench_runs/ (gitignored).
+    bench.py never writes the committed BENCH_QUERIES.json itself — only
+    tools/merge_bench.py does, from one or more run files (VERDICT r8
+    item 4: a driver-invoked single run used to overwrite the committed
+    multi-run merge in the working tree, shadowing the floor artifact).
   - final stdout line -> ONE compact JSON object with SCALARS ONLY:
     {"metric","value","unit","sf","n_queries","reps","artifact_cache",
-     "per_query_file"} — ~170 chars, an order of magnitude under the
+     "per_query_file"} — ~200 chars, an order of magnitude under the
     driver's tail window. tests/test_bench_contract.py pins the length.
 Everything else (progress lines) goes to stderr.
 
@@ -33,7 +37,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Committed artifact name — written ONLY by tools/merge_bench.py; bench.py
+# itself writes each run to bench_runs/run_<epoch>.json (see module doc).
 PER_QUERY_FILE = "BENCH_QUERIES.json"
+RUN_DIR = "bench_runs"
+
+
+def run_file_name(epoch: int) -> str:
+    return os.path.join(RUN_DIR, f"run_{epoch}.json")
 
 # Contention sentinel (round-6 verdict item 1): the round-6 artifact was
 # taken on a loaded box and overstated the engine ~20-30% (d11 committed
@@ -63,7 +74,8 @@ def sentinel_verdict(anchor_times: list[float],
 def summary_payload(total: float, sf: float, n_queries: int, reps: int,
                     artifact_state: str,
                     sentinel_spread: float = 1.0,
-                    artifact_written: bool = True) -> dict:
+                    artifact_written: bool = True,
+                    per_query_file: str | None = None) -> dict:
     """The ENTIRE final stdout line — scalars only, never per-query maps.
 
     Keep this a pure function: tests/test_bench_contract.py asserts the
@@ -77,7 +89,7 @@ def summary_payload(total: float, sf: float, n_queries: int, reps: int,
         "n_queries": n_queries,
         "reps": reps,
         "artifact_cache": artifact_state,
-        "per_query_file": PER_QUERY_FILE,
+        "per_query_file": per_query_file or PER_QUERY_FILE,
         "sentinel_spread": sentinel_spread,
         "artifact_written": artifact_written,
     }
@@ -173,6 +185,27 @@ def main() -> None:
             print(f"[bench] python worker pre-warm failed: {exc}",
                   file=sys.stderr)
 
+    # Pre-warm the PLAIN mapInPandas Python-worker path: the stateful
+    # pre-warm above forks its own daemon workers, but the batch
+    # mapInPandas operator (d12/d40's feature-extraction shape) JITs a
+    # separate JVM-side ArrowEvalPython/MapInPandas pipeline — the
+    # driver's round-8 run read d12 at 12.2 s vs the committed 0.84 s
+    # floor, the same cold-start artifact class (VERDICT r8 item 3).
+    # One throwaway 256-row micro-batch retires it in ~1 s.
+    # Disable: SPARK_GRAFT_BENCH_MAPINPANDAS_WARMUP=0
+    if os.environ.get("SPARK_GRAFT_BENCH_MAPINPANDAS_WARMUP", "1") != "0":
+        try:
+            def _identity_batches(batches):
+                yield from batches
+
+            (spark.range(256).selectExpr("id", "cast(id as double) v")
+             .mapInPandas(_identity_batches, "id long, v double")
+             .write.format("noop").mode("overwrite").save())
+            print("[bench] mapInPandas worker pre-warmed", file=sys.stderr)
+        except Exception as exc:  # never let warmup kill the bench
+            print(f"[bench] mapInPandas pre-warm failed: {exc}",
+                  file=sys.stderr)
+
     # best-of-N per query: scheduling noise on a busy box is +/- 1-2 s,
     # which would otherwise dominate sub-second queries
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
@@ -219,27 +252,35 @@ def main() -> None:
 
     quiet, spread = sentinel_verdict(anchor_times)
 
-    # Per-query map goes to a FILE (committed for the judge), never stdout:
-    # 148+ timings are ~4 KB of JSON, which overflows the driver's tail
-    # capture and made rounds 2-3 unparseable. On a contended box the
-    # artifact is REFUSED (stale numbers misprice the engine; see the
-    # sentinel comment above) — the summary line still reports the total
-    # with artifact_written=false so the refusal is visible, not silent.
+    # Per-query map goes to a FILE, never stdout: 148+ timings are ~4 KB
+    # of JSON, which overflows the driver's tail capture and made rounds
+    # 2-3 unparseable. Each run writes its OWN stamped file under
+    # bench_runs/ (gitignored) — the committed BENCH_QUERIES.json is
+    # produced only by tools/merge_bench.py over sentinel-clean runs, so
+    # a driver-invoked single run can never shadow the multi-run floor
+    # artifact in the working tree (VERDICT r8 item 4). On a contended
+    # box the run file is REFUSED (stale numbers misprice the engine;
+    # see the sentinel comment above) — the summary line still reports
+    # the total with artifact_written=false so the refusal is visible.
     here = os.path.dirname(os.path.abspath(__file__))
+    run_path = run_file_name(int(time.time()))
     if quiet:
-        with open(os.path.join(here, PER_QUERY_FILE), "w") as f:
+        os.makedirs(os.path.join(here, RUN_DIR), exist_ok=True)
+        with open(os.path.join(here, run_path), "w") as f:
             json.dump({"sf": sf, "reps": reps,
                        "artifact_cache": artifact_state,
                        "sentinel_spread": spread,
                        "total_sec": round(total, 3), "queries": timings},
                       f, indent=1, sort_keys=True)
+        print(f"[bench] per-query timings -> {run_path}", file=sys.stderr)
     else:
         print(f"[bench] CONTENTION: anchor spread {spread}x exceeds "
-              f"{SENTINEL_MAX_SPREAD}x — {PER_QUERY_FILE} NOT written; "
+              f"{SENTINEL_MAX_SPREAD}x — run file NOT written; "
               "re-run on a quiet box", file=sys.stderr)
 
     out = summary_payload(total, sf, len(timings), reps, artifact_state,
-                          sentinel_spread=spread, artifact_written=quiet)
+                          sentinel_spread=spread, artifact_written=quiet,
+                          per_query_file=run_path if quiet else None)
     spark.stop()
     if tmp_cache:
         shutil.rmtree(tmp_cache, ignore_errors=True)

@@ -42,6 +42,7 @@ from etl_docker_spark.plans.round8 import ROUND8
 from etl_docker_spark.plans.round9 import ROUND9
 from etl_docker_spark.plans.round9b import ROUND9B
 from etl_docker_spark.plans.round10 import ROUND10
+from etl_docker_spark.plans.round10b import ROUND10B
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
@@ -98,6 +99,11 @@ _GATE_WINDOW = [
     # s26/s27 keep the state-store family in-window) — both
     # driver-gated green 3+ consecutive rounds, families never red.
     "d70_edit_distance_blocking", "q101_try_parse_json_quarantine",
+    # round-9 new surface (built this round, never externally verified).
+    # Rotation: d47 (the fuzzy tier d70/d71 now reps dedup-blocking
+    # in-window; d57 stays for prefix-stress) and d52 (quality family
+    # repped by d24) — both driver-gated green since round 4.
+    "d71_fuzzy_dedup_depth2", "q102_seeded_synthetic_generator",
     # round-8, complete.
     # Rotation: q87/q88/q89/q90/q91/q92 (the SQL-surface battery —
     # driver-gated green for 2-3 consecutive rounds, families never
@@ -131,14 +137,13 @@ _GATE_WINDOW = [
     # artifact committed; s16 stays as the applyInPandasWithState
     # family rep.
     "q70_incremental_lifecycle", "q73_bucketed_cojoin",
-    "d47_prefix_filter_jaccard",
     "s16_stream_dedup_expiry",
     # round-4c cross-section (q83/q84/s19 — all driver-gated green in
     # BOTH r4 and r5 — rotated out for the round-6 seven; q85/q86 stay,
     # the most quirk-prone calendar/pruning gates)
     "q82_sql_udf_installments", "q85_calendar_tz_battery",
     "q86_dynamic_partition_pruning", "s24_watermark_policy_max",
-    "s25_stream_dedup_then_agg", "d52_internal_repetition",
+    "s25_stream_dedup_then_agg",
     "d51_substring_decontam",
     # round-3 cross-section (the rest of round 3 rotated out across
     # rounds 4b/4c — all stay green in the full artifact)
@@ -153,7 +158,8 @@ def _build() -> dict[str, QuerySpec]:
                   ROUND2H, ROUND2I, ROUND2J, ROUND2K, ROUND2L, ROUND2M,
                   ROUND2N, ROUND2O, ROUND2P, ROUND2Q, ROUND3, ROUND4,
                   ROUND4B, ROUND4C, ROUND5, ROUND5B, ROUND6, ROUND6B,
-                  ROUND6C, ROUND7, ROUND8, ROUND9, ROUND9B, ROUND10):
+                  ROUND6C, ROUND7, ROUND8, ROUND9, ROUND9B, ROUND10,
+                  ROUND10B):
         for name, (builder, oracle) in table.items():
             specs[name] = QuerySpec(name, builder, oracle)
     assert len(_GATE_WINDOW) == 50, len(_GATE_WINDOW)

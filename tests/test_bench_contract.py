@@ -88,3 +88,26 @@ def test_merge_carries_min_and_median():
     assert m["queries_median"] == {"q01": 1.2, "q02": 2.5}
     assert m["total_sec"] == 3.0
     assert m["total_median_sec"] == 3.7
+
+
+def test_run_file_is_stamped_and_gitignored_dir():
+    # bench.py writes each run under bench_runs/ (gitignored); only
+    # tools/merge_bench.py writes the committed BENCH_QUERIES.json —
+    # a driver-invoked run must never shadow the merged floor artifact
+    # in the working tree (VERDICT r8 item 4).
+    import os
+
+    p = bench.run_file_name(1755000000)
+    assert p == os.path.join("bench_runs", "run_1755000000.json")
+    gitignore = open(
+        os.path.join(os.path.dirname(bench.__file__), ".gitignore")).read()
+    assert "bench_runs/" in gitignore.split()
+
+
+def test_summary_points_at_run_file_when_given():
+    payload = bench.summary_payload(1.0, 0.1, 234, 2, "cold",
+                                    per_query_file="bench_runs/run_1.json")
+    assert payload["per_query_file"] == "bench_runs/run_1.json"
+    # default (refused run) falls back to the committed artifact name
+    assert bench.summary_payload(1.0, 0.1, 234, 2, "cold")[
+        "per_query_file"] == bench.PER_QUERY_FILE
