@@ -9,8 +9,8 @@ classic two-phase formulation keeps the work parallel:
      key range, sorted within);
   2. per-partition local running sum (parallel, no cross-talk);
   3. aggregate ONE row per partition (its total), prefix-sum those K rows
-     on the driver-side-sized frame (K = partitions, tiny), broadcast the
-     offsets back and add.
+     with a strict-less triangle join (K = partitions, so K^2 is tiny and
+     constant at any data scale), broadcast the offsets back and add.
 
 Partition boundaries come from range-partitioner sampling and are NOT
 deterministic — but the final prefix sum is: it only depends on the total
@@ -43,15 +43,22 @@ def prefix_sum_ordered(df: DataFrame, order_by: Sequence[Column],
     w_local = (Window.partitionBy("__pid").orderBy(*order_by)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = ranged.withColumn("__local", F.sum(value_col).over(w_local))
-    # one row per partition; running offset over K tiny rows
-    w_off = (Window.orderBy("__pid")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    offsets = (local.groupBy("__pid")
-               .agg(F.sum(value_col).alias("__ptotal"))
-               .withColumn("__offset",
-                           F.coalesce(F.sum("__ptotal").over(w_off),
-                                      F.lit(0)))
-               .select("__pid", "__offset"))
+    # one row per partition; running offset over the K tiny rows via a
+    # strict-less triangle join (K^2 <= 1024 pairs on a constant-size
+    # frame) rather than an unpartitioned window: the window encoding
+    # fired Spark's "No Partition Defined" WARN on every run, and the
+    # surface-wide invariant "that warning is a REAL alarm" (NOTES r8)
+    # is only enforceable if nothing benign emits it. Equivalence is
+    # covered by the same property tests.
+    totals = (local.groupBy("__pid")
+              .agg(F.sum(value_col).alias("__ptotal")))
+    prior = totals.select(F.col("__pid").alias("__qid"),
+                          F.col("__ptotal").alias("__qtotal"))
+    offsets = (totals.join(F.broadcast(prior),
+                           F.col("__qid") < F.col("__pid"), "left")
+               .groupBy("__pid")
+               .agg(F.coalesce(F.sum("__qtotal"), F.lit(0))
+                    .alias("__offset")))
     return (local.join(F.broadcast(offsets), "__pid")
             .withColumn(out_col, F.col("__local") + F.col("__offset"))
             .drop("__pid", "__local", "__offset"))

@@ -481,6 +481,128 @@ def main() -> None:
     timings["d69_bitmap_exact_distinct"] = round(
         time.perf_counter() - t0, 3)
 
+    # --- d70: deletion-neighborhood fuzzy blocking (depth 1) ---
+    def _lev(a: str, b: str) -> int:
+        if a == b:
+            return 0
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i] + [0] * len(b)
+            for j, cb in enumerate(b, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (ca != cb))
+            prev = cur
+        return prev[len(b)]
+
+    t0 = time.perf_counter()
+    names = customer[["c_custkey", "c_name"]].copy()
+    names["key"] = names.c_name.str.replace(r"[^\x20-\x7E]", "", regex=True)
+    names = names[names.key.str.len() > 0]
+    sig_rows = names.loc[names.index.repeat(names.key.str.len())].copy()
+    sig_rows["pos"] = sig_rows.groupby(level=0).cumcount() + 1
+    sig_rows["sig"] = [k[:p - 1] + k[p:]
+                       for k, p in zip(sig_rows.key, sig_rows.pos)]
+    m70 = sig_rows.merge(sig_rows, on=["pos", "sig"])
+    m70 = m70[m70.c_custkey_x < m70.c_custkey_y]
+    d70_dists = [_lev(a, b) for a, b in zip(m70.key_x, m70.key_y)]
+    _ = (len(d70_dists), sum(1 for d in d70_dists if d <= 1))
+    timings["d70_edit_distance_blocking"] = round(
+        time.perf_counter() - t0, 3)
+
+    # --- d71: depth-2 deletion neighborhoods over md5-derived keys ---
+    import hashlib
+
+    t0 = time.perf_counter()
+    base = customer[["c_custkey"]].copy()
+    base["key"] = [hashlib.md5(n.encode()).hexdigest()[:20]
+                   for n in customer.c_name]
+    ali = base[base.c_custkey % 4 == 0].copy()
+
+    def _edit(row_id: int, key: str) -> str:
+        p1 = (row_id * 7) % len(key)
+        op = (row_id // 4) % 3
+        k1 = (key[:p1] + "q" + key[p1 + 1:] if op == 0 else
+              key[:p1] + key[p1 + 1:] if op == 1 else
+              key[:p1] + "x" + key[p1:])
+        if row_id % 8 == 0:
+            p2 = (row_id * 13) % max(len(k1) - 1, 1)
+            if p2 == p1:
+                p2 += 1
+            k1 = k1[:p2] + "z" + k1[p2 + 1:]
+        return k1
+
+    ali["key"] = [_edit(i, k) for i, k in zip(ali.c_custkey, ali.key)]
+    ali["c_custkey"] += 10_000_000
+    corpus71 = pd.concat([base, ali], ignore_index=True)
+
+    def _variants(key: str) -> list[str]:
+        d1 = {key} | {key[:i] + key[i + 1:] for i in range(len(key))}
+        return list({v[:j] + v[j + 1:] for v in d1
+                     for j in range(len(v))} | d1)
+
+    v71 = corpus71.loc[corpus71.index.repeat(
+        [len(_variants(k)) for k in corpus71.key])].copy()
+    v71["sig"] = [s for k in corpus71.key for s in _variants(k)]
+    m71 = v71.merge(v71, on="sig")
+    m71 = m71[m71.c_custkey_x < m71.c_custkey_y] \
+        .drop_duplicates(["c_custkey_x", "c_custkey_y"])
+    d71_dists = [_lev(a, b) for a, b in zip(m71.key_x, m71.key_y)]
+    _ = sum(1 for d in d71_dists if d <= 2)
+    timings["d71_fuzzy_dedup_depth2"] = round(time.perf_counter() - t0, 3)
+
+    # --- q101: malformed-JSON quarantine routing ---
+    import json as _json
+
+    t0 = time.perf_counter()
+    ev101 = events[["event_id", "event_type", "props"]].copy()
+    sel7 = ev101.event_id % 7
+
+    def _payload(row_mod: int, props: str) -> str | None:
+        if row_mod == 0:
+            return props[:max(len(props) - 2, 1)]
+        if row_mod == 1:
+            return "null"
+        return props
+
+    verdicts, ks = [], []
+    for mod7, props in zip(sel7, ev101.props):
+        payload = _payload(mod7, props)
+        try:
+            v = _json.loads(payload)
+        except (ValueError, TypeError):
+            verdicts.append("malformed")
+            ks.append(0)
+            continue
+        if v is None:
+            verdicts.append("json_null")
+            ks.append(0)
+        else:
+            verdicts.append("value")
+            k = v.get("k") if isinstance(v, dict) else None
+            ks.append(k if isinstance(k, int) and
+                      not isinstance(k, bool) else 0)
+    ev101.assign(verdict=verdicts, k=ks).groupby(
+        ["event_type", "verdict"]).agg(n_rows=("k", "size"),
+                                       sum_k=("k", "sum"))
+    timings["q101_try_parse_json_quarantine"] = round(
+        time.perf_counter() - t0, 3)
+
+    # --- q102: seeded synthetic generation + invariants ---
+    import numpy as np
+
+    t0 = time.perf_counter()
+    rng = np.random.default_rng(42)
+    u = rng.integers(0, 10000, size=100_000)
+    alphabet = np.frombuffer(
+        b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789",
+        dtype="S1")
+    s = rng.choice(alphabet, size=(100_000, 16))
+    u2 = np.random.default_rng(42).integers(0, 10000, size=100_000)
+    _ = (len(u), u.min() >= 0, u.max() <= 9999, s.shape,
+         bool((u == u2).all()))
+    timings["q102_seeded_synthetic_generator"] = round(
+        time.perf_counter() - t0, 3)
+
     print(json.dumps({
         "metric": "pandas_singlenode_wall_seconds",
         "value": round(sum(timings.values()), 3),

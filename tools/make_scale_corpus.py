@@ -64,6 +64,18 @@ def main() -> None:
             if name == "documents" and i > 0:
                 df = df.withColumn(
                     "text", F.regexp_replace("text", r"(\S+)", f"r{i}_$1"))
+            if name == "customer" and i > 0:
+                # replica-tag customer names for the same reason as
+                # document text: d70/d71 key fuzzy dedup off c_name, and
+                # exact cross-replica name duplicates would make their
+                # candidate sets quadratic in N. The tag is the replica
+                # digit string repeated 4x, so ANY two replica tags are
+                # at edit distance >= 4 — beyond every fuzzy tier's
+                # verify bound (<= 2), so cross-replica pairs stay
+                # non-candidates and outputs stay linear.
+                df = df.withColumn(
+                    "c_name", F.concat(F.lit(str(i) * 4 + "-"),
+                                       F.col("c_name")))
             if name == "embeddings" and i > 0:
                 # shift the first coordinate far out per replica: exact
                 # cross-replica vector duplicates would otherwise make every

@@ -177,8 +177,13 @@ def main() -> None:
           "of theta-sketch STATES and d67's |langs|^2 triangle of HLL "
           "states plus its 1-row union-total (one fixed-size sketch per "
           "source/lang — constant at any corpus scale), d69's 1-row "
-          "bitmap-total broadcast, and q98's 1-row priority-roster "
-          "crossJoin; cartesian must be empty everywhere.")
+          "bitmap-total broadcast, q98's 1-row priority-roster "
+          "crossJoin, and the K-row partition-offset triangle join in "
+          "operators/prefix.py (K = partition count, constant at any "
+          "data scale — replaced the unpartitioned offset window so "
+          "Spark's 'No Partition Defined' WARN stays a true alarm; "
+          "d18/d24/d25/d31/q43 and every prefix-sum consumer); "
+          "cartesian must be empty everywhere.")
     print()
     print("Queries serving a per-session memoized artifact "
           "(llm/index_cache: d06/d07/d08/d10/d14/d21 and the trained-index "
