@@ -218,14 +218,16 @@ def _d21_build(spark: SparkSession, sf: str) -> DataFrame:
               .agg(F.sum("term_score_ppm").alias("bm25_ppm")))
     # Distributed top-k: orderBy().limit() plans TakeOrderedAndProject
     # (per-partition heaps + k-row merge), never a corpus-wide single-task
-    # sort. The explicit rank is then a window over the k-row result only
-    # — the earlier global row_number() over ALL scored docs was the
+    # sort. The explicit rank is then computed on the k-row result only,
+    # via the windowless bounded-frame triangle (operators/rank.py) — the
+    # earlier global row_number() over ALL scored docs was the
     # single-partition WindowExec shape that dies at 100 TB (see
     # operators/prefix.py); same output, hash-gate-identical.
-    order = [F.desc("bm25_ppm"), F.asc("doc_id")]
-    topk = ranked.orderBy(*order).limit(_BM25_K)
-    w = Window.orderBy(*order)
-    return (topk.withColumn("rank", F.row_number().over(w).cast("long"))
+    from etl_docker_spark.operators.rank import rank_bounded
+
+    topk = ranked.orderBy(F.desc("bm25_ppm"), F.asc("doc_id")).limit(_BM25_K)
+    return (rank_bounded(topk, [("bm25_ppm", True), ("doc_id", False)],
+                         "rank")
             .select("doc_id", "bm25_ppm", "rank"))
 
 

@@ -323,12 +323,15 @@ def e08_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
                    F.round(cosine_expr(F.col("embedding"), F.col("qv")), 8)
                    .alias("cosine")))
     # Distributed top-k (TakeOrderedAndProject), then rank the k-row
-    # result — the earlier global row_number() over EVERY scored doc was
-    # a single-partition window over a corpus-sized frame.
-    cos_order = [F.desc("cosine"), F.asc("doc_id")]
-    wc = Window.orderBy(*cos_order)
-    cos_top = (cos.orderBy(*cos_order).limit(_RRF_TOP)
-               .withColumn("cos_rank", F.row_number().over(wc).cast("long"))
+    # result via the windowless bounded-frame triangle (operators/
+    # rank.py) — the earlier global row_number() over EVERY scored doc
+    # was a single-partition window over a corpus-sized frame.
+    from etl_docker_spark.operators.rank import rank_bounded
+
+    cos_top = (rank_bounded(cos.orderBy(F.desc("cosine"), F.asc("doc_id"))
+                            .limit(_RRF_TOP),
+                            [("cosine", True), ("doc_id", False)],
+                            "cos_rank")
                .select("doc_id", "cos_rank"))
 
     fused = (
@@ -343,8 +346,11 @@ def e08_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
              + F.when(F.col("cos_rank").isNotNull(),
                       F.expr(f"1000000 div ({_RRF_K} + cos_rank)"))
              .otherwise(F.lit(0))).alias("rrf_ppm")))
-    wf = Window.orderBy(F.desc("rrf_ppm"), F.asc("doc_id"))
-    return (fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+    # fused is the outer join of two <= TOP-row frames (bounded by
+    # construction, though not by a syntactic LIMIT) — rank it the same
+    # windowless way
+    return (rank_bounded(fused, [("rrf_ppm", True), ("doc_id", False)],
+                         "fused_rank")
             .filter(F.col("fused_rank") <= _RRF_TOP))
 
 

@@ -55,8 +55,13 @@ def d27_bpe_pair_freqs(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.expr("substring(w, i, 1)").alias("p1"),
                 F.expr("substring(w, i + 1, 1)").alias("p2"), "f"))
     agg = pairs.groupBy("p1", "p2").agg(F.sum("f").alias("pair_count"))
-    w = Window.orderBy(F.desc("pair_count"), F.asc("p1"), F.asc("p2"))
-    return (agg.withColumn("rank", F.row_number().over(w).cast("long"))
+    # the pair frame is charset^2-bounded (never data-sized), so rank it
+    # with the windowless triangle (operators/rank.py) instead of an
+    # unpartitioned window
+    from etl_docker_spark.operators.rank import rank_bounded
+
+    return (rank_bounded(agg, [("pair_count", True), ("p1", False),
+                               ("p2", False)], "rank")
             .filter(F.col("rank") <= _BPE_TOP)
             .select("rank", "p1", "p2", "pair_count"))
 

@@ -276,11 +276,18 @@ def d30_bpe_merge_steps(spark: SparkSession, sf: str) -> DataFrame:
                .select(F.col("pr.p1").alias("p1"),
                        F.col("pr.p2").alias("p2"), "f"))
         agg = prs.groupBy("p1", "p2").agg(F.sum("f").alias("pair_count"))
-        top = (agg.withColumn("rn", F.row_number().over(
-            Window.orderBy(F.desc("pair_count"), F.asc("p1"), F.asc("p2"))))
-            .filter(F.col("rn") == 1)
-            .select(F.lit(step).cast("long").alias("step"),
-                    "p1", "p2", "pair_count"))
+        # top-1 as a one-row min(struct(...)) aggregate (the d54 round-8
+        # rewrite): same winner by lexicographic struct comparison
+        # (-pair_count asc == pair_count desc, then p1, p2 asc), zero
+        # WindowExec nodes
+        top = (agg.agg(F.min(F.struct(
+                   (-F.col("pair_count")).alias("neg"),
+                   F.col("p1").alias("p1"),
+                   F.col("p2").alias("p2"))).alias("w"))
+               .select(F.lit(step).cast("long").alias("step"),
+                       F.col("w.p1").alias("p1"),
+                       F.col("w.p2").alias("p2"),
+                       (-F.col("w.neg")).cast("long").alias("pair_count")))
         steps.append(top)
         cur = (cur.crossJoin(F.broadcast(top.select("p1", "p2")))
                .select(F.replace(

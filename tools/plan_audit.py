@@ -182,7 +182,12 @@ def main() -> None:
           "operators/prefix.py (K = partition count, constant at any "
           "data scale — replaced the unpartitioned offset window so "
           "Spark's 'No Partition Defined' WARN stays a true alarm; "
-          "d18/d24/d25/d31/q43 and every prefix-sum consumer); "
+          "d18/d24/d25/d31/q43 and every prefix-sum consumer), and the "
+          "k-row rank triangles of operators/rank.py (LIMIT-k or "
+          "charset^2-bounded frames; d21/e08/d27 — same rationale, rank "
+          "without an unpartitioned WindowExec, so the surface emits "
+          "ZERO 'No Partition Defined' warnings and that line in any "
+          "log is a true alarm); "
           "cartesian must be empty everywhere.")
     print()
     print("Queries serving a per-session memoized artifact "
