@@ -89,7 +89,10 @@ def summary_payload(total: float, sf: float, n_queries: int, reps: int,
         "n_queries": n_queries,
         "reps": reps,
         "artifact_cache": artifact_state,
-        "per_query_file": per_query_file or PER_QUERY_FILE,
+        # a refused run wrote NO file — never point consumers at the
+        # committed multi-run merge as if this run produced it
+        "per_query_file": ((per_query_file or PER_QUERY_FILE)
+                           if artifact_written else None),
         "sentinel_spread": sentinel_spread,
         "artifact_written": artifact_written,
     }
@@ -257,16 +260,33 @@ def main() -> None:
     probe_anchor("start")
     timings: dict[str, float] = {}
     total = 0.0
+    aborted = False
     names = list(QUERIES)
-    midpoint = len(names) // 2
+    # Abort EARLY on a contended box (r9 verdict item 6: the 713.5 s
+    # outlier run completed fully before being discarded — a third of
+    # the bench budget gone). Probe the anchor at the quarter points;
+    # the moment the spread exceeds the threshold, stop timing — the
+    # run file would be refused anyway, so finishing only burns budget.
+    checkpoints = {len(names) // 4: "quarter",
+                   len(names) // 2: "middle",
+                   (3 * len(names)) // 4: "three-quarter"}
     for i, name in enumerate(names):
-        if i == midpoint:
-            probe_anchor("middle")
+        tag = checkpoints.get(i)
+        if tag is not None:
+            probe_anchor(tag)
+            ok, cur_spread = sentinel_verdict(anchor_times)
+            if not ok:
+                print(f"[bench] ABORT at {tag} ({i}/{len(names)}): "
+                      f"anchor spread {cur_spread}x exceeds "
+                      f"{SENTINEL_MAX_SPREAD}x", file=sys.stderr)
+                aborted = True
+                break
         best = time_query(QUERIES[name])
         timings[name] = round(best, 3)
         total += best
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
-    probe_anchor("end")
+    if not aborted:
+        probe_anchor("end")
 
     quiet, spread = sentinel_verdict(anchor_times)
 

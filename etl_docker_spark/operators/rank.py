@@ -37,9 +37,18 @@ def rank_bounded(df: DataFrame, order: Sequence[tuple[str, bool]],
     defined (as with any DataFrame).
     """
     order = list(order)
+    if not order:
+        raise ValueError("rank_bounded: order must name at least one "
+                         "column (a strict total order is the contract)")
+    missing = [c for c, _ in order if c not in df.columns]
+    if missing:
+        raise ValueError(f"rank_bounded: order columns not in frame: "
+                         f"{missing}")
     cols = df.columns
     a = df.alias("__a")
-    b = df.alias("__b")
+    # count a constant marker, not an order column, so match counting
+    # never depends on the non-null contract
+    b = df.withColumn("__one", F.lit(1)).alias("__b")
     # b strictly-before a: lexicographic on the order spec
     before = F.lit(False)
     eq_prefix = F.lit(True)
@@ -47,8 +56,21 @@ def rank_bounded(df: DataFrame, order: Sequence[tuple[str, bool]],
         ac, bc = F.col(f"__a.{col}"), F.col(f"__b.{col}")
         before = before | (eq_prefix & (bc > ac if desc else bc < ac))
         eq_prefix = eq_prefix & (bc == ac)
-    probe = order[0][0]  # non-null by contract -> safe count anchor
-    return (a.join(F.broadcast(b), before, "left")
-            .groupBy(*[F.col(f"__a.{c}").alias(c) for c in cols])
-            .agg((F.count(F.col(f"__b.{probe}")) + 1).cast("long")
-                 .alias(out_col)))
+    counted = (a.join(F.broadcast(b), before, "left")
+               .groupBy(*[F.col(f"__a.{c}").alias(c) for c in cols])
+               .agg(F.count(F.col("__b.__one")).alias("__cnt")))
+    # NULL in an order column makes strictly-before evaluate to NULL and
+    # would silently deflate (and possibly duplicate) ranks — fail loudly
+    # instead. assert_true is folded INTO the output expression so
+    # Catalyst cannot prune it; constant cost on the k-row frames this
+    # operator is for.
+    guard = F.lit(True)
+    for col, _ in order:
+        guard = guard & F.col(col).isNotNull()
+    checked = F.assert_true(
+        guard, F.lit("rank_bounded: NULL in an order column violates "
+                     "the strict-total-order contract"))
+    return counted.select(
+        *cols,
+        F.when(checked.isNull(), F.col("__cnt") + 1).cast("long")
+        .alias(out_col))

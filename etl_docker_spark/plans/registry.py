@@ -43,6 +43,8 @@ from etl_docker_spark.plans.round9 import ROUND9
 from etl_docker_spark.plans.round9b import ROUND9B
 from etl_docker_spark.plans.round10 import ROUND10
 from etl_docker_spark.plans.round10b import ROUND10B
+from etl_docker_spark.plans.round10c import ROUND10C
+from etl_docker_spark.plans.round11 import ROUND11
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
@@ -104,6 +106,19 @@ _GATE_WINDOW = [
     # in-window; d57 stays for prefix-stress) and d52 (quality family
     # repped by d24) — both driver-gated green since round 4.
     "d71_fuzzy_dedup_depth2", "q102_seeded_synthetic_generator",
+    # round-10 registrations (staged oracle-verified in round 9's
+    # plans/round11.py, registered first thing this round — never
+    # externally verified). Rotation: q73_bucketed_cojoin and
+    # s24_watermark_policy_max (both driver-gated green since round 4;
+    # co-located joins stay pinned by the plan-shape tests and q86's
+    # pruning gate, s25 stays as the watermark+dedup stream rep).
+    "d72_token_transposition_dedup", "s33_stream_json_quarantine",
+    # round-10 build (never externally verified; its oracle is an
+    # INDEPENDENT brute-force, so the gate is a true recall/precision
+    # check). Rotation: d58_linear_classifier_scores (driver-gated
+    # green since round 6; the classifier family keeps seven in-window
+    # reps d59-d63/d65/d68).
+    "d73_low_entropy_fuzzy_dedup",
     # round-8, complete.
     # Rotation: q87/q88/q89/q90/q91/q92 (the SQL-surface battery —
     # driver-gated green for 2-3 consecutive rounds, families never
@@ -121,7 +136,6 @@ _GATE_WINDOW = [
     # (d49/s13/s20/s22, driver-gated green in r4+r5, rotated out in r6;
     # q92 rotated out in r8 with the rest of the SQL-surface battery)
     "d57_shared_prefix_stress",
-    "d58_linear_classifier_scores",
     "g07_bounded_sssp", "s27_state_changefeed",
     "q93_interval_battery", "d59_classifier_weight_join",
     "e24_ivf_binary_funnel", "s29_changefeed_metrics_reconcile",
@@ -136,13 +150,13 @@ _GATE_WINDOW = [
     # r4, driver-confirmed green in r5) rotate out with the full
     # artifact committed; s16 stays as the applyInPandasWithState
     # family rep.
-    "q70_incremental_lifecycle", "q73_bucketed_cojoin",
+    "q70_incremental_lifecycle",
     "s16_stream_dedup_expiry",
     # round-4c cross-section (q83/q84/s19 — all driver-gated green in
     # BOTH r4 and r5 — rotated out for the round-6 seven; q85/q86 stay,
     # the most quirk-prone calendar/pruning gates)
     "q82_sql_udf_installments", "q85_calendar_tz_battery",
-    "q86_dynamic_partition_pruning", "s24_watermark_policy_max",
+    "q86_dynamic_partition_pruning",
     "s25_stream_dedup_then_agg",
     "d51_substring_decontam",
     # round-3 cross-section (the rest of round 3 rotated out across
@@ -159,7 +173,7 @@ def _build() -> dict[str, QuerySpec]:
                   ROUND2N, ROUND2O, ROUND2P, ROUND2Q, ROUND3, ROUND4,
                   ROUND4B, ROUND4C, ROUND5, ROUND5B, ROUND6, ROUND6B,
                   ROUND6C, ROUND7, ROUND8, ROUND9, ROUND9B, ROUND10,
-                  ROUND10B):
+                  ROUND10B, ROUND10C, ROUND11):
         for name, (builder, oracle) in table.items():
             specs[name] = QuerySpec(name, builder, oracle)
     assert len(_GATE_WINDOW) == 50, len(_GATE_WINDOW)

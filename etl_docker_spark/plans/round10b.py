@@ -7,10 +7,11 @@ Cross-engine ground rules carried from round 10:
 - levenshtein: Spark counts CODEPOINTS, DuckDB counts BYTES — every key
   is ASCII-sanitized on both engines before any distance math.
 - Seeded randomness is ENGINE-LOCAL: Spark's uniform(lo, hi, seed) and
-  DuckDB's setseed()+random() produce different streams, so q102 gates
+  DuckDB's random() produce different streams, so q102 gates
   STRUCTURAL INVARIANTS each engine computes over its own generated
   data (row count, range bounds, key shape) — identical invariant rows,
-  never value-identical data. The Spark side additionally gates
+  never value-identical data. The invariants are seed-FREE by design,
+  so the oracle runs an unseeded random() stream (no setseed needed). The Spark side additionally gates
   run-to-run determinism (two same-seed scans must agree), which the
   oracle pins as the expected literal since DuckDB cannot scope two
   independent seeded streams inside one query.
@@ -241,11 +242,13 @@ def q102_seeded_synthetic_generator(spark: SparkSession,
     same pinned partition layout must produce identical streams —
     compared by sum + xor-style parity, not samples).
 
-    The oracle regenerates with DuckDB's own setseed/random/md5 stream
-    and computes the SAME invariants over its own data; `deterministic`
-    is pinned as the expected literal on the oracle side because DuckDB
-    cannot scope two independently-seeded streams inside one query (a
-    documented one-sided gate, like the engine-only halves of q96).
+    The oracle regenerates with DuckDB's own (unseeded) random/md5
+    stream and computes the SAME invariants over its own data — every
+    gated invariant is seed-independent by design, so no setseed is
+    needed; `deterministic` is pinned as the expected literal on the
+    oracle side because DuckDB cannot scope two independently-seeded
+    streams inside one query (a documented one-sided gate, like the
+    engine-only halves of q96).
 
     Scale shape: no input scan at all — two embarrassingly parallel
     range generators, one single-row aggregate each; at cluster scale

@@ -1,0 +1,253 @@
+"""Round-10 build: fuzzy dedup that survives LOW-ENTROPY natural keys
+(VERDICT r9 item 3 — the admitted gap in d71's whole-string deletion
+blocking, plans/round10b.py: shared constant prefixes and small word
+vocabularies make whole-string deletion neighborhoods collide
+quadratically even where the true-match output is small).
+
+The fix is a CHANGE OF BLOCKING UNIT, not a bigger neighborhood: real
+entity-resolution typos live inside ONE token of a multi-token name
+("ACME Corp Ltd" vs "ACNE Corp Ltd" — the reference's own J1 join keys
+are supplier/customer names, Funciones_CotyData.py:189-208). Under the
+single-edited-token model the block key is
+
+    (token position i, ALL OTHER tokens verbatim, depth-1 deletion
+     variant of token i)
+
+so the residual name — not the edited token — carries the block
+entropy. A 24-word vocabulary shared by thousands of names cannot
+inflate candidates, because two names only meet in a block when they
+already agree on every other token: candidate volume is bounded by the
+true-match volume plus the depth-1 leakage (token ed <= 2), never by
+vocabulary frequency. FastSS (Bocek et al. 2007) at k=1 makes the
+per-token blocking EXACT-recall; a levenshtein verify prunes the ed-2
+leakage.
+
+Cross-engine ground rules as in round10b: all tokens are ASCII by
+construction (codepoint-vs-byte levenshtein parity), and the oracle is
+an INDEPENDENT brute-force over all pairs — not a re-implementation of
+the blocking — so the correctness gate is a genuine recall AND
+precision check of the blocking against ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_docker_spark.plans._util import t
+
+ROUND10C: dict = {}
+
+# ---------------------------------------------------------------- d73
+
+# pairwise edit distance >= 2, no deletion of one equals another, and no
+# 'q'/'x' (the substitution/insertion characters) anywhere — so every
+# injected corruption is at true token distance EXACTLY 1 and never
+# lands on a vocabulary word (tests/test_plans_round10c.py pins all
+# three properties)
+_D73_VOCAB = ("alder birch cedar delta ember ferro grove helio indigo "
+              "jasper kappa lemon mango nylon ocean piano river stone "
+              "tulip tiger viola wheat yodel zebra").split()
+_D73_V = "array(" + ", ".join(f"'{w}'" for w in _D73_VOCAB) + ")"
+_D73_V_DUCK = "[" + ", ".join(f"'{w}'" for w in _D73_VOCAB) + "]"
+_D73_NTOK = 4
+_D73_ALIAS_OFFSET = 10_000_000
+
+# token j (j = 0..2) = vocab[(nid * mult_j + j) % 24]; token 4 is a
+# 'no'||2-digit account fragment — 100 distinct values over the whole
+# corpus, the deliberately DEGENERATE low-entropy token (plus the
+# vocabulary tokens repeat every 24 ids), exactly the regime that
+# breaks whole-string deletion blocking
+_D73_MULTS = (3, 5, 7)
+
+
+def _d73_spark_tokens() -> str:
+    toks = [f"element_at({_D73_V}, "
+            f"CAST((nid * {m} + {j}) % 24 AS INT) + 1)"
+            for j, m in enumerate(_D73_MULTS)]
+    toks.append("concat('no', lpad(CAST(nid % 100 AS STRING), 2, '0'))")
+    return "array(" + ", ".join(toks) + ")"
+
+
+def d73_low_entropy_fuzzy_dedup(spark: SparkSession,
+                                sf: str) -> DataFrame:
+    """Single-edited-token fuzzy dedup on a c_name-DERIVED 4-token
+    natural key built from a 24-word vocabulary plus a 100-value
+    account fragment (heavy token sharing — the regime d71's docstring
+    concedes). Deterministic typo'd aliases (one sub/del/ins inside one
+    token, position and op by arithmetic on the id — both engines
+    rebuild the identical corpus) are injected for every 4th customer.
+
+    Match semantics: two names are duplicates iff their token sequences
+    are identical (exact duplicate, distance 0) or differ in exactly
+    one position whose tokens are within edit distance 1 (typo
+    duplicate). Blocking: per token position, key = (position, other
+    tokens verbatim, FastSS depth-1 deletion variant) — exact recall at
+    k=1; shared-variant leakage reaches token ed 2 and is pruned by a
+    levenshtein verify. The ORACLE brute-forces all pairs instead of
+    replaying the blocking, so the gate proves recall == 1.0 and
+    precision == 1.0 against ground truth, not self-consistency.
+
+    Scale shape: bounded fan (4 positions x (len+1) variants ~ 28 rows
+    per name), one equi-join on the composite signature, pair-level
+    DISTINCT, per-candidate verify. Block sizes are bounded by names
+    agreeing on ALL other tokens — vocabulary frequency cannot inflate
+    them; mass-identical names grow blocks only where the output itself
+    grows (they ARE duplicates). No all-pairs stage anywhere; the
+    brute-force exists only on the DuckDB oracle side at gate SF.
+    """
+    cust = t(spark, sf, "customer")
+    base = (cust.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.expr("CAST(substring(c_name, 10, 9) AS BIGINT)").alias("nid"))
+        .select("id", F.expr(_d73_spark_tokens()).alias("toks")))
+    aliases = (base.filter("id % 4 = 0")
+               .withColumn("ti", F.expr(
+                   "CAST((id div 4) % 4 AS INT) + 1"))
+               .withColumn("tok", F.expr("element_at(toks, ti)"))
+               .withColumn("p", F.expr(
+                   "CAST(id % length(tok) AS INT) + 1"))
+               .withColumn("ct", F.expr("""
+                   CASE (id div 16) % 3
+                     WHEN 0 THEN concat(substring(tok, 1, p - 1), 'q',
+                                        substring(tok, p + 1))
+                     WHEN 1 THEN concat(substring(tok, 1, p - 1),
+                                        substring(tok, p + 1))
+                     ELSE concat(substring(tok, 1, p - 1), 'x',
+                                 substring(tok, p))
+                   END"""))
+               .select((F.col("id") + F.lit(_D73_ALIAS_OFFSET))
+                       .alias("id"),
+                       F.expr("transform(toks, (t, j) -> "
+                              "CASE WHEN j + 1 = ti THEN ct ELSE t END)")
+                       .alias("toks")))
+    corpus = base.unionByName(aliases)
+    # blocking signatures: 4 positions x (identity + per-char deletion)
+    sigs = (corpus
+            .select("id", "toks",
+                    F.explode(F.expr(f"sequence(1, {_D73_NTOK})"))
+                    .alias("i"))
+            .select("id",
+                    F.expr("element_at(toks, i)").alias("tok"),
+                    F.expr(f"concat(CAST(i AS STRING), '|', "
+                           f"concat_ws(' ', slice(toks, 1, i - 1)), '|', "
+                           f"concat_ws(' ', slice(toks, i + 1, "
+                           f"{_D73_NTOK} - i)))").alias("rest"))
+            .select("id", "tok", "rest",
+                    F.explode(F.expr("sequence(0, length(tok))"))
+                    .alias("p"))
+            .select("id", "tok", F.concat(
+                F.col("rest"), F.lit("|"),
+                F.expr("CASE WHEN p = 0 THEN tok "
+                       "ELSE concat(substring(tok, 1, p - 1), "
+                       "substring(tok, p + 1)) END")).alias("sig")))
+    a = sigs.select(F.col("id").alias("id_a"),
+                    F.col("tok").alias("tok_a"), "sig")
+    b = sigs.select(F.col("id").alias("id_b"),
+                    F.col("tok").alias("tok_b"), "sig")
+    verified = (a.join(b, "sig")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b",
+                        F.levenshtein("tok_a", "tok_b").alias("dist"))
+                .distinct()
+                .filter(F.col("dist") <= 1))
+    stats = verified.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("dist") == 0, 1).otherwise(0)).cast("long")
+        .alias("n_exact_pairs"),
+        F.sum(F.when(F.col("dist") == 1, 1).otherwise(0)).cast("long")
+        .alias("n_typo_pairs"),
+        F.sum(F.when(F.col("id_b") - F.col("id_a")
+                     == _D73_ALIAS_OFFSET, 1).otherwise(0)).cast("long")
+        .alias("n_injected_found"))
+    counts = corpus.agg(
+        F.count("*").cast("long").alias("n_names"),
+        F.sum(F.when(F.col("id") >= _D73_ALIAS_OFFSET, 1).otherwise(0))
+        .cast("long").alias("n_aliases"))
+    return counts.crossJoin(stats)  # two 1-row frames
+
+
+def _d73_duck_tokens() -> str:
+    toks = [f"{_D73_V_DUCK}[CAST((nid * {m} + {j}) % 24 AS INT) + 1] "
+            f"AS t{j + 1}"
+            for j, m in enumerate(_D73_MULTS)]
+    toks.append("'no' || lpad(CAST(nid % 100 AS VARCHAR), 2, '0') AS t4")
+    return ", ".join(toks)
+
+
+D73_SQL = f"""
+WITH base AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+         CAST(substring(c_name, 10, 9) AS BIGINT) AS nid
+  FROM customer
+),
+named AS (
+  SELECT id, {_d73_duck_tokens()} FROM base
+),
+picked AS (
+  SELECT id, t1, t2, t3, t4,
+         ((id // 4) % 4) + 1 AS ti,
+         CASE ((id // 4) % 4) + 1
+           WHEN 1 THEN t1 WHEN 2 THEN t2 WHEN 3 THEN t3 ELSE t4
+         END AS tok
+  FROM named WHERE id % 4 = 0
+),
+edited AS (
+  SELECT *, (id % length(tok)) + 1 AS p FROM picked
+),
+corrupted AS (
+  SELECT id, t1, t2, t3, t4, ti,
+         CASE (id // 16) % 3
+           WHEN 0 THEN substring(tok, 1, p - 1) || 'q'
+                       || substring(tok, p + 1)
+           WHEN 1 THEN substring(tok, 1, p - 1) || substring(tok, p + 1)
+           ELSE substring(tok, 1, p - 1) || 'x' || substring(tok, p)
+         END AS ct
+  FROM edited
+),
+aliases AS (
+  SELECT id + {_D73_ALIAS_OFFSET} AS id,
+         CASE WHEN ti = 1 THEN ct ELSE t1 END AS t1,
+         CASE WHEN ti = 2 THEN ct ELSE t2 END AS t2,
+         CASE WHEN ti = 3 THEN ct ELSE t3 END AS t3,
+         CASE WHEN ti = 4 THEN ct ELSE t4 END AS t4
+  FROM corrupted
+),
+corpus AS (
+  SELECT id, t1, t2, t3, t4 FROM named UNION ALL
+  SELECT id, t1, t2, t3, t4 FROM aliases
+),
+-- INDEPENDENT ground truth: brute-force all pairs (gate-SF only; the
+-- engine side never does this)
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(a.t1 != b.t1 AS INT) + CAST(a.t2 != b.t2 AS INT)
+           + CAST(a.t3 != b.t3 AS INT) + CAST(a.t4 != b.t4 AS INT) AS nd,
+         CASE WHEN a.t1 != b.t1 THEN levenshtein(a.t1, b.t1)
+              WHEN a.t2 != b.t2 THEN levenshtein(a.t2, b.t2)
+              WHEN a.t3 != b.t3 THEN levenshtein(a.t3, b.t3)
+              WHEN a.t4 != b.t4 THEN levenshtein(a.t4, b.t4)
+              ELSE 0 END AS dist
+  FROM corpus a JOIN corpus b ON a.id < b.id
+),
+matched AS (
+  SELECT * FROM pairs WHERE nd = 0 OR (nd = 1 AND dist <= 1)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS n_names,
+       (SELECT CAST(SUM(CASE WHEN id >= {_D73_ALIAS_OFFSET}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM corpus) AS n_aliases,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN nd = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_pairs,
+       CAST(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_typo_pairs,
+       CAST(SUM(CASE WHEN id_b - id_a = {_D73_ALIAS_OFFSET}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_injected_found
+FROM matched
+"""
+
+ROUND10C.update({
+    "d73_low_entropy_fuzzy_dedup": (d73_low_entropy_fuzzy_dedup,
+                                    D73_SQL),
+})

@@ -1,8 +1,8 @@
-"""Round-11 STAGED queries — written and oracle-verified in round 9,
-deliberately NOT yet imported by the registry (the staging discipline of
-rounds 7->8->9: the round-9 artifacts are regenerated at the 236-query
-surface; the next round registers this module first thing, then
-regenerates everything at 238).
+"""Round-10 registrations — written and oracle-verified in round 9
+under the staging discipline (rounds 7->8->9->10: each round's new
+queries are staged unregistered so the round's artifacts stay
+self-consistent, then registered first thing the following round).
+Registered into the gate window in round 10.
 
 - d72 extends the fuzzy-dedup ladder (d70 substitution-1 exact, d71
   general ed<=2) to TOKEN-level transpositions — the entity-resolution
@@ -94,10 +94,12 @@ WITH base AS (
   FROM documents
 ),
 aliases AS (
-  -- rotation amount r is computed in the inner scope from the TRUE id:
-  -- DuckDB's lateral column aliases would otherwise let `id % 3` after
-  -- `id + OFFSET AS id` resolve against the SHIFTED id (Spark has no
-  -- lateral aliasing in F.expr, so the engines would silently diverge)
+  -- rotation amount r is computed in the inner scope from the TRUE id
+  -- as belt-and-braces against engine alias-resolution differences:
+  -- DuckDB actually gives the BASE column precedence over a same-named
+  -- lateral alias (`SELECT id+10 AS id, id % 3` uses the base id), so
+  -- the flat form would also be correct — but the inner scope makes the
+  -- binding explicit instead of relying on precedence rules.
   SELECT id + {_D72_ALIAS_OFFSET} AS id,
          tok[r + 1:] || tok[1:r] AS tok
   FROM (SELECT id, tok, 1 + id % 3 AS r FROM base WHERE id % 5 = 0)

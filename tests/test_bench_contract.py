@@ -108,6 +108,11 @@ def test_summary_points_at_run_file_when_given():
     payload = bench.summary_payload(1.0, 0.1, 234, 2, "cold",
                                     per_query_file="bench_runs/run_1.json")
     assert payload["per_query_file"] == "bench_runs/run_1.json"
-    # default (refused run) falls back to the committed artifact name
+    # written run with no explicit path: the committed artifact name
     assert bench.summary_payload(1.0, 0.1, 234, 2, "cold")[
         "per_query_file"] == bench.PER_QUERY_FILE
+    # refused run (artifact_written=False) wrote nothing — must emit
+    # null, never the committed merge's name (r9 ADVICE)
+    assert bench.summary_payload(1.0, 0.1, 234, 2, "cold",
+                                 artifact_written=False)[
+        "per_query_file"] is None

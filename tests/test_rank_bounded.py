@@ -4,6 +4,7 @@ mixes, string keys, and ties broken by the tiebreak column only."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -42,3 +43,19 @@ def test_rank_bounded_plans_no_window(spark):
     plan = rank_bounded(df, [("g", False), ("id", False)]) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_rank_bounded_rejects_empty_and_unknown_order(spark):
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="at least one"):
+        rank_bounded(df, [])
+    with pytest.raises(ValueError, match="not in frame"):
+        rank_bounded(df, [("nope", False)])
+
+
+def test_rank_bounded_fails_loudly_on_null_order_values(spark):
+    # r9 ADVICE: NULL in an order column used to silently deflate ranks;
+    # the contract violation must raise at execution, not mis-rank.
+    df = spark.createDataFrame([(1,), (None,), (3,)], "v int")
+    with pytest.raises(Exception, match="NULL in an order column"):
+        rank_bounded(df, [("v", False)]).collect()
