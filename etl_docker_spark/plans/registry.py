@@ -44,6 +44,7 @@ from etl_docker_spark.plans.round9b import ROUND9B
 from etl_docker_spark.plans.round10 import ROUND10
 from etl_docker_spark.plans.round10b import ROUND10B
 from etl_docker_spark.plans.round10c import ROUND10C
+from etl_docker_spark.plans.round10d import ROUND10D
 from etl_docker_spark.plans.round11 import ROUND11
 
 Builder = Callable[[SparkSession, str], DataFrame]
@@ -119,6 +120,15 @@ _GATE_WINDOW = [
     # green since round 6; the classifier family keeps seven in-window
     # reps d59-d63/d65/d68).
     "d73_low_entropy_fuzzy_dedup",
+    # round-10 new-probe finds (never externally verified; q103's and
+    # g08's oracles are independent formulations — first-principles
+    # stats, unrolled recursion). Rotation: s26_state_datasource
+    # (green since r5; s27/s29 keep the state family in-window),
+    # q70_incremental_lifecycle (green since r4; q69 keeps
+    # orchestration), q93_interval_battery (green since r6; q85 keeps
+    # calendar/interval, q104 joins the family).
+    "q103_stats_battery", "q104_time_battery",
+    "g08_recursive_reachability",
     # round-8, complete.
     # Rotation: q87/q88/q89/q90/q91/q92 (the SQL-surface battery —
     # driver-gated green for 2-3 consecutive rounds, families never
@@ -137,12 +147,11 @@ _GATE_WINDOW = [
     # q92 rotated out in r8 with the rest of the SQL-surface battery)
     "d57_shared_prefix_stress",
     "g07_bounded_sssp", "s27_state_changefeed",
-    "q93_interval_battery", "d59_classifier_weight_join",
+    "d59_classifier_weight_join",
     "e24_ivf_binary_funnel", "s29_changefeed_metrics_reconcile",
     # round-5, complete (q87 rotated out in r8; d53/g06 rotated out for
     # the round-9 four, d55 for the continuation four — d57/g07 and the
     # d60-d65 curation chain stay as the family reps)
-    "s26_state_datasource",
     # round-5b remainder (q75-q80 rotated out in r6; q88/q89/q90/q91
     # rotated out in r8; d56/e22 rotated out for the round-9 four —
     # d64/e23/e24 stay as the family reps)
@@ -150,7 +159,6 @@ _GATE_WINDOW = [
     # r4, driver-confirmed green in r5) rotate out with the full
     # artifact committed; s16 stays as the applyInPandasWithState
     # family rep.
-    "q70_incremental_lifecycle",
     "s16_stream_dedup_expiry",
     # round-4c cross-section (q83/q84/s19 — all driver-gated green in
     # BOTH r4 and r5 — rotated out for the round-6 seven; q85/q86 stay,
@@ -173,7 +181,7 @@ def _build() -> dict[str, QuerySpec]:
                   ROUND2N, ROUND2O, ROUND2P, ROUND2Q, ROUND3, ROUND4,
                   ROUND4B, ROUND4C, ROUND5, ROUND5B, ROUND6, ROUND6B,
                   ROUND6C, ROUND7, ROUND8, ROUND9, ROUND9B, ROUND10,
-                  ROUND10B, ROUND10C, ROUND11):
+                  ROUND10B, ROUND10C, ROUND10D, ROUND11):
         for name, (builder, oracle) in table.items():
             specs[name] = QuerySpec(name, builder, oracle)
     assert len(_GATE_WINDOW) == 50, len(_GATE_WINDOW)

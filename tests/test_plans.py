@@ -170,11 +170,11 @@ def test_registry_complete_and_oracle_backed(spark):
     missing = set(qs) - set(oracles) - rows_only_allowed
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
-        *(f"q{i:02d}" for i in range(1, 103)),
+        *(f"q{i:02d}" for i in range(1, 105)),
         *(f"d{i:02d}" for i in range(1, 74)),
         *(f"e{i:02d}" for i in range(1, 25)),
         *(f"s{i:02d}" for i in range(1, 34)),
-        "g01", "g02", "g03", "g04", "g05", "g06", "g07",
+        "g01", "g02", "g03", "g04", "g05", "g06", "g07", "g08",
     }
     assert {n.split("_")[0] for n in qs} == expected
 
@@ -198,7 +198,9 @@ def test_gate_window_samples_every_round(spark):
     # registered round 10, never externally verified) MUST be gated
     assert {"d72_token_transposition_dedup",
             "s33_stream_json_quarantine",
-            "d73_low_entropy_fuzzy_dedup"} <= window
+            "d73_low_entropy_fuzzy_dedup",
+            "q103_stats_battery", "q104_time_battery",
+            "g08_recursive_reachability"} <= window
     # previous round's registrations stay gated one more round
     assert {"d70_edit_distance_blocking",
             "q101_try_parse_json_quarantine",
