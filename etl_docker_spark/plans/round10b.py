@@ -40,7 +40,10 @@ ROUND10B: dict = {}
 # shape of entity resolution). Low-entropy keys would break the bound:
 # c_name's constant 'Customer#000' prefix is exactly why d70 had to
 # argue its blocking differently, and documents.text's small word
-# vocabulary makes identical prefixes collide quadratically.
+# vocabulary makes identical prefixes collide quadratically. For THAT
+# regime use d73 (plans/round10c.py): single-edited-token blocking
+# whose block key carries the residual name, so vocabulary frequency
+# cannot inflate candidates.
 _D71_MAXDIST = 2
 _D71_KEYLEN = 20          # variant fan is ~(KEYLEN^2)/2 per key: ~231 at 20
 _D71_ALIAS_OFFSET = 10_000_000
