@@ -53,18 +53,22 @@ _D73_V_DUCK = "[" + ", ".join(f"'{w}'" for w in _D73_VOCAB) + "]"
 _D73_NTOK = 4
 _D73_ALIAS_OFFSET = 10_000_000
 
-# token j (j = 0..2) = vocab[(nid * mult_j + j) % 24]; token 4 is a
-# 'no'||2-digit account fragment — 100 distinct values over the whole
-# corpus, the deliberately DEGENERATE low-entropy token (plus the
-# vocabulary tokens repeat every 24 ids), exactly the regime that
-# breaks whole-string deletion blocking
-_D73_MULTS = (3, 5, 7)
+# tokens 1-3 = the base-24 digits of nid (INDEPENDENT, 13,824 reachable
+# combinations — an earlier design derived all three from nid % 24,
+# which made them perfectly correlated: every 24th name shared its full
+# vocab prefix and true-duplicate pairs grew QUADRATICALLY, ~N^2/1200
+# exact pairs, 18M at ~sf1 — the output itself was the blow-up, not the
+# blocking); token 4 is a 'no'||2-digit account fragment — 100 distinct
+# values corpus-wide, the deliberately DEGENERATE low-entropy token.
+# Natural full-name collisions now need nid agreement mod
+# lcm(13824, 100) = 345,600 — none below ~sf2 — so exact-duplicate
+# coverage comes from LINEAR alias injection instead (every 10th id).
 
 
 def _d73_spark_tokens() -> str:
     toks = [f"element_at({_D73_V}, "
-            f"CAST((nid * {m} + {j}) % 24 AS INT) + 1)"
-            for j, m in enumerate(_D73_MULTS)]
+            f"CAST((nid div {24 ** j}) % 24 AS INT) + 1)"
+            for j in range(3)]
     toks.append("concat('no', lpad(CAST(nid % 100 AS STRING), 2, '0'))")
     return "array(" + ", ".join(toks) + ")"
 
@@ -76,7 +80,10 @@ def d73_low_entropy_fuzzy_dedup(spark: SparkSession,
     account fragment (heavy token sharing — the regime d71's docstring
     concedes). Deterministic typo'd aliases (one sub/del/ins inside one
     token, position and op by arithmetic on the id — both engines
-    rebuild the identical corpus) are injected for every 4th customer.
+    rebuild the identical corpus) are injected for every 4th customer,
+    and verbatim exact-duplicate aliases for every 10th — both LINEAR,
+    so the true-duplicate volume (and with it the blocking join's
+    output) scales linearly with the corpus.
 
     Match semantics: two names are duplicates iff their token sequences
     are identical (exact duplicate, distance 0) or differ in exactly
@@ -101,6 +108,12 @@ def d73_low_entropy_fuzzy_dedup(spark: SparkSession,
         F.col("c_custkey").cast("long").alias("id"),
         F.expr("CAST(substring(c_name, 10, 9) AS BIGINT)").alias("nid"))
         .select("id", F.expr(_d73_spark_tokens()).alias("toks")))
+    # exact-duplicate aliases: every 10th id re-enters VERBATIM (linear
+    # injection — the natural name space is collision-free below ~sf2
+    # by design, see the token comment above)
+    exacts = (base.filter("id % 10 = 5")
+              .select((F.col("id") + F.lit(2 * _D73_ALIAS_OFFSET))
+                      .alias("id"), "toks"))
     aliases = (base.filter("id % 4 = 0")
                .withColumn("ti", F.expr(
                    "CAST((id div 4) % 4 AS INT) + 1"))
@@ -121,7 +134,7 @@ def d73_low_entropy_fuzzy_dedup(spark: SparkSession,
                        F.expr("transform(toks, (t, j) -> "
                               "CASE WHEN j + 1 = ti THEN ct ELSE t END)")
                        .alias("toks")))
-    corpus = base.unionByName(aliases)
+    corpus = base.unionByName(aliases).unionByName(exacts)
     # blocking signatures: 4 positions x (identity + per-char deletion)
     sigs = (corpus
             .select("id", "toks",
@@ -159,7 +172,10 @@ def d73_low_entropy_fuzzy_dedup(spark: SparkSession,
         .alias("n_typo_pairs"),
         F.sum(F.when(F.col("id_b") - F.col("id_a")
                      == _D73_ALIAS_OFFSET, 1).otherwise(0)).cast("long")
-        .alias("n_injected_found"))
+        .alias("n_injected_found"),
+        F.sum(F.when(F.col("id_b") - F.col("id_a")
+                     == 2 * _D73_ALIAS_OFFSET, 1).otherwise(0))
+        .cast("long").alias("n_exact_injected_found"))
     counts = corpus.agg(
         F.count("*").cast("long").alias("n_names"),
         F.sum(F.when(F.col("id") >= _D73_ALIAS_OFFSET, 1).otherwise(0))
@@ -168,9 +184,9 @@ def d73_low_entropy_fuzzy_dedup(spark: SparkSession,
 
 
 def _d73_duck_tokens() -> str:
-    toks = [f"{_D73_V_DUCK}[CAST((nid * {m} + {j}) % 24 AS INT) + 1] "
+    toks = [f"{_D73_V_DUCK}[CAST((nid // {24 ** j}) % 24 AS INT) + 1] "
             f"AS t{j + 1}"
-            for j, m in enumerate(_D73_MULTS)]
+            for j in range(3)]
     toks.append("'no' || lpad(CAST(nid % 100 AS VARCHAR), 2, '0') AS t4")
     return ", ".join(toks)
 
@@ -213,9 +229,14 @@ aliases AS (
          CASE WHEN ti = 4 THEN ct ELSE t4 END AS t4
   FROM corrupted
 ),
+exacts AS (
+  SELECT id + {2 * _D73_ALIAS_OFFSET} AS id, t1, t2, t3, t4
+  FROM named WHERE id % 10 = 5
+),
 corpus AS (
   SELECT id, t1, t2, t3, t4 FROM named UNION ALL
-  SELECT id, t1, t2, t3, t4 FROM aliases
+  SELECT id, t1, t2, t3, t4 FROM aliases UNION ALL
+  SELECT id, t1, t2, t3, t4 FROM exacts
 ),
 -- INDEPENDENT ground truth: brute-force all pairs (gate-SF only; the
 -- engine side never does this)
@@ -243,7 +264,9 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS n_names,
        CAST(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_typo_pairs,
        CAST(SUM(CASE WHEN id_b - id_a = {_D73_ALIAS_OFFSET}
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_injected_found
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_injected_found,
+       CAST(SUM(CASE WHEN id_b - id_a = {2 * _D73_ALIAS_OFFSET}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_injected_found
 FROM matched
 """
 
