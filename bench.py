@@ -64,11 +64,27 @@ def sentinel_verdict(anchor_times: list[float],
     wall times across the run, return (quiet_box, spread) where spread
     = max/min. Degenerate inputs (fewer than 2 samples, or a ~0 floor)
     count as quiet — the sentinel only ever REFUSES on positive
-    evidence of drift."""
+    evidence of drift.
+
+    Warmup carve-out (round-9 diagnosis, first enforced round 10 after
+    two runs died on it): a START anchor that is the unique maximum
+    with everything after it quiet is residual warmup the stabilization
+    loop didn't flush, not contention — contamination looks like the
+    REVERSE (later anchors inflating). In that case judge the spread of
+    the remaining anchors; early queries mispriced high are absorbed by
+    the cross-run min-merge, while refusing the run wastes its whole
+    budget."""
     if len(anchor_times) < 2 or min(anchor_times) <= 1e-6:
         return True, 1.0
     spread = max(anchor_times) / min(anchor_times)
-    return spread <= max_spread, round(spread, 3)
+    if spread <= max_spread:
+        return True, round(spread, 3)
+    rest = anchor_times[1:]
+    if (len(rest) >= 2 and anchor_times[0] == max(anchor_times)
+            and min(rest) > 1e-6
+            and max(rest) / min(rest) <= max_spread):
+        return True, round(max(rest) / min(rest), 3)
+    return False, round(spread, 3)
 
 
 def summary_payload(total: float, sf: float, n_queries: int, reps: int,

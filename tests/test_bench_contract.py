@@ -116,3 +116,16 @@ def test_summary_points_at_run_file_when_given():
     assert bench.summary_payload(1.0, 0.1, 234, 2, "cold",
                                  artifact_written=False)[
         "per_query_file"] is None
+
+
+def test_sentinel_warmup_carveout():
+    # slow START with quiet rest = residual warmup -> accepted on the
+    # rest's spread (r9 diagnosis; two r10 runs died on this)
+    quiet, spread = bench.sentinel_verdict([1.58, 1.01, 1.05, 1.02])
+    assert quiet and spread < 1.1
+    # the REVERSE (late inflation) is real contention -> still refused
+    assert not bench.sentinel_verdict([1.0, 1.02, 2.6])[0]
+    # slow start AND noisy rest -> refused
+    assert not bench.sentinel_verdict([2.0, 1.0, 1.6])[0]
+    # two samples only: no rest to judge -> refused as before
+    assert not bench.sentinel_verdict([1.58, 1.0])[0]
