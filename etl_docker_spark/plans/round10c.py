@@ -58,10 +58,13 @@ _D73_ALIAS_OFFSET = 10_000_000
 # which made them perfectly correlated: every 24th name shared its full
 # vocab prefix and true-duplicate pairs grew QUADRATICALLY, ~N^2/1200
 # exact pairs, 18M at ~sf1 — the output itself was the blow-up, not the
-# blocking); token 4 is a 'no'||2-digit account fragment — 100 distinct
-# values corpus-wide, the deliberately DEGENERATE low-entropy token.
-# Natural full-name collisions now need nid agreement mod
-# lcm(13824, 100) = 345,600 — none below ~sf2 — so exact-duplicate
+# blocking); token 4 is a 'no'||3-digit account fragment — 1000
+# distinct values corpus-wide, the deliberately DEGENERATE low-entropy
+# token (at 2 digits the 10x replica corpus produced ~240k natural typo
+# pairs — quadratic with a 1/72k constant; 3 digits cuts the per-class
+# match probability 7x while staying low-entropy).
+# Natural full-name collisions need nid agreement mod
+# lcm(13824, 1000) = 1,728,000 — none below ~sf10 — so exact-duplicate
 # coverage comes from LINEAR alias injection instead (every 10th id).
 
 
@@ -69,14 +72,14 @@ def _d73_spark_tokens() -> str:
     toks = [f"element_at({_D73_V}, "
             f"CAST((nid div {24 ** j}) % 24 AS INT) + 1)"
             for j in range(3)]
-    toks.append("concat('no', lpad(CAST(nid % 100 AS STRING), 2, '0'))")
+    toks.append("concat('no', lpad(CAST(nid % 1000 AS STRING), 3, '0'))")
     return "array(" + ", ".join(toks) + ")"
 
 
 def d73_low_entropy_fuzzy_dedup(spark: SparkSession,
                                 sf: str) -> DataFrame:
     """Single-edited-token fuzzy dedup on a c_name-DERIVED 4-token
-    natural key built from a 24-word vocabulary plus a 100-value
+    natural key built from a 24-word vocabulary plus a 1000-value
     account fragment (heavy token sharing — the regime d71's docstring
     concedes). Deterministic typo'd aliases (one sub/del/ins inside one
     token, position and op by arithmetic on the id — both engines
@@ -104,12 +107,19 @@ def d73_low_entropy_fuzzy_dedup(spark: SparkSession,
     brute-force exists only on the DuckDB oracle side at gate SF.
     """
     cust = t(spark, sf, "customer")
+    # nid = ALL digits of the name, not a fixed offset: the 10x replica
+    # corpus prefixes customer names with a replica tag
+    # ('9999-Customer#000014999'), which both breaks a positional
+    # substring (ANSI cast throws on 'omer#0000' — killed the first
+    # round-10 sf1 bench run) and, folded into nid, keeps replica
+    # name spaces disjoint instead of mass-colliding.
     base = (cust.select(
         F.col("c_custkey").cast("long").alias("id"),
-        F.expr("CAST(substring(c_name, 10, 9) AS BIGINT)").alias("nid"))
+        F.expr("CAST(regexp_replace(c_name, '[^0-9]', '') AS BIGINT)")
+        .alias("nid"))
         .select("id", F.expr(_d73_spark_tokens()).alias("toks")))
     # exact-duplicate aliases: every 10th id re-enters VERBATIM (linear
-    # injection — the natural name space is collision-free below ~sf2
+    # injection — the natural name space is collision-free below ~sf10
     # by design, see the token comment above)
     exacts = (base.filter("id % 10 = 5")
               .select((F.col("id") + F.lit(2 * _D73_ALIAS_OFFSET))
@@ -178,7 +188,11 @@ def d73_low_entropy_fuzzy_dedup(spark: SparkSession,
         .cast("long").alias("n_exact_injected_found"))
     counts = corpus.agg(
         F.count("*").cast("long").alias("n_names"),
-        F.sum(F.when(F.col("id") >= _D73_ALIAS_OFFSET, 1).otherwise(0))
+        # replica corpora carry base ids >= 10^9, so alias membership
+        # is a MODULAR band, not a magnitude test (within-replica keys
+        # stay far below OFFSET for any corpus under ~sf60)
+        F.sum(F.when(F.expr(f"pmod(id, 1000000000) >= "
+                            f"{_D73_ALIAS_OFFSET}"), 1).otherwise(0))
         .cast("long").alias("n_aliases"))
     return counts.crossJoin(stats)  # two 1-row frames
 
@@ -187,14 +201,14 @@ def _d73_duck_tokens() -> str:
     toks = [f"{_D73_V_DUCK}[CAST((nid // {24 ** j}) % 24 AS INT) + 1] "
             f"AS t{j + 1}"
             for j in range(3)]
-    toks.append("'no' || lpad(CAST(nid % 100 AS VARCHAR), 2, '0') AS t4")
+    toks.append("'no' || lpad(CAST(nid % 1000 AS VARCHAR), 3, '0') AS t4")
     return ", ".join(toks)
 
 
 D73_SQL = f"""
 WITH base AS (
   SELECT CAST(c_custkey AS BIGINT) AS id,
-         CAST(substring(c_name, 10, 9) AS BIGINT) AS nid
+         CAST(regexp_replace(c_name, '[^0-9]', '', 'g') AS BIGINT) AS nid
   FROM customer
 ),
 named AS (
@@ -255,7 +269,8 @@ matched AS (
   SELECT * FROM pairs WHERE nd = 0 OR (nd = 1 AND dist <= 1)
 )
 SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS n_names,
-       (SELECT CAST(SUM(CASE WHEN id >= {_D73_ALIAS_OFFSET}
+       (SELECT CAST(SUM(CASE WHEN id % 1000000000
+                                  >= {_D73_ALIAS_OFFSET}
                              THEN 1 ELSE 0 END) AS BIGINT)
         FROM corpus) AS n_aliases,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
