@@ -34,6 +34,7 @@ import shutil
 import sys
 import tempfile
 import time
+from typing import NamedTuple
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -57,47 +58,66 @@ SENTINEL_ANCHOR = "q01_pricing_summary"
 SENTINEL_MAX_SPREAD = 1.5
 
 
+class SentinelVerdict(NamedTuple):
+    """quiet: accept the run. spread: the spread the run was JUDGED on
+    (the rest-of-run spread when the warmup carve-out fires, else the
+    full spread). full_spread: max/min over ALL anchors, always — so a
+    carve-out acceptance is never indistinguishable downstream from a
+    genuinely quiet run (r10 ADVICE, medium). warmup_carveout: True
+    exactly when the carve-out did the accepting."""
+
+    quiet: bool
+    spread: float
+    full_spread: float = 1.0
+    warmup_carveout: bool = False
+
+
 def sentinel_verdict(anchor_times: list[float],
                      max_spread: float = SENTINEL_MAX_SPREAD
-                     ) -> tuple[bool, float]:
+                     ) -> SentinelVerdict:
     """Pure decision function (unit-tested): given the anchor query's
-    wall times across the run, return (quiet_box, spread) where spread
-    = max/min. Degenerate inputs (fewer than 2 samples, or a ~0 floor)
-    count as quiet — the sentinel only ever REFUSES on positive
-    evidence of drift.
+    wall times across the run, decide whether the box was quiet.
+    Degenerate inputs (fewer than 2 samples, or a ~0 floor) count as
+    quiet — the sentinel only ever REFUSES on positive evidence of
+    drift.
 
     Warmup carve-out (round-9 diagnosis, first enforced round 10 after
-    two runs died on it): a START anchor that is the unique maximum
-    with everything after it quiet is residual warmup the stabilization
-    loop didn't flush, not contention — contamination looks like the
-    REVERSE (later anchors inflating). In that case judge the spread of
-    the remaining anchors; early queries mispriced high are absorbed by
-    the cross-run min-merge, while refusing the run wastes its whole
-    budget."""
+    two runs died on it): a START anchor that is the STRICT unique
+    maximum with everything after it quiet is residual warmup the
+    stabilization loop didn't flush, not contention — contamination
+    looks like the REVERSE (later anchors inflating). In that case
+    judge the spread of the remaining anchors; early queries mispriced
+    high are absorbed by the cross-run min-merge, while refusing the
+    run wastes its whole budget. A later anchor that exactly TIES the
+    start is not warmup evidence (r10 ADVICE): the comparison is
+    strictly `start > max(rest)`."""
     if len(anchor_times) < 2 or min(anchor_times) <= 1e-6:
-        return True, 1.0
-    spread = max(anchor_times) / min(anchor_times)
+        return SentinelVerdict(True, 1.0)
+    spread = round(max(anchor_times) / min(anchor_times), 3)
     if spread <= max_spread:
-        return True, round(spread, 3)
+        return SentinelVerdict(True, spread, spread)
     rest = anchor_times[1:]
-    if (len(rest) >= 2 and anchor_times[0] == max(anchor_times)
+    if (len(rest) >= 2 and anchor_times[0] > max(rest)
             and min(rest) > 1e-6
             and max(rest) / min(rest) <= max_spread):
-        return True, round(max(rest) / min(rest), 3)
-    return False, round(spread, 3)
+        return SentinelVerdict(True, round(max(rest) / min(rest), 3),
+                               spread, True)
+    return SentinelVerdict(False, spread, spread)
 
 
 def summary_payload(total: float, sf: float, n_queries: int, reps: int,
                     artifact_state: str,
                     sentinel_spread: float = 1.0,
                     artifact_written: bool = True,
-                    per_query_file: str | None = None) -> dict:
+                    per_query_file: str | None = None,
+                    warmup_carveout: bool = False,
+                    start_anchor_spread: float | None = None) -> dict:
     """The ENTIRE final stdout line — scalars only, never per-query maps.
 
     Keep this a pure function: tests/test_bench_contract.py asserts the
     serialized form stays far below the driver's 2,000-char tail capture.
     """
-    return {
+    payload = {
         "metric": "total_query_wall_seconds",
         "value": round(total, 3),
         "unit": "sec",
@@ -112,6 +132,14 @@ def summary_payload(total: float, sf: float, n_queries: int, reps: int,
         "sentinel_spread": sentinel_spread,
         "artifact_written": artifact_written,
     }
+    # When the warmup carve-out accepted the run, sentinel_spread is the
+    # REST-only spread — flag it and carry the full start-inclusive
+    # spread so merge tooling / single-run artifact consumers can see
+    # the accepted run had a hot start (r10 ADVICE, medium).
+    if warmup_carveout:
+        payload["warmup_carveout"] = True
+        payload["start_anchor_spread"] = start_anchor_spread
+    return payload
 
 
 def main() -> None:
@@ -290,16 +318,24 @@ def main() -> None:
         tag = checkpoints.get(i)
         if tag is not None:
             probe_anchor(tag)
-            ok, cur_spread = sentinel_verdict(anchor_times)
-            # Abort mid-run only on LATE INFLATION (the newest anchor is
-            # the max — the box is getting slower under us; finishing
-            # would be discarded anyway). A spread driven by a slow
-            # START over a now-quiet box is the warmup asymmetry: keep
-            # going and let the end-of-run verdict (which can see >= 2
-            # post-start anchors for the carve-out) decide.
-            if not ok and anchor_times[-1] == max(anchor_times):
+            v = sentinel_verdict(anchor_times)
+            # Abort the moment the run is IRRECOVERABLY refused. With
+            # >= 2 post-start anchors, a refusal is final: the full
+            # spread only grows as anchors append, and the warmup
+            # carve-out's conditions (start strictly above max(rest),
+            # rest-spread under threshold) can only become false, never
+            # true. With a single post-start anchor, a slow START over
+            # a quiet later box is the warmup asymmetry — keep going
+            # and let the carve-out decide; late inflation (newest
+            # anchor is the max) is real contention either way (r10
+            # ADVICE: the old last==max-only rule let sustained
+            # contention that peaked at the quarter anchor run the
+            # whole remaining surface before the end verdict).
+            doomed = (len(anchor_times) >= 3
+                      or anchor_times[-1] == max(anchor_times))
+            if not v.quiet and doomed:
                 print(f"[bench] ABORT at {tag} ({i}/{len(names)}): "
-                      f"anchor spread {cur_spread}x exceeds "
+                      f"anchor spread {v.spread}x exceeds "
                       f"{SENTINEL_MAX_SPREAD}x", file=sys.stderr)
                 aborted = True
                 break
@@ -310,7 +346,8 @@ def main() -> None:
     if not aborted:
         probe_anchor("end")
 
-    quiet, spread = sentinel_verdict(anchor_times)
+    verdict = sentinel_verdict(anchor_times)
+    quiet, spread = verdict.quiet, verdict.spread
 
     # Per-query map goes to a FILE, never stdout: 148+ timings are ~4 KB
     # of JSON, which overflows the driver's tail capture and made rounds
@@ -326,12 +363,17 @@ def main() -> None:
     run_path = run_file_name(int(time.time()))
     if quiet:
         os.makedirs(os.path.join(here, RUN_DIR), exist_ok=True)
+        run_record = {"sf": sf, "reps": reps,
+                      "artifact_cache": artifact_state,
+                      "sentinel_spread": spread,
+                      "total_sec": round(total, 3), "queries": timings}
+        if verdict.warmup_carveout:
+            # flag hot-start acceptances in the run file itself so
+            # merge tooling can discount pre-first-checkpoint timings
+            run_record["warmup_carveout"] = True
+            run_record["start_anchor_spread"] = verdict.full_spread
         with open(os.path.join(here, run_path), "w") as f:
-            json.dump({"sf": sf, "reps": reps,
-                       "artifact_cache": artifact_state,
-                       "sentinel_spread": spread,
-                       "total_sec": round(total, 3), "queries": timings},
-                      f, indent=1, sort_keys=True)
+            json.dump(run_record, f, indent=1, sort_keys=True)
         print(f"[bench] per-query timings -> {run_path}", file=sys.stderr)
     else:
         print(f"[bench] CONTENTION: anchor spread {spread}x exceeds "
@@ -340,7 +382,11 @@ def main() -> None:
 
     out = summary_payload(total, sf, len(timings), reps, artifact_state,
                           sentinel_spread=spread, artifact_written=quiet,
-                          per_query_file=run_path if quiet else None)
+                          per_query_file=run_path if quiet else None,
+                          warmup_carveout=verdict.warmup_carveout,
+                          start_anchor_spread=(verdict.full_spread
+                                               if verdict.warmup_carveout
+                                               else None))
     spark.stop()
     if tmp_cache:
         shutil.rmtree(tmp_cache, ignore_errors=True)

@@ -276,11 +276,13 @@ _G08_EDGES = ("SELECT CAST(c_custkey AS BIGINT) AS src, "
               "% (SELECT COUNT(*) FROM {CUST}) AS dst FROM {CUST}")
 
 _G08_SPARK = """
-WITH RECURSIVE reach(src, node, depth) AS (
-  SELECT src, src AS node, 0 AS depth FROM ({EDGES})
+WITH RECURSIVE edges AS (
+  {EDGES}
+), reach(src, node, depth) AS (
+  SELECT src, src AS node, 0 AS depth FROM edges
   UNION ALL
   SELECT r.src, e.dst AS node, r.depth + 1 AS depth
-  FROM reach r JOIN ({EDGES}) e ON r.node = e.src
+  FROM reach r JOIN edges e ON r.node = e.src
   WHERE r.depth < {DEPTH}
 )
 SELECT CAST(depth AS BIGINT) AS depth,
@@ -299,8 +301,11 @@ def g08_recursive_reachability(spark: SparkSession,
     frontier is |V| rows: the recursion's working set is bounded and
     each step is one equi-join, the shape that survives scale (a
     fan-out graph would need the g07-style frontier-dedup loop
-    instead). The ORACLE unrolls the recursion into six explicit join
-    levels — no WITH RECURSIVE — so Spark's brand-new recursive
+    instead). The edges derivation (including its scalar COUNT(*)
+    modulus subquery) is hoisted into a non-recursive named CTE so the
+    recursive term references it instead of re-deriving it per step
+    (r10 ADVICE). The ORACLE unrolls the recursion into six explicit
+    join levels — no WITH RECURSIVE — so Spark's brand-new recursive
     executor is gated against a formulation that does not share it.
     """
     name = f"g08_cust_{abs(hash(sf)) % 10 ** 8}"

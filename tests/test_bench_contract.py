@@ -27,26 +27,29 @@ def test_summary_has_no_queries_key():
 
 
 def test_sentinel_accepts_quiet_box():
-    quiet, spread = bench.sentinel_verdict([1.00, 1.12, 0.95])
-    assert quiet
-    assert spread == round(1.12 / 0.95, 3)
+    v = bench.sentinel_verdict([1.00, 1.12, 0.95])
+    assert v.quiet
+    assert v.spread == round(1.12 / 0.95, 3)
+    assert v.full_spread == v.spread
+    assert not v.warmup_carveout
 
 
 def test_sentinel_refuses_contended_box():
     # the round-6 failure shape: the box slowed mid-run (d11 0.9s -> 7.5s
     # class drift); the anchor sees it and the artifact must be refused
-    quiet, spread = bench.sentinel_verdict([1.0, 2.4, 1.1])
-    assert not quiet
-    assert spread == 2.4
+    v = bench.sentinel_verdict([1.0, 2.4, 1.1])
+    assert not v.quiet
+    assert v.spread == 2.4
 
 
 def test_sentinel_boundary_and_degenerate_inputs():
     # exactly at the threshold is still quiet (<=)
-    assert bench.sentinel_verdict([1.0, 1.5])[0]
+    assert bench.sentinel_verdict([1.0, 1.5]).quiet
     # too few samples / zero floor: no positive evidence -> quiet
-    assert bench.sentinel_verdict([]) == (True, 1.0)
-    assert bench.sentinel_verdict([1.0]) == (True, 1.0)
-    assert bench.sentinel_verdict([0.0, 5.0]) == (True, 1.0)
+    for degenerate in ([], [1.0], [0.0, 5.0]):
+        v = bench.sentinel_verdict(degenerate)
+        assert (v.quiet, v.spread) == (True, 1.0)
+        assert not v.warmup_carveout
 
 
 def test_summary_carries_sentinel_fields():
@@ -121,11 +124,42 @@ def test_summary_points_at_run_file_when_given():
 def test_sentinel_warmup_carveout():
     # slow START with quiet rest = residual warmup -> accepted on the
     # rest's spread (r9 diagnosis; two r10 runs died on this)
-    quiet, spread = bench.sentinel_verdict([1.58, 1.01, 1.05, 1.02])
-    assert quiet and spread < 1.1
+    v = bench.sentinel_verdict([1.58, 1.01, 1.05, 1.02])
+    assert v.quiet and v.spread < 1.1
+    # ...but FLAGGED, and the full start-inclusive spread is carried so
+    # downstream consumers can see the hot start (r10 ADVICE, medium)
+    assert v.warmup_carveout
+    assert v.full_spread == round(1.58 / 1.01, 3)
     # the REVERSE (late inflation) is real contention -> still refused
-    assert not bench.sentinel_verdict([1.0, 1.02, 2.6])[0]
+    assert not bench.sentinel_verdict([1.0, 1.02, 2.6]).quiet
     # slow start AND noisy rest -> refused
-    assert not bench.sentinel_verdict([2.0, 1.0, 1.6])[0]
+    assert not bench.sentinel_verdict([2.0, 1.0, 1.6]).quiet
     # two samples only: no rest to judge -> refused as before
-    assert not bench.sentinel_verdict([1.58, 1.0])[0]
+    assert not bench.sentinel_verdict([1.58, 1.0]).quiet
+
+
+def test_sentinel_carveout_requires_strict_unique_max():
+    # a later anchor that exactly TIES the start never fires the
+    # CARVE-OUT (the docstring requires the start be the UNIQUE
+    # maximum; r10 ADVICE asked the code to match strictly). A tied
+    # max means full spread == rest spread, so such a run is judged
+    # on the plain-spread path: quiet here, with no carveout flag.
+    v = bench.sentinel_verdict([2.0, 1.4, 2.0])
+    assert v.quiet and not v.warmup_carveout
+    # strictly-above start with a quiet rest passes via the carve-out
+    assert bench.sentinel_verdict([2.2, 1.4, 1.5]).warmup_carveout
+    # ...and a strictly-above start with a noisy rest is still refused
+    assert not bench.sentinel_verdict([2.2, 1.3, 2.0]).quiet
+
+
+def test_summary_carries_warmup_carveout_flag():
+    p = bench.summary_payload(1.0, 0.1, 244, 2, "cold",
+                              sentinel_spread=1.05,
+                              warmup_carveout=True,
+                              start_anchor_spread=1.56)
+    assert p["warmup_carveout"] is True
+    assert p["start_anchor_spread"] == 1.56
+    # a clean run carries neither key (the summary stays minimal)
+    clean = bench.summary_payload(1.0, 0.1, 244, 2, "cold")
+    assert "warmup_carveout" not in clean
+    assert "start_anchor_spread" not in clean

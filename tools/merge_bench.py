@@ -61,6 +61,14 @@ def merge(runs: list[dict], allow_unverified: bool = False) -> dict:
         "merged_runs": len(runs),
         "run_totals_sec": [r["total_sec"] for r in runs],
         "sentinel_spreads": [r.get("sentinel_spread") for r in runs],
+        # provenance for hot-start acceptances: a run admitted via the
+        # warmup carve-out has a rest-only sentinel_spread; its full
+        # start-inclusive spread is surfaced here so consumers can
+        # discount its pre-first-checkpoint timings (r10 ADVICE)
+        "warmup_carveouts": [bool(r.get("warmup_carveout"))
+                             for r in runs],
+        "start_anchor_spreads": [r.get("start_anchor_spread")
+                                 for r in runs],
         "total_sec": round(sum(queries.values()), 3),
         "total_median_sec": round(sum(medians.values()), 3),
         "queries": queries,
