@@ -46,6 +46,7 @@ from etl_docker_spark.plans.round10b import ROUND10B
 from etl_docker_spark.plans.round10c import ROUND10C
 from etl_docker_spark.plans.round10d import ROUND10D
 from etl_docker_spark.plans.round11 import ROUND11
+from etl_docker_spark.plans.round12 import ROUND12
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
@@ -129,6 +130,14 @@ _GATE_WINDOW = [
     # calendar/interval, q104 joins the family).
     "q103_stats_battery", "q104_time_battery",
     "g08_recursive_reachability",
+    # round-11 registrations (staged oracle-verified in round 10's
+    # plans/round12.py, registered first thing this round — never
+    # externally verified). Rotation: g07_bounded_sssp (driver-gated
+    # green since round 4; the graph family keeps g08 in-window and
+    # g09 joins it) and d59_classifier_weight_join (green since round
+    # 5; the classifier family keeps six in-window reps
+    # d60-d63/d65/d68).
+    "d74_topk_state_lifecycle", "g09_recursive_path_cost",
     # round-8, complete.
     # Rotation: q87/q88/q89/q90/q91/q92 (the SQL-surface battery —
     # driver-gated green for 2-3 consecutive rounds, families never
@@ -146,8 +155,7 @@ _GATE_WINDOW = [
     # (d49/s13/s20/s22, driver-gated green in r4+r5, rotated out in r6;
     # q92 rotated out in r8 with the rest of the SQL-surface battery)
     "d57_shared_prefix_stress",
-    "g07_bounded_sssp", "s27_state_changefeed",
-    "d59_classifier_weight_join",
+    "s27_state_changefeed",
     "e24_ivf_binary_funnel", "s29_changefeed_metrics_reconcile",
     # round-5, complete (q87 rotated out in r8; d53/g06 rotated out for
     # the round-9 four, d55 for the continuation four — d57/g07 and the
@@ -181,7 +189,7 @@ def _build() -> dict[str, QuerySpec]:
                   ROUND2N, ROUND2O, ROUND2P, ROUND2Q, ROUND3, ROUND4,
                   ROUND4B, ROUND4C, ROUND5, ROUND5B, ROUND6, ROUND6B,
                   ROUND6C, ROUND7, ROUND8, ROUND9, ROUND9B, ROUND10,
-                  ROUND10B, ROUND10C, ROUND10D, ROUND11):
+                  ROUND10B, ROUND10C, ROUND10D, ROUND11, ROUND12):
         for name, (builder, oracle) in table.items():
             specs[name] = QuerySpec(name, builder, oracle)
     assert len(_GATE_WINDOW) == 50, len(_GATE_WINDOW)

@@ -171,10 +171,10 @@ def test_registry_complete_and_oracle_backed(spark):
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
         *(f"q{i:02d}" for i in range(1, 105)),
-        *(f"d{i:02d}" for i in range(1, 74)),
+        *(f"d{i:02d}" for i in range(1, 75)),
         *(f"e{i:02d}" for i in range(1, 25)),
         *(f"s{i:02d}" for i in range(1, 34)),
-        "g01", "g02", "g03", "g04", "g05", "g06", "g07", "g08",
+        "g01", "g02", "g03", "g04", "g05", "g06", "g07", "g08", "g09",
     }
     assert {n.split("_")[0] for n in qs} == expected
 
@@ -194,18 +194,16 @@ def test_gate_window_samples_every_round(spark):
     first50 = list(entrymod.queries())[:50]
     assert first50 == list(registry._GATE_WINDOW)
     window = set(first50)
-    # newest registrations (staged in round 9's plans/round11.py,
-    # registered round 10, never externally verified) MUST be gated
+    # newest registrations (staged in round 10's plans/round12.py,
+    # registered round 11, never externally verified) MUST be gated
+    assert {"d74_topk_state_lifecycle",
+            "g09_recursive_path_cost"} <= window
+    # previous round's registrations stay gated one more round
     assert {"d72_token_transposition_dedup",
             "s33_stream_json_quarantine",
             "d73_low_entropy_fuzzy_dedup",
             "q103_stats_battery", "q104_time_battery",
             "g08_recursive_reachability"} <= window
-    # previous round's registrations stay gated one more round
-    assert {"d70_edit_distance_blocking",
-            "q101_try_parse_json_quarantine",
-            "d71_fuzzy_dedup_depth2",
-            "q102_seeded_synthetic_generator"} <= window
     # round-1 anchors still sampled
     assert {"q01_pricing_summary", "s01_stream_tumbling"} <= window
     # once-red family reps stay pinned (HUGEINT oracle casts /
