@@ -46,6 +46,7 @@ from etl_docker_spark.plans.round10b import ROUND10B
 from etl_docker_spark.plans.round10c import ROUND10C
 from etl_docker_spark.plans.round10d import ROUND10D
 from etl_docker_spark.plans.round11 import ROUND11
+from etl_docker_spark.plans.round11b import ROUND11B
 from etl_docker_spark.plans.round12 import ROUND12
 
 Builder = Callable[[SparkSession, str], DataFrame]
@@ -138,6 +139,13 @@ _GATE_WINDOW = [
     # 5; the classifier family keeps six in-window reps
     # d60-d63/d65/d68).
     "d74_topk_state_lifecycle", "g09_recursive_path_cost",
+    # round-11 build (never externally verified; its oracle is an
+    # INDEPENDENT all-pairs brute force over remove-one-token sorted
+    # alignments, so the gate is a true recall/precision check).
+    # Rotation: s25_stream_dedup_then_agg (driver-gated green since
+    # round 4; streaming keeps nine in-window reps incl. s16 for
+    # watermarked dedup).
+    "d75_transposed_typo_dedup",
     # round-8, complete.
     # Rotation: q87/q88/q89/q90/q91/q92 (the SQL-surface battery —
     # driver-gated green for 2-3 consecutive rounds, families never
@@ -173,7 +181,6 @@ _GATE_WINDOW = [
     # the most quirk-prone calendar/pruning gates)
     "q82_sql_udf_installments", "q85_calendar_tz_battery",
     "q86_dynamic_partition_pruning",
-    "s25_stream_dedup_then_agg",
     "d51_substring_decontam",
     # round-3 cross-section (the rest of round 3 rotated out across
     # rounds 4b/4c — all stay green in the full artifact)
@@ -189,7 +196,8 @@ def _build() -> dict[str, QuerySpec]:
                   ROUND2N, ROUND2O, ROUND2P, ROUND2Q, ROUND3, ROUND4,
                   ROUND4B, ROUND4C, ROUND5, ROUND5B, ROUND6, ROUND6B,
                   ROUND6C, ROUND7, ROUND8, ROUND9, ROUND9B, ROUND10,
-                  ROUND10B, ROUND10C, ROUND10D, ROUND11, ROUND12):
+                  ROUND10B, ROUND10C, ROUND10D, ROUND11, ROUND11B,
+                  ROUND12):
         for name, (builder, oracle) in table.items():
             specs[name] = QuerySpec(name, builder, oracle)
     assert len(_GATE_WINDOW) == 50, len(_GATE_WINDOW)

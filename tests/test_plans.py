@@ -171,7 +171,7 @@ def test_registry_complete_and_oracle_backed(spark):
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
         *(f"q{i:02d}" for i in range(1, 105)),
-        *(f"d{i:02d}" for i in range(1, 75)),
+        *(f"d{i:02d}" for i in range(1, 76)),
         *(f"e{i:02d}" for i in range(1, 25)),
         *(f"s{i:02d}" for i in range(1, 34)),
         "g01", "g02", "g03", "g04", "g05", "g06", "g07", "g08", "g09",
@@ -197,7 +197,8 @@ def test_gate_window_samples_every_round(spark):
     # newest registrations (staged in round 10's plans/round12.py,
     # registered round 11, never externally verified) MUST be gated
     assert {"d74_topk_state_lifecycle",
-            "g09_recursive_path_cost"} <= window
+            "g09_recursive_path_cost",
+            "d75_transposed_typo_dedup"} <= window
     # previous round's registrations stay gated one more round
     assert {"d72_token_transposition_dedup",
             "s33_stream_json_quarantine",
