@@ -146,6 +146,13 @@ _GATE_WINDOW = [
     # round 4; streaming keeps nine in-window reps incl. s16 for
     # watermarked dedup).
     "d75_transposed_typo_dedup",
+    # round-11 probe closure (never externally verified; the oracle is
+    # pure ARITHMETIC — DuckDB cannot hold the corrupted strings at
+    # all, so expected counts derive from the injection rule and
+    # length(text) alone). Rotation: s27_state_changefeed (driver-
+    # gated green since round 5; s29 keeps the state-store family
+    # in-window).
+    "q105_validate_utf8_battery",
     # round-8, complete.
     # Rotation: q87/q88/q89/q90/q91/q92 (the SQL-surface battery —
     # driver-gated green for 2-3 consecutive rounds, families never
@@ -163,7 +170,6 @@ _GATE_WINDOW = [
     # (d49/s13/s20/s22, driver-gated green in r4+r5, rotated out in r6;
     # q92 rotated out in r8 with the rest of the SQL-surface battery)
     "d57_shared_prefix_stress",
-    "s27_state_changefeed",
     "e24_ivf_binary_funnel", "s29_changefeed_metrics_reconcile",
     # round-5, complete (q87 rotated out in r8; d53/g06 rotated out for
     # the round-9 four, d55 for the continuation four — d57/g07 and the

@@ -266,3 +266,117 @@ FROM matched
 ROUND11B.update({
     "d75_transposed_typo_dedup": (d75_transposed_typo_dedup, D75_SQL),
 })
+
+# ---------------------------------------------------------------- q105
+
+
+def q105_validate_utf8_battery(spark: SparkSession,
+                               sf: str) -> DataFrame:
+    """The validate_utf8 family (is_valid_utf8 / try_validate_utf8 /
+    validate_utf8 / make_valid_utf8), gated against an ARITHMETIC
+    oracle (NOTES_r10 carry-over #5: DuckDB rejects invalid UTF-8 in
+    VARCHAR entirely, so no cross-engine route can materialize the
+    corrupted strings — instead the oracle derives every expected
+    count from the injection arithmetic and `length(text)` alone).
+
+    Deterministic byte-level corruption over the ASCII document corpus
+    (ascii-ness is itself checked per row, so a non-ASCII future corpus
+    degrades to 'clean' instead of breaking the arithmetic):
+      - id%3=0: SUBSTITUTE the byte at pmod(id, len)+1 with 0xFF
+        (invalid everywhere in UTF-8) — repaired char length is
+        UNCHANGED (exactly one U+FFFD per invalid byte, probed live);
+      - id%3=1 and id%5=0: APPEND 0xC2 (a lead byte with no
+        continuation) — repaired char length grows by exactly 1;
+      - everything else stays clean, and the THROWING validate_utf8
+        runs live on this partition (a spurious throw fails the query).
+
+    The corruption happens in BINARY space (encode -> byte splice ->
+    CAST back to STRING, which reinterprets bytes without validation),
+    the only way to hold an invalid UTF-8 string in Spark at all.
+
+    Scale shape: row-local byte arithmetic, one aggregate — no shuffle
+    beyond the final 1-row agg; this is the ingest-validation screen a
+    100 TB landing zone runs per batch.
+    """
+    docs = t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("id"), "text")
+    d = (docs
+         .withColumn("ol", F.expr("octet_length(text)"))
+         .withColumn("cl", F.expr("length(text)"))
+         .withColumn("cls", F.expr(
+             "CASE WHEN ol = cl AND ol >= 1 AND id % 3 = 0 THEN 'sub' "
+             "WHEN ol = cl AND ol >= 1 AND id % 3 = 1 AND id % 5 = 0 "
+             "THEN 'trunc' ELSE 'clean' END"))
+         .withColumn("p", F.expr(
+             "CASE WHEN ol >= 1 THEN CAST(pmod(id, ol) AS INT) + 1 "
+             "ELSE 1 END"))
+         .withColumn("s", F.expr("""
+             CASE cls
+               WHEN 'sub' THEN CAST(concat(
+                   substring(encode(text, 'UTF-8'), 1, p - 1),
+                   unhex('FF'),
+                   substring(encode(text, 'UTF-8'), p + 1, ol))
+                 AS STRING)
+               WHEN 'trunc' THEN CAST(concat(encode(text, 'UTF-8'),
+                                             unhex('C2')) AS STRING)
+               ELSE text
+             END""")))
+    return d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("cls") == "sub", 1).otherwise(0))
+        .cast("long").alias("n_sub"),
+        F.sum(F.when(F.col("cls") == "trunc", 1).otherwise(0))
+        .cast("long").alias("n_trunc"),
+        F.sum(F.expr("CASE WHEN is_valid_utf8(s) THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_valid"),
+        F.sum(F.expr("CASE WHEN try_validate_utf8(s) IS NULL "
+                     "THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_try_null"),
+        F.sum(F.expr("CASE WHEN make_valid_utf8(s) = s "
+                     "THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_identity"),
+        F.sum(F.expr("length(make_valid_utf8(s))"))
+        .cast("long").alias("repaired_chars"),
+        F.sum(F.expr("CASE WHEN cls = 'clean' "
+                     "THEN length(validate_utf8(s)) ELSE 0 END"))
+        .cast("long").alias("validated_clean_chars"),
+        F.sum("cl").cast("long").alias("orig_chars"))
+
+
+Q105_SQL = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         strlen(text) AS ol, length(text) AS cl
+  FROM documents
+),
+f AS (
+  SELECT *,
+         CASE WHEN ol = cl AND ol >= 1 AND id % 3 = 0 THEN 'sub'
+              WHEN ol = cl AND ol >= 1 AND id % 3 = 1 AND id % 5 = 0
+              THEN 'trunc' ELSE 'clean' END AS cls
+  FROM d
+)
+-- pure arithmetic: no invalid string is ever built on this side
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN cls = 'sub' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sub,
+       CAST(SUM(CASE WHEN cls = 'trunc' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_trunc,
+       CAST(SUM(CASE WHEN cls = 'clean' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_valid,
+       CAST(SUM(CASE WHEN cls != 'clean' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_try_null,
+       CAST(SUM(CASE WHEN cls = 'clean' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_identity,
+       CAST(SUM(cl) + SUM(CASE WHEN cls = 'trunc' THEN 1 ELSE 0 END)
+            AS BIGINT) AS repaired_chars,
+       CAST(SUM(CASE WHEN cls = 'clean' THEN cl ELSE 0 END) AS BIGINT)
+         AS validated_clean_chars,
+       CAST(SUM(cl) AS BIGINT) AS orig_chars
+FROM f
+"""
+
+ROUND11B.update({
+    "q105_validate_utf8_battery": (q105_validate_utf8_battery,
+                                   Q105_SQL),
+})

@@ -170,7 +170,7 @@ def test_registry_complete_and_oracle_backed(spark):
     missing = set(qs) - set(oracles) - rows_only_allowed
     assert not missing, f"queries without an oracle: {sorted(missing)}"
     expected = {
-        *(f"q{i:02d}" for i in range(1, 105)),
+        *(f"q{i:02d}" for i in range(1, 106)),
         *(f"d{i:02d}" for i in range(1, 76)),
         *(f"e{i:02d}" for i in range(1, 25)),
         *(f"s{i:02d}" for i in range(1, 34)),
@@ -198,7 +198,8 @@ def test_gate_window_samples_every_round(spark):
     # registered round 11, never externally verified) MUST be gated
     assert {"d74_topk_state_lifecycle",
             "g09_recursive_path_cost",
-            "d75_transposed_typo_dedup"} <= window
+            "d75_transposed_typo_dedup",
+            "q105_validate_utf8_battery"} <= window
     # previous round's registrations stay gated one more round
     assert {"d72_token_transposition_dedup",
             "s33_stream_json_quarantine",
