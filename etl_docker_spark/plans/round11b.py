@@ -50,36 +50,11 @@ _D75_NTOK = 4
 _D75_ALIAS_OFFSET = 10_000_000
 
 
-def d75_transposed_typo_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """Order-insensitive single-edited-token fuzzy dedup over d73's
-    4-token low-entropy natural key corpus. Two alias classes are
-    injected, both LINEAR in corpus size and both rebuilt identically
-    by the oracle:
-      - every 4th customer: ROTATE the tokens by 1 + id%3 positions,
-        then corrupt one char of one token (sub 'q' / delete /
-        insert 'x', position and op by arithmetic on the id) —
-        transposition AND typo in one alias (the target shape);
-      - every 10th customer (id%10=5): rotation only — pure
-        transposition duplicates at token distance 0.
-
-    Match semantics: duplicates iff token MULTISETS are equal
-    (dist 0), or the multisets differ in exactly one token pair within
-    edit distance 1 (dist 1). Word order never matters.
-
-    Blocking: tokens sorted first (d72's unit), then per multiset slot
-    i the key is (sorted rest verbatim, FastSS depth<=1 deletion
-    variant of token i) (d73's unit) — ~NTOK x (len+1) ~ 26 signatures
-    per name, one equi-join on the composite signature, pair-level
-    DISTINCT, levenshtein verify pruning the depth-1-leakage (token
-    ed 2) candidates. No all-pairs anywhere on the engine side; the
-    brute force exists only in the DuckDB oracle at gate SF.
-
-    Scale shape: bounded fan, block entropy carried by the 3-token
-    residual multiset (vocabulary frequency cannot inflate candidate
-    volume — names must agree on every other token, in any order), and
-    the final crossJoin is 1-row x 1-row stats assembly (pinned
-    no-cartesian in tests/test_plans_round11b.py).
-    """
+def _d75_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The d75 corpus: d73's 4-token natural key per customer plus two
+    LINEAR alias classes — rotation-only (every 10th id, +2*OFFSET)
+    and rotation+typo (every 4th id, +OFFSET). Returns (id, st) with
+    st = the SORTED token array. Shared with d76 (round13.py)."""
     cust = t(spark, sf, "customer")
     # nid from ALL name digits — replica-safe (see round10c.py)
     base = (cust.select(
@@ -119,8 +94,14 @@ def d75_transposed_typo_dedup(spark: SparkSession, sf: str) -> DataFrame:
                         F.expr("transform(toks, (t, j) -> "
                                "CASE WHEN j + 1 = ti THEN ct ELSE t "
                                "END)").alias("toks")))
-    corpus = (base.unionByName(rot_typo).unionByName(rot_only)
-              .select("id", F.sort_array("toks").alias("st")))
+    return (base.unionByName(rot_typo).unionByName(rot_only)
+            .select("id", F.sort_array("toks").alias("st")))
+
+
+def _d75_verified_pairs(corpus: DataFrame) -> DataFrame:
+    """Blocking + verify: (id_a, id_b, dist) with id_a < id_b and
+    dist <= 1 — the exact-recall/exact-precision duplicate pair frame
+    (see d75's docstring for the argument). Shared with d76."""
     # signatures: NTOK multiset slots x (identity + per-char deletion);
     # rest = the OTHER tokens of the SORTED list, verbatim
     sigs = (corpus
@@ -145,12 +126,46 @@ def d75_transposed_typo_dedup(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("tok").alias("tok_a"), "sig")
     b = sigs.select(F.col("id").alias("id_b"),
                     F.col("tok").alias("tok_b"), "sig")
-    verified = (a.join(b, "sig")
-                .filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b",
-                        F.levenshtein("tok_a", "tok_b").alias("dist"))
-                .distinct()
-                .filter(F.col("dist") <= 1))
+    return (a.join(b, "sig")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.levenshtein("tok_a", "tok_b").alias("dist"))
+            .distinct()
+            .filter(F.col("dist") <= 1))
+
+
+def d75_transposed_typo_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-insensitive single-edited-token fuzzy dedup over d73's
+    4-token low-entropy natural key corpus. Two alias classes are
+    injected, both LINEAR in corpus size and both rebuilt identically
+    by the oracle:
+      - every 4th customer: ROTATE the tokens by 1 + id%3 positions,
+        then corrupt one char of one token (sub 'q' / delete /
+        insert 'x', position and op by arithmetic on the id) —
+        transposition AND typo in one alias (the target shape);
+      - every 10th customer (id%10=5): rotation only — pure
+        transposition duplicates at token distance 0.
+
+    Match semantics: duplicates iff token MULTISETS are equal
+    (dist 0), or the multisets differ in exactly one token pair within
+    edit distance 1 (dist 1). Word order never matters.
+
+    Blocking: tokens sorted first (d72's unit), then per multiset slot
+    i the key is (sorted rest verbatim, FastSS depth<=1 deletion
+    variant of token i) (d73's unit) — ~NTOK x (len+1) ~ 26 signatures
+    per name, one equi-join on the composite signature, pair-level
+    DISTINCT, levenshtein verify pruning the depth-1-leakage (token
+    ed 2) candidates. No all-pairs anywhere on the engine side; the
+    brute force exists only in the DuckDB oracle at gate SF.
+
+    Scale shape: bounded fan, block entropy carried by the 3-token
+    residual multiset (vocabulary frequency cannot inflate candidate
+    volume — names must agree on every other token, in any order), and
+    the final crossJoin is 1-row x 1-row stats assembly (pinned
+    no-cartesian in tests/test_plans_round11b.py).
+    """
+    corpus = _d75_corpus(spark, sf)
+    verified = _d75_verified_pairs(corpus)
     stats = verified.agg(
         F.count("*").cast("long").alias("n_pairs"),
         F.sum(F.when(F.col("dist") == 0, 1).otherwise(0)).cast("long")
@@ -171,8 +186,9 @@ def d75_transposed_typo_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return counts.crossJoin(stats)  # two 1-row frames
 
 
-D75_SQL = f"""
-WITH base AS (
+# corpus + brute-force scoring CTE members, shared with d76's oracle
+# (round13.py) which extends them with a recursive transitive closure
+_D75_ORACLE_CTES = f"""base AS (
   SELECT CAST(c_custkey AS BIGINT) AS id,
          CAST(regexp_replace(c_name, '[^0-9]', '', 'g') AS BIGINT) AS nid
   FROM customer
@@ -245,7 +261,10 @@ scored AS (
 ),
 matched AS (
   SELECT * FROM scored WHERE dist <= 1
-)
+)"""
+
+D75_SQL = f"""
+WITH {_D75_ORACLE_CTES}
 SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS n_names,
        (SELECT CAST(SUM(CASE WHEN id % 1000000000
                                   >= {_D75_ALIAS_OFFSET}
