@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_docker_spark.plans._util import t
+from etl_docker_spark.plans._util import session_conf, t
 
 ROUND12: dict = {}
 
@@ -152,6 +152,13 @@ def g09_recursive_path_cost(spark: SparkSession, sf: str) -> DataFrame:
     """
     name = f"g09_cust_{abs(hash(sf)) % 10 ** 8}"
     t(spark, sf, "customer").createOrReplaceTempView(name)
+    # The walk accumulates |customers| x depth rows and depth is
+    # log2(max key): replica corpora carry keys ~10^9 (depth ~31), so
+    # ~sf1 trips the 1M-row default recursion backstop. Same
+    # session-level raise and rationale as q87 (round5.py) — the limit
+    # is a runaway-recursion guard and 50M preserves that role.
+    session_conf(spark, "spark.sql.cteRecursionRowLimit",
+                 str(50_000_000))
     return spark.sql(_G09_SPARK.replace("{CUST}", name))
 
 
