@@ -23,6 +23,18 @@ Env: SPARK_GRAFT_SF_DIR       (default /root/testdata/sf0.1)
                                this to a fresh temp dir unless already set,
                                so timings never depend on a warm cache left
                                by a previous run — see ADVICE r2)
+     SPARK_GRAFT_BENCH_SLICE  ("i/n": run only the i-th of n contiguous
+                               slices of the query list (1-based). For
+                               hosts that degrade in waves shorter than a
+                               full sweep (round 11: quiet ~10-minute
+                               stretches between 2-5x waves killed two
+                               full runs at the 3/4 mark): each slice
+                               fits inside a quiet window, carries its
+                               own sentinel verdict, and only the slice a
+                               wave hits needs re-running. Slice run
+                               files record "slice" and are unioned into
+                               one full-surface run by
+                               tools/merge_bench.py --union.)
 """
 
 from __future__ import annotations
@@ -103,6 +115,21 @@ def sentinel_verdict(anchor_times: list[float],
         return SentinelVerdict(True, round(max(rest) / min(rest), 3),
                                spread, True)
     return SentinelVerdict(False, spread, spread)
+
+
+def bench_slice(names: list[str], spec: str) -> list[str]:
+    """Contiguous 1-based slice "i/n" of the query list. Pure function
+    (unit-tested): the n slices partition the list exactly — no query
+    is dropped or duplicated across i = 1..n."""
+    i_s, n_s = spec.split("/")
+    i, n = int(i_s), int(n_s)
+    if not (1 <= i <= n):
+        raise SystemExit(f"bad slice spec {spec!r}: need 1 <= i <= n")
+    per = -(-len(names) // n)  # ceil division
+    out = names[(i - 1) * per: i * per]
+    if not out:
+        raise SystemExit(f"slice {spec!r} is empty for {len(names)} queries")
+    return out
 
 
 def summary_payload(total: float, sf: float, n_queries: int, reps: int,
@@ -306,6 +333,11 @@ def main() -> None:
     total = 0.0
     aborted = False
     names = list(QUERIES)
+    slice_spec = os.environ.get("SPARK_GRAFT_BENCH_SLICE")
+    if slice_spec:
+        names = bench_slice(names, slice_spec)
+        print(f"[bench] slice {slice_spec}: {len(names)} queries "
+              f"({names[0]}..{names[-1]})", file=sys.stderr)
     # Abort EARLY on a contended box (r9 verdict item 6: the 713.5 s
     # outlier run completed fully before being discarded — a third of
     # the bench budget gone). Probe the anchor at the quarter points;
@@ -367,6 +399,8 @@ def main() -> None:
                       "artifact_cache": artifact_state,
                       "sentinel_spread": spread,
                       "total_sec": round(total, 3), "queries": timings}
+        if slice_spec:
+            run_record["slice"] = slice_spec
         if verdict.warmup_carveout:
             # flag hot-start acceptances in the run file itself so
             # merge tooling can discount pre-first-checkpoint timings

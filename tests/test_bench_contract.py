@@ -121,6 +121,66 @@ def test_summary_points_at_run_file_when_given():
         "per_query_file"] is None
 
 
+def test_bench_slice_partitions_exactly():
+    names = [f"q{i}" for i in range(10)]
+    for n in (1, 2, 3, 4, 10):
+        parts = [bench.bench_slice(names, f"{i}/{n}")
+                 for i in range(1, n + 1)]
+        flat = [x for p in parts for x in p]
+        assert flat == names, (n, flat)
+    import pytest
+    with pytest.raises(SystemExit):
+        bench.bench_slice(names, "0/4")
+    with pytest.raises(SystemExit):
+        bench.bench_slice(names, "5/4")
+
+
+def test_union_runs_assembles_disjoint_slices():
+    import pytest
+
+    from tools.merge_bench import union_runs
+
+    s1 = dict(_run(1.0, {"q01": 1.0}), slice="1/2")
+    s2 = dict(_run(2.0, {"q02": 2.0}), slice="2/2")
+    u = union_runs([s1, s2])
+    assert u["queries"] == {"q01": 1.0, "q02": 2.0}
+    assert u["total_sec"] == 3.0
+    assert u["slices"] == ["1/2", "2/2"]
+    # overlapping slices are a mis-specification, refuse
+    with pytest.raises(SystemExit, match="re-times"):
+        union_runs([s1, dict(_run(1.0, {"q01": 0.9}), slice="1/2")])
+    # a contaminated slice poisons nothing — refused like any run
+    with pytest.raises(SystemExit, match="refusing slice"):
+        union_runs([s1, dict(_run(2.0, {"q02": 2.0}, spread=1.9),
+                             slice="2/2")])
+
+
+def test_fold_repairs_floors_and_grows_surface():
+    import pytest
+
+    from tools.merge_bench import fold
+
+    committed = {"sf": 0.1, "reps": 1, "merged_runs": 4,
+                 "sentinel_spreads": [1.1] * 4,
+                 "run_totals_sec": [9.0] * 4,
+                 "queries": {"q01": 1.0, "q02": 8.0, "gone": 1.0},
+                 "queries_median": {"q01": 1.2},
+                 "total_sec": 10.0}
+    new = _run(5.5, {"q01": 1.5, "q02": 3.0, "new1": 1.0})
+    out = fold(new, committed)
+    # min on common, fresh value for new, stale query dropped
+    assert out["queries"] == {"q01": 1.0, "q02": 3.0, "new1": 1.0}
+    assert out["total_sec"] == 5.0
+    assert out["merged_runs"] == 5
+    assert out["folded"][0]["improved"] == 1
+    assert out["folded"][0]["new_queries"] == ["new1"]
+    assert out["folded"][0]["dropped_queries"] == ["gone"]
+    # medians over mismatched surfaces must not survive the fold
+    assert "queries_median" not in out
+    with pytest.raises(SystemExit, match="not sentinel-clean"):
+        fold(_run(5.5, {"q01": 1.5}, spread=1.9), committed)
+
+
 def test_sentinel_warmup_carveout():
     # slow START with quiet rest = residual warmup -> accepted on the
     # rest's spread (r9 diagnosis; two r10 runs died on this)

@@ -76,20 +76,111 @@ def merge(runs: list[dict], allow_unverified: bool = False) -> dict:
     }
 
 
+def union_runs(runs: list[dict]) -> dict:
+    """Assemble DISJOINT slice runs (bench.py SPARK_GRAFT_BENCH_SLICE)
+    into one full-surface run record. Each slice carries its own
+    sentinel verdict, so the same refusal rule applies per slice;
+    query sets must not overlap (a query timed twice means the slices
+    were mis-specified). The result looks like a single run — it can
+    be min-merged with other runs — and records per-slice provenance
+    ("slices": spec list, "sentinel_spreads" per slice)."""
+    assert runs, "need at least one slice run"
+    base = runs[0]
+    for i, r in enumerate(runs):
+        spread = r.get("sentinel_spread")
+        if spread is None or spread > SENTINEL_MAX_SPREAD:
+            raise SystemExit(
+                f"refusing slice {i}: sentinel_spread={spread!r}")
+        if r["sf"] != base["sf"] or r["reps"] != base["reps"]:
+            raise SystemExit("refusing union: sf/reps differ")
+    queries: dict[str, float] = {}
+    for i, r in enumerate(runs):
+        overlap = set(queries) & set(r["queries"])
+        if overlap:
+            raise SystemExit(
+                f"refusing union: slice {i} re-times {sorted(overlap)[:3]}")
+        queries.update(r["queries"])
+    return {
+        "sf": base["sf"],
+        "reps": base["reps"],
+        "artifact_cache": base.get("artifact_cache", "cold"),
+        "slices": [r.get("slice") for r in runs],
+        "sentinel_spread": max(r["sentinel_spread"] for r in runs),
+        "sentinel_spreads": [r["sentinel_spread"] for r in runs],
+        "total_sec": round(sum(queries.values()), 3),
+        "queries": queries,
+    }
+
+
+def fold(new_run: dict, committed: dict) -> dict:
+    """Fold one fresh full-surface run into the committed floor
+    artifact: per-query MIN on the common set, the fresh value for
+    queries the committed artifact has never seen (surface growth).
+    This is how a single quiet-window run repairs wave-damaged floors
+    (VERDICT r10 item 2) without discarding the older, still-valid
+    minima. Committed floors for queries no longer in the surface are
+    dropped. Provenance: merged_runs increments, and the fold is
+    recorded under "folded"."""
+    if new_run.get("sentinel_spread") is None \
+            or new_run["sentinel_spread"] > SENTINEL_MAX_SPREAD:
+        raise SystemExit("refusing fold: new run not sentinel-clean")
+    if new_run["sf"] != committed["sf"]:
+        raise SystemExit("refusing fold: sf differs")
+    old_q = committed["queries"]
+    queries = {name: (min(v, old_q[name]) if name in old_q else v)
+               for name, v in new_run["queries"].items()}
+    out = dict(committed)
+    out["queries"] = queries
+    out["total_sec"] = round(sum(queries.values()), 3)
+    out["merged_runs"] = committed.get("merged_runs", 1) + 1
+    out["sentinel_spreads"] = (committed.get("sentinel_spreads", [])
+                               + [new_run["sentinel_spread"]])
+    out["run_totals_sec"] = (committed.get("run_totals_sec", [])
+                             + [new_run["total_sec"]])
+    folds = list(committed.get("folded", []))
+    folds.append({
+        "n_queries": len(new_run["queries"]),
+        "new_queries": sorted(set(new_run["queries"]) - set(old_q)),
+        "dropped_queries": sorted(set(old_q) - set(new_run["queries"])),
+        "improved": sum(1 for n, v in new_run["queries"].items()
+                        if n in old_q and v < old_q[n]),
+        "sentinel_spread": new_run["sentinel_spread"],
+        "slices": new_run.get("slices"),
+    })
+    out["folded"] = folds
+    # medians are only meaningful across aligned full runs; after a
+    # surface-changing fold the old median set is stale — drop it
+    # rather than publish medians over mismatched surfaces
+    out.pop("queries_median", None)
+    out.pop("total_median_sec", None)
+    return out
+
+
 def main() -> None:
     args = sys.argv[1:]
     allow = "--allow-unverified" in args
-    args = [a for a in args if a != "--allow-unverified"]
+    union = "--union" in args
+    do_fold = "--fold" in args
+    args = [a for a in args
+            if a not in ("--allow-unverified", "--union", "--fold")]
     if len(args) < 2:
         raise SystemExit(__doc__)
     out_path, run_paths = args[0], args[1:]
     runs = [json.load(open(p)) for p in run_paths]
-    merged = merge(runs, allow_unverified=allow)
+    if union:
+        merged = union_runs(runs)
+    elif do_fold:
+        if len(runs) != 2:
+            raise SystemExit("--fold needs exactly: new_run committed")
+        merged = fold(runs[0], runs[1])
+    else:
+        merged = merge(runs, allow_unverified=allow)
     with open(out_path, "w") as f:
         json.dump(merged, f, indent=1, sort_keys=True)
-    print(json.dumps({"merged_runs": merged["merged_runs"],
-                      "total_sec": merged["total_sec"],
-                      "run_totals_sec": merged["run_totals_sec"]}))
+    print(json.dumps({"mode": ("union" if union else
+                               "fold" if do_fold else "merge"),
+                      "n_queries": len(merged["queries"]),
+                      "total_sec": merged["total_sec"]}))
 
 
 if __name__ == "__main__":
