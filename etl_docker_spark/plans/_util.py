@@ -138,3 +138,50 @@ def ensure_session_confs(spark: SparkSession) -> None:
     session came from our factory."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def stage_day_files(df: DataFrame, work: str, day_col: str = "dcol",
+                    repeats: int = 1) -> str:
+    """Stage a frame as ONE parquet file per `day_col` value with
+    ascending mtimes under <work>/arrivals, so `maxFilesPerTrigger=1`
+    replays it as one deterministic micro-batch per day (file i IS
+    batch i). Returns the arrivals dir; `repeats` copies each day-file
+    that many consecutive times (the at-least-once redelivery feeds).
+
+    One-file-per-day comes from `repartition(day_col)`: each day's rows
+    land wholly in one task, so each partition DIRECTORY gets exactly
+    one file, while distinct days still write in PARALLEL — the
+    coalesce(1) idiom this replaces serialized the whole feed through a
+    single task (~10 s per rep per query at ~sf1, measured; optimization
+    round 11 ported the round-6 `_stage_daily_arrivals` idiom to every
+    staging site). Day-file CONTENT is unchanged up to row order, and
+    every consumer aggregates order-insensitively within a batch
+    (sums/counts/min/max/dedup-by-key-on-identical-payload)."""
+    import os
+    import shutil
+
+    staged = os.path.join(work, "staged")
+    df.repartition(F.col(day_col)).write.partitionBy(day_col) \
+        .mode("overwrite").parquet(staged)
+    arrivals = os.path.join(work, "arrivals")
+    os.makedirs(arrivals)
+    days = sorted(d for d in os.listdir(staged)
+                  if d.startswith(f"{day_col}="))
+    seq = 0
+    for d in days:
+        src_dir = os.path.join(staged, d)
+        matches = [f for f in os.listdir(src_dir)
+                   if f.endswith(".parquet")]
+        if len(matches) != 1:
+            # a foreign maxRecordsPerFile (or any future write-path
+            # change) splitting a day into multiple files must fail
+            # HERE, not as a confusing downstream gate mismatch
+            raise RuntimeError(
+                f"expected exactly one parquet file in {src_dir}, "
+                f"found {matches}")
+        for _ in range(repeats):
+            dst = os.path.join(arrivals, f"{seq:03d}.parquet")
+            shutil.copyfile(os.path.join(src_dir, matches[0]), dst)
+            os.utime(dst, (1700000000 + seq * 60,) * 2)
+            seq += 1
+    return arrivals

@@ -569,11 +569,11 @@ def s14_stream_ttl_eviction(spark: SparkSession, sf: str) -> DataFrame:
     Integer-cents totals (pandas int64 sums) keep cross-engine equality
     exact — float accumulation order would diverge in the last ulp.
     """
-    import os
     import shutil
     import tempfile
 
-    from etl_docker_spark.plans._util import stream_state_partitions, t
+    from etl_docker_spark.plans._util import (stage_day_files,
+                                              stream_state_partitions, t)
     from etl_docker_spark.streaming.stateful import keyed_ttl_totals
 
     ev = (t(spark, sf, "events")
@@ -588,21 +588,7 @@ def s14_stream_ttl_eviction(spark: SparkSession, sf: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="s14_")
     try:
-        staged = os.path.join(work, "staged")
-        # one writer task -> exactly one file per day partition
-        ev.coalesce(1).write.partitionBy("dcol").mode("overwrite") \
-            .parquet(staged)
-        arrivals = os.path.join(work, "arrivals")
-        os.makedirs(arrivals)
-        days = sorted(d for d in os.listdir(staged) if d.startswith("dcol="))
-        for i, d in enumerate(days):
-            src_dir = os.path.join(staged, d)
-            src = next(f for f in os.listdir(src_dir)
-                       if f.endswith(".parquet"))
-            dst = os.path.join(arrivals, f"{i:03d}.parquet")
-            shutil.copyfile(os.path.join(src_dir, src), dst)
-            os.utime(dst, (1700000000 + i * 60, 1700000000 + i * 60))
-
+        arrivals = stage_day_files(ev, work)
         probe = spark.read.parquet(arrivals)
         stream = (spark.readStream.schema(probe.schema)
                   .option("maxFilesPerTrigger", "1").parquet(arrivals))
@@ -840,11 +826,11 @@ def s15_stream_session_close(spark: SparkSession, sf: str) -> DataFrame:
     split rule, keep non-last sessions plus last sessions ending by
     day 6, aggregate events per session.
     """
-    import os
     import shutil
     import tempfile
 
-    from etl_docker_spark.plans._util import stream_state_partitions, t
+    from etl_docker_spark.plans._util import (stage_day_files,
+                                              stream_state_partitions, t)
     from etl_docker_spark.streaming.stateful import session_close_stream
 
     ev = (t(spark, sf, "events")
@@ -859,20 +845,7 @@ def s15_stream_session_close(spark: SparkSession, sf: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="s15_")
     try:
-        staged = os.path.join(work, "staged")
-        ev.coalesce(1).write.partitionBy("dcol").mode("overwrite") \
-            .parquet(staged)
-        arrivals = os.path.join(work, "arrivals")
-        os.makedirs(arrivals)
-        days = sorted(d for d in os.listdir(staged) if d.startswith("dcol="))
-        for i, d in enumerate(days):
-            src_dir = os.path.join(staged, d)
-            src = next(f for f in os.listdir(src_dir)
-                       if f.endswith(".parquet"))
-            dst = os.path.join(arrivals, f"{i:03d}.parquet")
-            shutil.copyfile(os.path.join(src_dir, src), dst)
-            os.utime(dst, (1700000000 + i * 60, 1700000000 + i * 60))
-
+        arrivals = stage_day_files(ev, work)
         probe = spark.read.parquet(arrivals)
         stream = (spark.readStream.schema(probe.schema)
                   .option("maxFilesPerTrigger", "1").parquet(arrivals))

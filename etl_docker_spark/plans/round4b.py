@@ -170,11 +170,11 @@ def s16_stream_dedup_expiry(spark: SparkSession, sf: str) -> DataFrame:
     what lets the oracle replay the rule with two aggregation passes
     instead of a recursive CTE.
     """
-    import os
     import shutil
     import tempfile
 
-    from etl_docker_spark.plans._util import stream_state_partitions
+    from etl_docker_spark.plans._util import (stage_day_files,
+                                              stream_state_partitions)
 
     ev = (t(spark, sf, "events")
           .filter(F.col("ts") < F.lit(_S16_CUTOFF).cast("timestamp"))
@@ -190,20 +190,7 @@ def s16_stream_dedup_expiry(spark: SparkSession, sf: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="s16_")
     try:
-        staged = os.path.join(work, "staged")
-        per.coalesce(1).write.partitionBy("dcol").mode("overwrite") \
-            .parquet(staged)
-        arrivals = os.path.join(work, "arrivals")
-        os.makedirs(arrivals)
-        days = sorted(d for d in os.listdir(staged) if d.startswith("dcol="))
-        for i, d in enumerate(days):
-            src_dir = os.path.join(staged, d)
-            src = next(f for f in os.listdir(src_dir)
-                       if f.endswith(".parquet"))
-            dst = os.path.join(arrivals, f"{i:03d}.parquet")
-            shutil.copyfile(os.path.join(src_dir, src), dst)
-            os.utime(dst, (1700000000 + i * 60, 1700000000 + i * 60))
-
+        arrivals = stage_day_files(per, work)
         probe = spark.read.parquet(arrivals)
         stream = (spark.readStream.schema(probe.schema)
                   .option("maxFilesPerTrigger", "1").parquet(arrivals))
@@ -679,8 +666,11 @@ def s18_stream_checkpoint_resume(spark: SparkSession, sf: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="s18_")
     try:
         staged = os.path.join(work, "staged")
-        ev.coalesce(1).write.partitionBy("dcol").mode("overwrite") \
-            .parquet(staged)
+        # repartition(dcol): one file per day via one TASK per day, with
+        # distinct days writing in parallel (round-6 staging idiom; the
+        # coalesce(1) form serialized the feed through a single task)
+        ev.repartition(F.col("dcol")).write.partitionBy("dcol") \
+            .mode("overwrite").parquet(staged)
         arrivals = os.path.join(work, "arrivals")
         os.makedirs(arrivals)
         ckpt = os.path.join(work, "ckpt")

@@ -48,11 +48,11 @@ def s19_stream_chained_aggs(spark: SparkSession, sf: str) -> DataFrame:
     too, so the gated output equals the batch rollup over days 1..9 and
     the last day stays open (s15's open-session discipline).
     """
-    import os
     import shutil
     import tempfile
 
-    from etl_docker_spark.plans._util import stream_state_partitions
+    from etl_docker_spark.plans._util import (stage_day_files,
+                                              stream_state_partitions)
 
     ev = (t(spark, sf, "events")
           .filter(F.col("ts") < F.lit(_S19_CUTOFF).cast("timestamp"))
@@ -64,20 +64,7 @@ def s19_stream_chained_aggs(spark: SparkSession, sf: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="s19_")
     try:
-        staged = os.path.join(work, "staged")
-        ev.coalesce(1).write.partitionBy("dcol").mode("overwrite") \
-            .parquet(staged)
-        arrivals = os.path.join(work, "arrivals")
-        os.makedirs(arrivals)
-        days = sorted(d for d in os.listdir(staged) if d.startswith("dcol="))
-        for i, d in enumerate(days):
-            src_dir = os.path.join(staged, d)
-            src = next(f for f in os.listdir(src_dir)
-                       if f.endswith(".parquet"))
-            dst = os.path.join(arrivals, f"{i:03d}.parquet")
-            shutil.copyfile(os.path.join(src_dir, src), dst)
-            os.utime(dst, (1700000000 + i * 60,) * 2)
-
+        arrivals = stage_day_files(ev, work)
         probe = spark.read.parquet(arrivals)
         stream = (spark.readStream.schema(probe.schema)
                   .option("maxFilesPerTrigger", "1").parquet(arrivals))
@@ -803,11 +790,11 @@ def s21_stream_state_accounting(spark: SparkSession, sf: str) -> DataFrame:
     (RocksDB and HDFS providers agree — provider-independence is the
     same claim tests/test_streaming_rocksdb.py pins for the s-family.)
     """
-    import os
     import shutil
     import tempfile
 
-    from etl_docker_spark.plans._util import stream_state_partitions
+    from etl_docker_spark.plans._util import (stage_day_files,
+                                              stream_state_partitions)
 
     ev = (t(spark, sf, "events")
           .filter(F.col("ts") < F.lit(_S21_CUTOFF).cast("timestamp"))
@@ -817,20 +804,7 @@ def s21_stream_state_accounting(spark: SparkSession, sf: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="s21_")
     try:
-        staged = os.path.join(work, "staged")
-        ev.coalesce(1).write.partitionBy("dcol").mode("overwrite") \
-            .parquet(staged)
-        arrivals = os.path.join(work, "arrivals")
-        os.makedirs(arrivals)
-        days = sorted(d for d in os.listdir(staged) if d.startswith("dcol="))
-        for i, d in enumerate(days):
-            src_dir = os.path.join(staged, d)
-            src = next(f for f in os.listdir(src_dir)
-                       if f.endswith(".parquet"))
-            dst = os.path.join(arrivals, f"{i:03d}.parquet")
-            shutil.copyfile(os.path.join(src_dir, src), dst)
-            os.utime(dst, (1700000000 + i * 60,) * 2)
-
+        arrivals = stage_day_files(ev, work)
         probe = spark.read.parquet(arrivals)
         stream = (spark.readStream.schema(probe.schema)
                   .option("maxFilesPerTrigger", "1").parquet(arrivals))
@@ -900,11 +874,11 @@ def s22_stream_update_mode(spark: SparkSession, sf: str) -> DataFrame:
     An engine that re-emitted all keys every batch (complete-mode
     semantics leaking into update) or missed a changed key diverges in
     n_updates; a state bug diverges in the finals."""
-    import os
     import shutil
     import tempfile
 
-    from etl_docker_spark.plans._util import stream_state_partitions
+    from etl_docker_spark.plans._util import (stage_day_files,
+                                              stream_state_partitions)
 
     ev = (t(spark, sf, "events")
           .filter(F.col("ts") < F.lit(_S22_CUTOFF).cast("timestamp"))
@@ -916,20 +890,7 @@ def s22_stream_update_mode(spark: SparkSession, sf: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="s22_")
     try:
-        staged = os.path.join(work, "staged")
-        ev.coalesce(1).write.partitionBy("dcol").mode("overwrite") \
-            .parquet(staged)
-        arrivals = os.path.join(work, "arrivals")
-        os.makedirs(arrivals)
-        days = sorted(d for d in os.listdir(staged) if d.startswith("dcol="))
-        for i, d in enumerate(days):
-            src_dir = os.path.join(staged, d)
-            src = next(f for f in os.listdir(src_dir)
-                       if f.endswith(".parquet"))
-            dst = os.path.join(arrivals, f"{i:03d}.parquet")
-            shutil.copyfile(os.path.join(src_dir, src), dst)
-            os.utime(dst, (1700000000 + i * 60,) * 2)
-
+        arrivals = stage_day_files(ev, work)
         probe = spark.read.parquet(arrivals)
         stream = (spark.readStream.schema(probe.schema)
                   .option("maxFilesPerTrigger", "1").parquet(arrivals))
@@ -1440,7 +1401,7 @@ def s24_watermark_policy_max(spark: SparkSession, sf: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from etl_docker_spark.plans._util import (scoped_conf,
+    from etl_docker_spark.plans._util import (scoped_conf, stage_day_files,
                                               stream_state_partitions)
 
     ev = (t(spark, sf, "events")
@@ -1459,23 +1420,7 @@ def s24_watermark_policy_max(spark: SparkSession, sf: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="s24_")
     policy_key = "spark.sql.streaming.multipleWatermarkPolicy"
     try:
-        vdir = os.path.join(work, "views")
-        os.makedirs(vdir)
-        staged = os.path.join(work, "staged")
-        views.coalesce(1).write.partitionBy("dcol").mode("overwrite") \
-            .parquet(staged)
-        days = sorted(d for d in os.listdir(staged) if d.startswith("dcol="))
-        for i, d in enumerate(days):
-            matches = [f for f in os.listdir(os.path.join(staged, d))
-                       if f.endswith(".parquet")]
-            if len(matches) != 1:
-                raise RuntimeError(
-                    f"expected exactly one parquet file in {staged}/{d}, "
-                    f"found {matches} — a multi-file day would silently "
-                    "drop rows from the staged feed")
-            dst = os.path.join(vdir, f"{i:03d}.parquet")
-            shutil.copyfile(os.path.join(staged, d, matches[0]), dst)
-            os.utime(dst, (1700000000 + i * 60,) * 2)
+        vdir = stage_day_files(views, work)
         bdir = os.path.join(work, "buys")
         buys.coalesce(1).write.mode("overwrite").parquet(bdir)
 
@@ -1688,11 +1633,11 @@ def s25_stream_dedup_then_agg(spark: SparkSession, sf: str) -> DataFrame:
     which is the exactly-once-from-at-least-once contract production
     feeds rely on (upstream replays being absorbed by keyed dedup
     state bounded by the watermark, not by an unbounded seen-set)."""
-    import os
     import shutil
     import tempfile
 
-    from etl_docker_spark.plans._util import stream_state_partitions
+    from etl_docker_spark.plans._util import (stage_day_files,
+                                              stream_state_partitions)
 
     ev = (t(spark, sf, "events")
           .filter(F.col("ts") < F.lit(_S25_CUTOFF).cast("timestamp"))
@@ -1704,23 +1649,8 @@ def s25_stream_dedup_then_agg(spark: SparkSession, sf: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="s25_")
     try:
-        staged = os.path.join(work, "staged")
-        ev.coalesce(1).write.partitionBy("dcol").mode("overwrite") \
-            .parquet(staged)
-        arrivals = os.path.join(work, "arrivals")
-        os.makedirs(arrivals)
-        days = sorted(d for d in os.listdir(staged) if d.startswith("dcol="))
-        seq = 0
-        for d in days:  # each day delivered twice, back to back
-            src_dir = os.path.join(staged, d)
-            src = next(f for f in os.listdir(src_dir)
-                       if f.endswith(".parquet"))
-            for _ in range(2):
-                dst = os.path.join(arrivals, f"{seq:03d}.parquet")
-                shutil.copyfile(os.path.join(src_dir, src), dst)
-                os.utime(dst, (1700000000 + seq * 60,) * 2)
-                seq += 1
-
+        # each day delivered twice, back to back (redelivery feed)
+        arrivals = stage_day_files(ev, work, repeats=2)
         probe = spark.read.parquet(arrivals)
         stream = (spark.readStream.schema(probe.schema)
                   .option("maxFilesPerTrigger", "1").parquet(arrivals))

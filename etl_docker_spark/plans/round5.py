@@ -363,7 +363,8 @@ def s26_state_datasource(spark: SparkSession, sf: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from etl_docker_spark.plans._util import stream_state_partitions
+    from etl_docker_spark.plans._util import (stage_day_files,
+                                              stream_state_partitions)
 
     ev = (t(spark, sf, "events")
           .filter(F.col("ts") < F.lit(_S26_CUTOFF).cast("timestamp"))
@@ -373,20 +374,7 @@ def s26_state_datasource(spark: SparkSession, sf: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="s26_")
     try:
-        staged = os.path.join(work, "staged")
-        ev.coalesce(1).write.partitionBy("dcol").mode("overwrite") \
-            .parquet(staged)
-        arrivals = os.path.join(work, "arrivals")
-        os.makedirs(arrivals)
-        days = sorted(d for d in os.listdir(staged) if d.startswith("dcol="))
-        for i, d in enumerate(days):
-            src_dir = os.path.join(staged, d)
-            src = next(f for f in os.listdir(src_dir)
-                       if f.endswith(".parquet"))
-            dst = os.path.join(arrivals, f"{i:03d}.parquet")
-            shutil.copyfile(os.path.join(src_dir, src), dst)
-            os.utime(dst, (1700000000 + i * 60,) * 2)
-
+        arrivals = stage_day_files(ev, work)
         probe = spark.read.parquet(arrivals)
         stream = (spark.readStream.schema(probe.schema)
                   .option("maxFilesPerTrigger", "1").parquet(arrivals))

@@ -5,6 +5,18 @@ micro-batches (count + sum + last-seen timestamp), emitting one updated row
 per key per batch. This is the escape hatch for stateful logic the built-in
 windows can't express (custom eviction, per-key models, counters with
 business rules); state lives in the streaming state store, sized per key.
+
+Per-invocation cost discipline (optimization round 11, guide §4.2/§4.5):
+the update fn runs once per key per micro-batch — ~27k invocations per
+run at sf0.1, ~750k at ~sf1 — so constant per-call overhead IS the
+operator's floor. Measured on this host (pandas 2.2): building the 1-row
+output via `pd.DataFrame({...})` costs ~330 µs/call while copying a
+module-level dtype-correct template and poking `.iat` costs ~133 µs;
+`Series.sum()`/`Series.max()` on the tiny per-batch group cost ~16/40 µs
+vs ~9/7 µs for the same reductions on `.values`. The templates below
+cut the Python floor of s03/s14/s15 by roughly half; dtypes are pinned
+by the template so the Arrow serializer sees the exact declared schema
+either way.
 """
 
 from __future__ import annotations
@@ -18,20 +30,46 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_ts timestamp"
 STATE_SCHEMA = "n long, total double"
 
+# 1-row output templates with the declared dtypes (object/int64/float64/
+# datetime64[ns]); each yield copies a template and assigns scalars —
+# 2.5x cheaper than constructing a fresh DataFrame from a dict per call.
+_EPOCH = pd.Timestamp(0)
+_TOTALS_TMPL = pd.DataFrame({
+    "user_id": pd.array([0], dtype="int64"),
+    "n_events": pd.array([0], dtype="int64"),
+    "total_value": pd.array([0.0], dtype="float64"),
+    "last_ts": pd.array([_EPOCH], dtype="datetime64[ns]"),
+})
+_KEYED_TTL_TMPL = pd.DataFrame({
+    "state_key": pd.array(["x"], dtype=object),
+    "n_events": pd.array([0], dtype="int64"),
+    "total_cents": pd.array([0], dtype="int64"),
+    "last_ts": pd.array([_EPOCH], dtype="datetime64[ns]"),
+})
+_SESSION_TMPL = pd.DataFrame({
+    "state_key": pd.array(["x"], dtype=object),
+    "session_start": pd.array([_EPOCH], dtype="datetime64[ns]"),
+    "session_end": pd.array([_EPOCH], dtype="datetime64[ns]"),
+    "n_events": pd.array([0], dtype="int64"),
+    "total_cents": pd.array([0], dtype="int64"),
+})
+
 
 def _update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     n, total = state.get if state.exists else (0, 0.0)
-    last_ts = None
+    last_ns = None
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-        mx = pdf["ts"].max()
-        last_ts = mx if last_ts is None else max(last_ts, mx)
+        total += float(pdf["value"].values.sum())
+        mx = pdf["ts"].values.max()  # np.datetime64[ns]
+        last_ns = mx if last_ns is None else max(last_ns, mx)
     state.update((n, total))
-    yield pd.DataFrame({
-        "user_id": [key[0]], "n_events": [n], "total_value": [total],
-        "last_ts": [last_ts],
-    })
+    out = _TOTALS_TMPL.copy()
+    out.iat[0, 0] = key[0]
+    out.iat[0, 1] = n
+    out.iat[0, 2] = total
+    out.iat[0, 3] = pd.Timestamp(last_ns)
+    yield out
 
 
 def _make_ttl_update(ttl_ms: int):
@@ -48,22 +86,24 @@ def _make_ttl_update(ttl_ms: int):
             return
             yield  # pragma: no cover — keeps this a generator
         n, total = state.get if state.exists else (0, 0.0)
-        last_ts = None
+        last_ns = None
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-            mx = pdf["ts"].max()
-            last_ts = mx if last_ts is None else max(last_ts, mx)
+            total += float(pdf["value"].values.sum())
+            mx = pdf["ts"].values.max()
+            last_ns = mx if last_ns is None else max(last_ns, mx)
         state.update((n, total))
         # must be strictly ahead of the current watermark; late batches pin
         # to watermark + ttl instead of their own (older) event time
-        event_ms = int(last_ts.value // 1_000_000)
+        event_ms = int(last_ns) // 1_000_000  # datetime64[ns] -> epoch ms
         state.setTimeoutTimestamp(
             max(event_ms, state.getCurrentWatermarkMs()) + ttl_ms)
-        yield pd.DataFrame({
-            "user_id": [key[0]], "n_events": [n], "total_value": [total],
-            "last_ts": [last_ts],
-        })
+        out = _TOTALS_TMPL.copy()
+        out.iat[0, 0] = key[0]
+        out.iat[0, 1] = n
+        out.iat[0, 2] = total
+        out.iat[0, 3] = pd.Timestamp(last_ns)
+        yield out
 
     return _update_ttl
 
@@ -102,7 +142,7 @@ KEYED_TTL_STATE = "n long, cents long"
 
 def _make_keyed_ttl_update(ttl_ms: int):
     """String-keyed, integer-exact variant of the TTL update: totals in
-    cents (int64 pandas sum — no float summation-order divergence vs a
+    cents (int64 numpy sum — no float summation-order divergence vs a
     batch oracle), one emitted row per key per batch it has data in,
     state REMOVED once the key idles `ttl_ms` of event time past the
     watermark. Same timeout discipline as `_make_ttl_update`."""
@@ -113,20 +153,22 @@ def _make_keyed_ttl_update(ttl_ms: int):
             return
             yield  # pragma: no cover — keeps this a generator
         n, cents = state.get if state.exists else (0, 0)
-        last_ts = None
+        last_ns = None
         for pdf in pdfs:
             n += len(pdf)
-            cents += int(pdf["cents"].sum())
-            mx = pdf["ts"].max()
-            last_ts = mx if last_ts is None else max(last_ts, mx)
+            cents += int(pdf["cents"].values.sum())
+            mx = pdf["ts"].values.max()
+            last_ns = mx if last_ns is None else max(last_ns, mx)
         state.update((n, cents))
-        event_ms = int(last_ts.value // 1_000_000)
+        event_ms = int(last_ns) // 1_000_000
         state.setTimeoutTimestamp(
             max(event_ms, state.getCurrentWatermarkMs()) + ttl_ms)
-        yield pd.DataFrame({
-            "state_key": [key[0]], "n_events": [n], "total_cents": [cents],
-            "last_ts": [last_ts],
-        })
+        out = _KEYED_TTL_TMPL.copy()
+        out.iat[0, 0] = key[0]
+        out.iat[0, 1] = n
+        out.iat[0, 2] = cents
+        out.iat[0, 3] = pd.Timestamp(last_ns)
+        yield out
 
     return _fn
 
@@ -165,20 +207,22 @@ def _make_session_close_update(gap_ms: int):
         if state.hasTimedOut:
             start, end, n, cents = state.get
             state.remove()
-            yield pd.DataFrame({
-                "state_key": [key[0]],
-                "session_start": [pd.Timestamp(start, unit="ms")],
-                "session_end": [pd.Timestamp(end, unit="ms")],
-                "n_events": [n], "total_cents": [cents],
-            })
+            out = _SESSION_TMPL.copy()
+            out.iat[0, 0] = key[0]
+            out.iat[0, 1] = pd.Timestamp(start, unit="ms")
+            out.iat[0, 2] = pd.Timestamp(end, unit="ms")
+            out.iat[0, 3] = n
+            out.iat[0, 4] = cents
+            yield out
             return
         start, end, n, cents = (state.get if state.exists
                                 else (None, None, 0, 0))
         for pdf in pdfs:
             n += len(pdf)
-            cents += int(pdf["cents"].sum())
-            lo = int(pdf["ts"].min().value // 1_000_000)
-            hi = int(pdf["ts"].max().value // 1_000_000)
+            cents += int(pdf["cents"].values.sum())
+            ts_ns = pdf["ts"].values
+            lo = int(ts_ns.min()) // 1_000_000
+            hi = int(ts_ns.max()) // 1_000_000
             start = lo if start is None else min(start, lo)
             end = hi if end is None else max(end, hi)
         state.update((start, end, n, cents))
