@@ -54,6 +54,56 @@ def _labeled_docs(spark: SparkSession, sf: str) -> DataFrame:
         (verdict == "keep").cast("long").alias("y"))
 
 
+def classifier_occ_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """THE shared feature pass of the trained-classifier family:
+    (doc_id, lang, verdict, y, split, n_tokens, bucket) — one row per
+    hashed unigram/bigram feature occurrence, memoized through the
+    index cache.
+
+    Before round 11 every consumer re-ran the identical corpus pass
+    (documents scan -> digest window -> feats_sql explode -> md5 bucket)
+    for itself: d60 weight training, d60 scoring, d63 split training,
+    d63 holdout scoring, d65 calibration scoring, d68 drift scoring —
+    six explode+md5 passes per cold session. This frame runs the pass
+    ONCE and every consumer reduces it (filter/groupBy/broadcast-join),
+    which is the guide-§8 shape: the expensive corpus-wide work happens
+    exactly once, every decision derives from the small proxy table.
+    All downstream arithmetic is unchanged — same features, same md5
+    buckets, same labels/splits — so every gated output is bit-identical
+    (the oracles retrain from scratch in SQL either way).
+
+    Scale: row count = total feature occurrences (~2 x corpus tokens);
+    at 100 TB this is the scores/feature table a production curation
+    pipeline materializes once per corpus snapshot anyway.
+    """
+    from etl_docker_spark.llm.index_cache import memo_frame
+    from etl_docker_spark.llm.text import token_count
+
+    def build() -> DataFrame:
+        # function-level import: round8 imports round7 at module level,
+        # so the split formula (owned by round8) must load lazily here
+        from etl_docker_spark.plans.round8 import _d63_split
+
+        # Two-step select: per-DOC scalars (token_count's regexp scan,
+        # the split md5) project BEFORE the explode select. In a single
+        # select-with-generator they land in the projection evaluated
+        # per exploded occurrence — ~107x re-evaluation per feature row,
+        # measured 12.4s -> 4.7s at sf0.1 for this frame.
+        pre = _labeled_docs(spark, sf).select(
+            "doc_id", "lang", "verdict", "y",
+            _d63_split().alias("split"),
+            token_count(F.col("text")).alias("n_tokens"),
+            F.expr(feats_sql()).alias("feats"))
+        labeled = pre.select(
+            "doc_id", "lang", "verdict", "y", "split", "n_tokens",
+            F.explode("feats").alias("f"))
+        return labeled.select(
+            "doc_id", "lang", "verdict", "y", "split", "n_tokens",
+            F.expr(_BUCKET_SPARK).alias("bucket"))
+
+    return memo_frame(spark, f"classifier_occ:{sf}", build, sf_dir=sf)
+
+
 def d60_weights_frame(spark: SparkSession, sf: str) -> DataFrame:
     """The TRAINED model: (bucket, w_ppm) learned from the corpus's own
     curation verdicts (d26) — per-bucket label polarity
@@ -80,9 +130,7 @@ def d60_weights_frame(spark: SparkSession, sf: str) -> DataFrame:
     from etl_docker_spark.llm.index_cache import memo_frame
 
     def build() -> DataFrame:
-        occ = (_labeled_docs(spark, sf)
-               .select("y", F.explode(F.expr(feats_sql())).alias("f"))
-               .select("y", F.expr(_BUCKET_SPARK).alias("bucket")))
+        occ = classifier_occ_frame(spark, sf).select("y", "bucket")
         counts = (occ.groupBy("bucket")
                   .agg(F.sum("y").cast("long").alias("n1"),
                        F.sum(1 - F.col("y")).cast("long").alias("n0")))
@@ -130,16 +178,11 @@ def d60_scores_frame(spark: SparkSession, sf: str) -> DataFrame:
     re-running inference. The inference pass itself is d59's
     explode + broadcast-join + per-doc rollup."""
     from etl_docker_spark.llm.index_cache import memo_frame
-    from etl_docker_spark.llm.text import token_count
 
     def build() -> DataFrame:
         weights = d60_weights_frame(spark, sf)
-        labeled = _labeled_docs(spark, sf).select(
-            "doc_id", "verdict",
-            token_count(F.col("text")).alias("n_tokens"),
-            F.explode(F.expr(feats_sql())).alias("f"))
-        occ = labeled.select("doc_id", "verdict", "n_tokens",
-                             F.expr(_BUCKET_SPARK).alias("bucket"))
+        occ = classifier_occ_frame(spark, sf).select(
+            "doc_id", "verdict", "n_tokens", "bucket")
         scored = (occ.join(F.broadcast(weights), "bucket")
                   .groupBy("doc_id", "verdict", "n_tokens")
                   .agg(F.count("*").cast("long").alias("n_feats"),

@@ -407,14 +407,12 @@ def d63_weights_frame(spark: SparkSession, sf: str) -> DataFrame:
     memoized separately because it is a genuinely different artifact
     (different training set -> different weights)."""
     from etl_docker_spark.llm.index_cache import memo_frame
-    from etl_docker_spark.plans.round6 import feats_sql
-    from etl_docker_spark.plans.round7 import _BUCKET_SPARK, _labeled_docs
+    from etl_docker_spark.plans.round7 import classifier_occ_frame
 
     def build() -> DataFrame:
-        occ = (_labeled_docs(spark, sf)
-               .filter(_d63_split() == "train")
-               .select("y", F.explode(F.expr(feats_sql())).alias("f"))
-               .select("y", F.expr(_BUCKET_SPARK).alias("bucket")))
+        occ = (classifier_occ_frame(spark, sf)
+               .filter(F.col("split") == "train")
+               .select("y", "bucket"))
         counts = (occ.groupBy("bucket")
                   .agg(F.sum("y").cast("long").alias("n1"),
                        F.sum(1 - F.col("y")).cast("long").alias("n0")))
@@ -451,15 +449,11 @@ def d63_holdout_generalization(spark: SparkSession, sf: str) -> DataFrame:
     100%. The split predicate is a per-row hash, pushed into the scan
     projection; no extra shuffle anywhere.
     """
-    from etl_docker_spark.plans.round6 import feats_sql
-    from etl_docker_spark.plans.round7 import _BUCKET_SPARK, _labeled_docs
+    from etl_docker_spark.plans.round7 import classifier_occ_frame
 
     weights = d63_weights_frame(spark, sf)
-    labeled = (_labeled_docs(spark, sf)
-               .select("doc_id", "verdict", _d63_split().alias("split"),
-                       F.explode(F.expr(feats_sql())).alias("f")))
-    occ = labeled.select("doc_id", "split", "verdict",
-                         F.expr(_BUCKET_SPARK).alias("bucket"))
+    occ = classifier_occ_frame(spark, sf).select(
+        "doc_id", "split", "verdict", "bucket")
     scored = (occ.join(F.broadcast(weights), "bucket", "left")
               .groupBy("doc_id", "split", "verdict")
               .agg(F.count("*").cast("long").alias("n_feats"),

@@ -262,24 +262,17 @@ def d65_holdout_calibrated_thresholds(spark: SparkSession,
     plus d62's constant-size grid machinery; the holdout filter is a
     per-row hash pushed into the scan projection.
     """
-    from etl_docker_spark.llm.text import token_count
-    from etl_docker_spark.plans.round6 import feats_sql
-    from etl_docker_spark.plans.round7 import (_BUCKET_SPARK, _D61_CELLS,
-                                               _labeled_docs)
+    from etl_docker_spark.plans.round7 import _D61_CELLS, classifier_occ_frame
     from etl_docker_spark.plans.round8 import (_D62_GRID_LO, _D62_GRID_W,
                                                _D62_KEEP_TARGET_PCT,
-                                               _d63_split, d63_weights_frame)
+                                               d63_weights_frame)
 
     weights = d63_weights_frame(spark, sf)
-    labeled = (_labeled_docs(spark, sf)
-               .filter(_d63_split() == "holdout"))
-    # lang and n_tokens ride the explode and the per-doc groupBy (the
-    # d60_scores_frame shape) — no second documents scan, no join-back
-    occ = (labeled.select(
-        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens"),
-        F.explode(F.expr(feats_sql())).alias("f"))
-        .select("doc_id", "lang", "n_tokens",
-                F.expr(_BUCKET_SPARK).alias("bucket")))
+    # lang and n_tokens ride the shared occurrence frame and the per-doc
+    # groupBy (the d60_scores_frame shape) — no second documents scan
+    occ = (classifier_occ_frame(spark, sf)
+           .filter(F.col("split") == "holdout")
+           .select("doc_id", "lang", "n_tokens", "bucket"))
     scored = (occ.join(F.broadcast(weights), "bucket", "left")
               .groupBy("doc_id", "lang", "n_tokens")
               .agg(F.count("*").cast("long").alias("n_feats"),

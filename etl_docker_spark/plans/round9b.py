@@ -223,21 +223,16 @@ def d68_model_score_drift(spark: SparkSession, sf: str) -> DataFrame:
     only the split model re-scores, and the per-doc join of the two
     score tables shuffles on doc_id once.
     """
-    from etl_docker_spark.plans.round6 import feats_sql
-    from etl_docker_spark.plans.round7 import (_BUCKET_SPARK,
-                                               _labeled_docs,
+    from etl_docker_spark.plans.round7 import (classifier_occ_frame,
                                                d60_scores_frame)
-    from etl_docker_spark.plans.round8 import _d63_split, d63_weights_frame
+    from etl_docker_spark.plans.round8 import d63_weights_frame
 
     full = d60_scores_frame(spark, sf).select(
         "doc_id", F.col("score_ppm").alias("full_ppm"),
         F.col("keep_pred").alias("full_keep"))
     weights = d63_weights_frame(spark, sf)
-    labeled = (_labeled_docs(spark, sf)
-               .select("doc_id", _d63_split().alias("split"),
-                       F.explode(F.expr(feats_sql())).alias("f")))
-    occ = labeled.select("doc_id", "split",
-                         F.expr(_BUCKET_SPARK).alias("bucket"))
+    occ = classifier_occ_frame(spark, sf).select(
+        "doc_id", "split", "bucket")
     scored = (occ.join(F.broadcast(weights), "bucket", "left")
               .groupBy("doc_id", "split")
               .agg(F.count("*").cast("long").alias("n_feats"),
