@@ -125,7 +125,16 @@ def d71_fuzzy_dedup_depth2(spark: SparkSession, sf: str) -> DataFrame:
                 "substring(key, q + 1)) "
                 "ELSE concat(substring(key, 1, p - 1), "
                 "substring(key, p + 1, q - p - 1), "
-                "substring(key, q + 1)) END").alias("sig")))
+                "substring(key, q + 1)) END").alias("sig"))
+            # materialize ONCE: the self-join otherwise re-runs the whole
+            # corpus->explode->variant subtree for each side (the plan
+            # showed two identical Generate chains), and post-explode
+            # size estimates are garbage (the planner broadcast a ~211x
+            # exploded relation it thought was parquet-file-sized). The
+            # checkpoint halves signature generation AND gives the join
+            # real stats, so broadcast-vs-SMJ is decided on the true
+            # signature-table size at any scale (optimization r11).
+            .localCheckpoint())
     a = sigs.select(F.col("id").alias("id_a"), F.col("key").alias("key_a"),
                     "sig")
     b = sigs.select(F.col("id").alias("id_b"), F.col("key").alias("key_b"),
