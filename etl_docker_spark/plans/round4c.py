@@ -812,7 +812,9 @@ def s21_stream_state_accounting(spark: SparkSession, sf: str) -> DataFrame:
                .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
                .agg(F.count("*").cast("long").alias("n_events")))
         name = f"s21_sink_{abs(hash(sf)) % 10 ** 8}"
-        with stream_state_partitions(spark, 4):
+        # track_rows: this query GATES numRowsTotal — keep the exact
+        # state-row metric despite its per-commit counting cost
+        with stream_state_partitions(spark, 4, track_rows=True):
             q = (agg.writeStream.outputMode("append").format("memory")
                  .queryName(name).trigger(availableNow=True).start())
             q.awaitTermination(300)

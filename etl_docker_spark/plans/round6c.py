@@ -243,7 +243,10 @@ def s29_changefeed_metrics_reconcile(spark: SparkSession,
         ckpt = os.path.join(work, "ckpt")
         changelog_key = ("spark.sql.streaming.stateStore.rocksdb."
                          "changelogCheckpointing.enabled")
-        with stream_state_partitions(spark, 4), \
+        # track_rows: the reconcile gate reads numRowsUpdated/Removed;
+        # keep row tracking exact rather than relying on the untracked
+        # fast path's metric semantics
+        with stream_state_partitions(spark, 4, track_rows=True), \
                 scoped_conf(spark, changelog_key, "true"):
             q = (agg.writeStream.outputMode("append").format("noop")
                  .option("checkpointLocation", ckpt)
