@@ -149,11 +149,15 @@ def g01_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     edges = (edges.join(deg, "src")
              .repartition(par, "dst").localCheckpoint())
 
-    n = edges.select(F.count_distinct("src").alias("n")).first()["n"]
+    # one distinct pass over the edge list serves both the node count and
+    # the rank seed (it used to run twice: count_distinct + distinct —
+    # at graph scale that distinct IS a full edge aggregation, so halve it);
+    # the 16-byte node frame is then the thing counted and re-read
+    nodes = edges.select("src").distinct().localCheckpoint()
+    n = nodes.count()
     base = (15 * _PR_S) // (100 * n)  # positive ints: // == engine div
-    ranks = (edges.select("src").distinct()
-             .select(F.col("src").alias("node"),
-                     F.lit(_PR_S // n).cast("long").alias("pr")))
+    ranks = nodes.select(F.col("src").alias("node"),
+                         F.lit(_PR_S // n).cast("long").alias("pr"))
     broadcastable = n <= 500_000
     for _ in range(_PR_ITERS):
         r = F.broadcast(ranks) if broadcastable else ranks

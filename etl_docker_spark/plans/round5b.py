@@ -147,10 +147,14 @@ def q90_sql_scripting(spark: SparkSession, sf: str) -> DataFrame:
     computes the same answer as its declarative one.
     """
     li = t(spark, sf, "lineitem")
+    # materialize the 16-byte (qty, cents) projection ONCE before the
+    # loop: the script's ~log2(50)+2 aggregate iterations otherwise each
+    # re-scan and re-project the parquet fact table — a convergence loop
+    # should iterate over the narrow working set, not the source scan
     li.select(
         F.col("l_quantity").cast("long").alias("qty"),
         F.expr(_CENTS.format(col="l_extendedprice")).alias("cents"),
-    ).createOrReplaceTempView("q90_li")
+    ).localCheckpoint().createOrReplaceTempView("q90_li")
     return spark.sql("""
 BEGIN
   DECLARE lo BIGINT DEFAULT 1;

@@ -373,13 +373,23 @@ def s28_foreachbatch_idempotent(spark: SparkSession, sf: str) -> DataFrame:
         ckpt = os.path.join(work, "ckpt")
 
         def write_batch(bdf: DataFrame, bid: int) -> None:
+            # persist: a foreachBatch frame re-executes its whole
+            # micro-batch plan (state-store pass included) on EVERY
+            # action — the standard idiom when a batch is written more
+            # than once is to cache it so the redelivery re-applies the
+            # same computed rows instead of running the batch twice
             out = bdf.withColumn("batch_id", F.lit(bid).cast("long"))
-            path = os.path.join(sink, f"b={bid}")
-            out.write.mode("overwrite").parquet(path)
-            # simulated redelivery: the sink must absorb a full re-apply
-            # of the same batch without duplicating (idempotence is the
-            # OVERWRITE; append here would double the batch)
-            out.write.mode("overwrite").parquet(path)
+            out.persist()
+            try:
+                path = os.path.join(sink, f"b={bid}")
+                out.write.mode("overwrite").parquet(path)
+                # simulated redelivery: the sink must absorb a full
+                # re-apply of the same batch without duplicating
+                # (idempotence is the OVERWRITE; append here would
+                # double the batch)
+                out.write.mode("overwrite").parquet(path)
+            finally:
+                out.unpersist()
 
         with stream_state_partitions(spark, 4):
             q = (agg.writeStream.outputMode("update")
