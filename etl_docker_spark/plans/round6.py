@@ -140,19 +140,25 @@ def d58_linear_classifier_scores(spark: SparkSession, sf: str) -> DataFrame:
     models (vs transformer scorers) as the first filtering tier.
     """
     docs = t(spark, sf, "documents")
-    toks = F.split(F.col("text"), " ")
-    # bigram feature strings: tok_i || '_' || tok_{i+1}
-    bigrams = F.expr(
-        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), "
-        "(x, i) -> concat(x, '_', element_at(split(text, ' '), i + 2)))")
-    feats = F.concat(toks, bigrams)
     bucket = ("pmod(CAST(conv(substring(md5({f}), 1, 8), 16, 10) AS BIGINT), "
               f"{_D58_BUCKETS})")
     w_ppm = f"({bucket.format(f='f')} % 2001) - 1000"
-    scored = docs.select(
+    # Tokenize ONCE per row, then build the feature array ONCE per row
+    # (guide §4.1/§2.3: a non-lambda subexpression inside a HOF lambda is
+    # re-evaluated per element — the old element_at(split(text), i + 2)
+    # re-split the whole document per bigram, O(n_tokens^2) per doc; and
+    # size()/aggregate() each rebuilt the array). Projecting tk, then fe,
+    # as dedicated columns pins one evaluation each — split/concat are
+    # non-cheap, so CollapseProject will not inline them into consumers.
+    feated = (docs
+              .select("doc_id", "lang", F.split(F.col("text"), " ")
+                      .alias("tk"))
+              .select("doc_id", "lang",
+                      F.expr(feats_sql("tk")).alias("fe")))
+    scored = feated.select(
         "doc_id", "lang",
-        F.size(feats).cast("long").alias("n_feats"),
-        F.expr(f"aggregate(transform({feats_sql()}, f -> {w_ppm}), "
+        F.size("fe").cast("long").alias("n_feats"),
+        F.expr(f"aggregate(transform(fe, f -> {w_ppm}), "
                "CAST(0 AS BIGINT), (acc, w) -> acc + w)").alias("sum_ppm"))
     # integer division on BOTH engines (Spark DIV == DuckDB //, both
     # truncate toward zero) — never CAST a float quotient (DuckDB's
@@ -168,13 +174,17 @@ def d58_linear_classifier_scores(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("lang", "keep"))
 
 
-def feats_sql() -> str:
-    """Spark SQL expression for the unigram+bigram feature array (shared
-    between the aggregate expression and `size`)."""
-    return ("concat(split(text, ' '), "
-            "transform(slice(split(text, ' '), 1, "
-            "size(split(text, ' ')) - 1), "
-            "(x, i) -> concat(x, '_', element_at(split(text, ' '), i + 2))))")
+def feats_sql(tk: str = "split(text, ' ')") -> str:
+    """Spark SQL expression for the unigram+bigram feature array, built
+    from the token-array expression `tk`. Callers on a hot path should
+    pre-project the token array into a column and pass its name, so the
+    document is tokenized once per row instead of once per bigram (the
+    HOF-lambda re-evaluation pitfall; see d58's feated comment). The
+    default reproduces the original inline form byte-for-byte."""
+    return (f"concat({tk}, "
+            f"transform(slice({tk}, 1, "
+            f"size({tk}) - 1), "
+            f"(x, i) -> concat(x, '_', element_at({tk}, i + 2))))")
 
 
 D58_SQL = f"""

@@ -60,8 +60,12 @@ def d59_classifier_weight_join(spark: SparkSession, sf: str) -> DataFrame:
                        (F.col("id") % 2001 - 1000).alias("w_ppm")))
     from etl_docker_spark.plans.round6 import feats_sql
 
+    # tokenize once per row, then explode the one materialized feature
+    # array (same HOF-lambda re-split fix as d58's feated comment)
     feat = (docs.select("doc_id", "lang",
-                        F.explode(F.expr(feats_sql())).alias("f"))
+                        F.split(F.col("text"), " ").alias("tk"))
+            .select("doc_id", "lang",
+                    F.explode(F.expr(feats_sql("tk"))).alias("f"))
             .select("doc_id", "lang",
                     F.expr(f"pmod(CAST(conv(substring(md5(f), 1, 8), 16, "
                            f"10) AS BIGINT), {_D59_BUCKETS})")

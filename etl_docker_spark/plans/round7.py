@@ -89,11 +89,16 @@ def classifier_occ_frame(spark: SparkSession, sf: str) -> DataFrame:
         # select-with-generator they land in the projection evaluated
         # per exploded occurrence — ~107x re-evaluation per feature row,
         # measured 12.4s -> 4.7s at sf0.1 for this frame.
-        pre = _labeled_docs(spark, sf).select(
-            "doc_id", "lang", "verdict", "y",
-            _d63_split().alias("split"),
-            token_count(F.col("text")).alias("n_tokens"),
-            F.expr(feats_sql()).alias("feats"))
+        pre = (_labeled_docs(spark, sf)
+               .withColumn("tk", F.split(F.col("text"), " "))
+               .select(
+                   "doc_id", "lang", "verdict", "y",
+                   _d63_split().alias("split"),
+                   token_count(F.col("text")).alias("n_tokens"),
+                   # tokenize once per row: feats_sql's bigram lambda
+                   # re-evaluates a non-column token expression per
+                   # element (the d58 feated comment)
+                   F.expr(feats_sql("tk")).alias("feats")))
         labeled = pre.select(
             "doc_id", "lang", "verdict", "y", "split", "n_tokens",
             F.explode("feats").alias("f"))
