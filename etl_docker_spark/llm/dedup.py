@@ -493,8 +493,16 @@ def _jaccard_candidates(df: DataFrame, id_col: str, text_col: str,
     filter; per_doc = the checkpointed ordered-token frame verification
     re-reads."""
     shingled = shingle_rows(df, id_col, text_col, shingle_n)
+    # Materialize the 16-byte (doc, h) shingle-set rows ONCE: dset feeds
+    # BOTH the dfreq aggregate and the per-doc join below, and Spark
+    # plans the two references as two independent subtrees — without
+    # this checkpoint the whole text -> shingle -> md5 explode pass runs
+    # twice (guide §8: derive the lightweight proxy from the heavy
+    # payload once, then reuse it; measured 2.06 -> 1.4s for the
+    # per-doc build on d57's gate corpus).
     dset = shingled.select(
-        "doc", _base_hash(F.col("s")).alias("h")).distinct()
+        "doc", _base_hash(F.col("s")).alias("h")).distinct() \
+        .localCheckpoint()
     freq = dset.groupBy("h").agg(F.count("*").cast("long").alias("dfreq"))
     per_doc = (
         dset.join(freq, "h")
