@@ -23,6 +23,17 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _pythonpath_with_pkg_root() -> str:
+    """PYTHONPATH for Python workers: the package's parent dir first, so
+    the daemon module (spark.python.daemon.module) and by-reference
+    unpickled operator functions import the SAME etl_docker_spark tree
+    the driver runs, regardless of the launcher's cwd; the inherited
+    PYTHONPATH (if any) is preserved behind it."""
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    inherited = os.environ.get("PYTHONPATH", "")
+    return f"{pkg_root}:{inherited}" if inherited else pkg_root
+
+
 def get_spark(
     app_name: str = "etl_docker_spark",
     master: str | None = None,
@@ -55,6 +66,25 @@ def get_spark(
         # the synthetic events table stores TIMESTAMP(NANOS); Spark has no
         # nanos timestamp type, so read them as raw longs (catalog converts)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Fork Python workers from a daemon that has numpy/pandas/pyarrow
+        # (and our stateful-operator module) already imported: the stateful
+        # runners release workers instead of reusing them, so without this
+        # every task re-imports the stack (~200 ms/task measured on s14's
+        # 352 tasks — see etl_docker_spark/pydaemon.py). Same worker code
+        # path, COW-inherited imports; per-executor cost on any deployment.
+        .config("spark.python.daemon.module", "etl_docker_spark.pydaemon")
+        .config("spark.executorEnv.PYTHONPATH", _pythonpath_with_pkg_root())
+        # Spark 4 writes + verifies a checksum file for EVERY streaming
+        # checkpoint file (offset log, commit log, state deltas) — storage-
+        # corruption detection for long-lived checkpoints. Our streams
+        # create ephemeral per-run checkpoints (fresh temp dir each run),
+        # where the checksums are pure per-batch latency (~1.5 s of s14's
+        # 16.5 s wall, 126 ChecksumCheckpointFileManager threads observed).
+        # Default off here; $SPARK_GRAFT_CHECKPOINT_CHECKSUM=1 restores the
+        # Spark default for deployments with durable checkpoints.
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+                "true" if os.environ.get("SPARK_GRAFT_CHECKPOINT_CHECKSUM")
+                == "1" else "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
