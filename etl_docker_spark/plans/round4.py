@@ -135,12 +135,11 @@ def s13_stream_late_data_drop(spark: SparkSession, sf: str) -> DataFrame:
     if any late row survived (or any on-time row was dropped), counts
     or decimal-exact sums diverge.
     """
-    import os
     import shutil
     import tempfile
 
-    from etl_docker_spark.plans._util import (dsum, stream_state_partitions,
-                                              t)
+    from etl_docker_spark.plans._util import (dsum, stage_day_files,
+                                              stream_state_partitions, t)
     from etl_docker_spark.streaming import tumbling_aggregate
 
     ev = t(spark, sf, "events").select("ts", "event_type", "value")
@@ -156,16 +155,15 @@ def s13_stream_late_data_drop(spark: SparkSession, sf: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="s13_")
     try:
-        arrivals = os.path.join(work, "arrivals")
-        os.makedirs(arrivals)
-        for i, part in enumerate((on_time, bridge, late)):
-            stage = os.path.join(work, f"stage{i}")
-            part.coalesce(1).write.mode("overwrite").parquet(stage)
-            src = next(f for f in os.listdir(stage)
-                       if f.endswith(".parquet"))
-            dst = os.path.join(arrivals, f"{i:03d}.parquet")
-            shutil.copyfile(os.path.join(stage, src), dst)
-            os.utime(dst, (1700000000 + i * 60, 1700000000 + i * 60))
+        # one parallel staging job, one file per arrival slot (pidx IS
+        # the batch index: on_time, bridge, late) — the serial
+        # coalesce(1)-per-part loop this replaces additionally collapsed
+        # each part's scan+filter into a single task (optimization r12;
+        # same finding-2 shape as the r11 stage_day_files port)
+        parts = (on_time.withColumn("pidx", F.lit(0))
+                 .unionByName(bridge.withColumn("pidx", F.lit(1)))
+                 .unionByName(late.withColumn("pidx", F.lit(2))))
+        arrivals = stage_day_files(parts, work, day_col="pidx")
 
         probe = spark.read.parquet(arrivals)
         stream = (spark.readStream.schema(probe.schema)

@@ -1424,7 +1424,13 @@ def s24_watermark_policy_max(spark: SparkSession, sf: str) -> DataFrame:
     try:
         vdir = stage_day_files(views, work)
         bdir = os.path.join(work, "buys")
-        buys.coalesce(1).write.mode("overwrite").parquet(bdir)
+        # repartition(1), not coalesce(1): coalesce collapses the whole
+        # events scan+filter into ONE task; the exchange keeps the scan
+        # parallel and only the (single-file) write runs on one task.
+        # All buys files land in micro-batch 0 either way (no
+        # maxFilesPerTrigger on this source), so one file stays the
+        # deterministic choice. (optimization r12)
+        buys.repartition(1).write.mode("overwrite").parquet(bdir)
 
         with scoped_conf(spark, policy_key, "max"):
             pv = spark.read.parquet(vdir)
