@@ -19,6 +19,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Unpersist the RDD blocks behind a localCheckpoint()ed frame whose
+    consumers are themselves materialized (the dset proxy feeds only the
+    per_doc build; once per_doc is checkpointed, dset's blocks are dead
+    weight on the executors for the rest of the session — ADVICE r11).
+    Best-effort through the JVM plan handle (the checkpointed frame's
+    analyzed plan IS the LogicalRDD holding the persisted RDD); if the
+    handle shape ever changes, blocks just age out with the session as
+    before."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _hash64_halves(s: Column) -> tuple[Column, Column]:
     """Two portable 32-bit hashes from ONE md5 digest (hex halves 1-8, 9-16).
 
@@ -452,8 +467,11 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     Shuffle ledger: shingle pass (id-partitioned, exchange-free groupBys)
     -> df counts (digest-width by h) -> per-doc ordered arrays (by doc)
     -> prefix self-join (by h, prefix rows only) -> verification joins
-    (candidate pairs only). One corpus materialization (localCheckpoint),
-    same discipline as minhash_lsh_pairs.
+    (candidate pairs only). Two bounded materializations
+    (localCheckpoint): the 16-byte (doc, h) shingle-set proxy — feeding
+    both the dfreq aggregate and the per-doc join, and released once
+    per_doc exists — and the per-doc ordered-array frame every later
+    stage re-reads; same discipline as minhash_lsh_pairs.
 
     Returns (doc_a, doc_b, inter_n, union_n) — identical contract and
     (default) threshold as minhash_lsh_pairs, so the two are directly
@@ -513,6 +531,7 @@ def _jaccard_candidates(df: DataFrame, id_col: str, text_col: str,
         .withColumn("sz", F.size("ord").cast("long"))
     )
     per_doc = per_doc.localCheckpoint()
+    _release_local_checkpoint(dset)
     if suffix_buckets == "auto":
         # Resolve K from the corpus itself (the d57 design rule). One
         # bounded scalar aggregate over the just-checkpointed frame —
