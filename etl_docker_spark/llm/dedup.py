@@ -530,7 +530,29 @@ def _jaccard_candidates(df: DataFrame, id_col: str, text_col: str,
             .alias("ord"))
         .withColumn("sz", F.size("ord").cast("long"))
     )
-    per_doc = per_doc.localCheckpoint()
+    # Checkpoint per_doc at the session's full shuffle width: AQE's
+    # partition coalescer sizes the final groupBy exchange for SHUFFLE
+    # cost (~64 MB targets), but every consumer of this checkpoint does
+    # CPU-heavy array work per row (the suffix-filter fold, the
+    # verification array_intersect) — measured on d57's gate corpus the
+    # coalesced checkpoint came out 6 partitions and the 9 s-CPU
+    # verification stage ran 6-wide on a 32-core session. Pinning the
+    # conf only around this bounded materialization keeps the session's
+    # scale-adaptive width (shuffle.partitions: cores locally, the
+    # deliberately-high cluster number) without an extra exchange.
+    # (optimization r12; inline set/restore because importing
+    # plans._util.scoped_conf here would cycle plans -> llm -> plans)
+    _spark = per_doc.sparkSession
+    _coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    _before = _spark.conf.get(_coalesce_key, None)
+    _spark.conf.set(_coalesce_key, "false")
+    try:
+        per_doc = per_doc.localCheckpoint()
+    finally:
+        if _before is None:
+            _spark.conf.unset(_coalesce_key)
+        else:
+            _spark.conf.set(_coalesce_key, _before)
     _release_local_checkpoint(dset)
     if suffix_buckets == "auto":
         # Resolve K from the corpus itself (the d57 design rule). One

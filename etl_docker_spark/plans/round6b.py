@@ -72,6 +72,13 @@ def d57_adversarial_frame(spark: SparkSession, sf: str,
     docs = t(spark, sf, "documents").select("doc_id")
     if cap is not None:
         docs = docs.filter(F.col("doc_id") < cap)
+    # spread the generator projection across the session's full width:
+    # the ~0.3 ms/doc of md5 token synthesis otherwise rides however few
+    # input splits survive the filter (measured: the whole 2000-doc gate
+    # corpus generated in ONE 0.65 s task). Deterministic hash key, an
+    # 8-byte/row exchange. (optimization r12)
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id"))
     n = docs.agg((F.count("*") * _D57_POOL_X).alias("pool"))
     base = (docs.crossJoin(F.broadcast(n))
             .withColumn("eid", F.expr(
