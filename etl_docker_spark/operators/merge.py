@@ -69,14 +69,15 @@ def merge_upsert_path(spark: SparkSession, path: str, updates: DataFrame,
         return
     target = spark.read.parquet(path)
     merged = merge_upsert(target, updates, keys, order_by, compare_target)
-    tmp = f"{path}__tmp_merge"
-    merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(path)
-    # best-effort cleanup of the staging snapshot
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+    # Pin the merged snapshot BEFORE overwriting its own input, then write
+    # once: replaces the tmp-parquet write + re-read + final rewrite (three
+    # full passes of the snapshot through parquet encode/decode) with one
+    # materialization and one write (optimization r12). Same
+    # half-overwritten-on-crash exposure as the tmp staging had on its
+    # final rewrite; on Delta this whole function is MERGE INTO and the
+    # question disappears.
+    pinned = merged.localCheckpoint()
+    pinned.write.mode("overwrite").parquet(path)
 
 
 def apply_updates(target: DataFrame, updates: DataFrame, keys: Sequence[str],

@@ -6,17 +6,33 @@ per key per batch. This is the escape hatch for stateful logic the built-in
 windows can't express (custom eviction, per-key models, counters with
 business rules); state lives in the streaming state store, sized per key.
 
-Per-invocation cost discipline (optimization round 11, guide §4.2/§4.5):
-the update fn runs once per key per micro-batch — ~27k invocations per
-run at sf0.1, ~750k at ~sf1 — so constant per-call overhead IS the
-operator's floor. Measured on this host (pandas 2.2): building the 1-row
-output via `pd.DataFrame({...})` costs ~330 µs/call while copying a
-module-level dtype-correct template and poking `.iat` costs ~133 µs;
-`Series.sum()`/`Series.max()` on the tiny per-batch group cost ~16/40 µs
-vs ~9/7 µs for the same reductions on `.values`. The templates below
-cut the Python floor of s03/s14/s15 by roughly half; dtypes are pinned
-by the template so the Arrow serializer sees the exact declared schema
-either way.
+Per-invocation cost discipline (guide §4.1/§4.2/§4.5): the update fn runs
+once per key per micro-batch — ~27k invocations per run at sf0.1, ~750k at
+~sf1 — so constant per-call overhead IS the operator's floor. Three rules
+keep it low:
+
+- 1-row outputs copy module-level dtype-pinned pandas templates (`.iat`
+  assignment) instead of `pd.DataFrame({...})` per call (~330 -> ~133 µs
+  measured, optimization r11), and tiny per-group reductions go through
+  `.values` (NumPy) instead of Series methods.
+- ONLY the columns the update fn reads cross the Python boundary: each
+  operator projects its input to (key, event-time, payload) before the
+  groupBy — the raw gate streams also carry the staging day column, a
+  string the fn never touches, and the per-key serializer would
+  otherwise build a pandas Series for it on every call (optimization
+  r12, guide §4.1 "pass only the columns the function needs").
+- Event time LEAVES the boundary as epoch integers (int64), not as a
+  timestamp column: per-key datetime64/Timestamp handling (pandas
+  `_sequence_to_dt64`, Timestamp boxing) was the largest remaining
+  per-call cost in the worker profile (optimization r12). Spark
+  timestamps are micros-exact, so the int64 is lossless and the
+  operator's OUTPUT schema is unchanged — `timestamp_micros` /
+  `timestamp_millis` convert back in a projection on the streaming
+  frame the operator returns. On the INPUT side only the NoTimeout
+  path ships `unix_micros(ts)`; the EventTimeTimeout paths must keep
+  the watermarked timestamp column itself (the analyzer requires the
+  watermark-tagged attribute to reach the stateful operator), and the
+  update fns read its raw datetime64 ns values without boxing.
 """
 
 from __future__ import annotations
@@ -25,31 +41,34 @@ from collections.abc import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_ts timestamp"
+_TOTALS_RAW_SCHEMA = ("user_id long, n_events long, total_value double, "
+                      "last_us long")
 STATE_SCHEMA = "n long, total double"
 
-# 1-row output templates with the declared dtypes (object/int64/float64/
-# datetime64[ns]); each yield copies a template and assigns scalars —
-# 2.5x cheaper than constructing a fresh DataFrame from a dict per call.
-_EPOCH = pd.Timestamp(0)
+# 1-row output templates with the declared dtypes; each yield copies a
+# template and assigns scalars — 2.5x cheaper than constructing a fresh
+# DataFrame from a dict per call, and all-integer/float dtypes keep the
+# Arrow serializer off the expensive datetime path.
 _TOTALS_TMPL = pd.DataFrame({
     "user_id": pd.array([0], dtype="int64"),
     "n_events": pd.array([0], dtype="int64"),
     "total_value": pd.array([0.0], dtype="float64"),
-    "last_ts": pd.array([_EPOCH], dtype="datetime64[ns]"),
+    "last_us": pd.array([0], dtype="int64"),
 })
 _KEYED_TTL_TMPL = pd.DataFrame({
     "state_key": pd.array(["x"], dtype=object),
     "n_events": pd.array([0], dtype="int64"),
     "total_cents": pd.array([0], dtype="int64"),
-    "last_ts": pd.array([_EPOCH], dtype="datetime64[ns]"),
+    "last_us": pd.array([0], dtype="int64"),
 })
 _SESSION_TMPL = pd.DataFrame({
     "state_key": pd.array(["x"], dtype=object),
-    "session_start": pd.array([_EPOCH], dtype="datetime64[ns]"),
-    "session_end": pd.array([_EPOCH], dtype="datetime64[ns]"),
+    "start_ms": pd.array([0], dtype="int64"),
+    "end_ms": pd.array([0], dtype="int64"),
     "n_events": pd.array([0], dtype="int64"),
     "total_cents": pd.array([0], dtype="int64"),
 })
@@ -57,18 +76,18 @@ _SESSION_TMPL = pd.DataFrame({
 
 def _update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     n, total = state.get if state.exists else (0, 0.0)
-    last_ns = None
+    last_us = None
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].values.sum())
-        mx = pdf["ts"].values.max()  # np.datetime64[ns]
-        last_ns = mx if last_ns is None else max(last_ns, mx)
+        mx = int(pdf["ts_us"].values.max())
+        last_us = mx if last_us is None else max(last_us, mx)
     state.update((n, total))
     out = _TOTALS_TMPL.copy()
     out.iat[0, 0] = key[0]
     out.iat[0, 1] = n
     out.iat[0, 2] = total
-    out.iat[0, 3] = pd.Timestamp(last_ns)
+    out.iat[0, 3] = last_us
     yield out
 
 
@@ -86,23 +105,23 @@ def _make_ttl_update(ttl_ms: int):
             return
             yield  # pragma: no cover — keeps this a generator
         n, total = state.get if state.exists else (0, 0.0)
-        last_ns = None
+        last_us = None
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].values.sum())
-            mx = pdf["ts"].values.max()
-            last_ns = mx if last_ns is None else max(last_ns, mx)
+            mx = int(pdf["ts"].values.max()) // 1_000  # dt64 ns -> us
+            last_us = mx if last_us is None else max(last_us, mx)
         state.update((n, total))
         # must be strictly ahead of the current watermark; late batches pin
         # to watermark + ttl instead of their own (older) event time
-        event_ms = int(last_ns) // 1_000_000  # datetime64[ns] -> epoch ms
+        event_ms = last_us // 1_000  # epoch micros -> epoch ms
         state.setTimeoutTimestamp(
             max(event_ms, state.getCurrentWatermarkMs()) + ttl_ms)
         out = _TOTALS_TMPL.copy()
         out.iat[0, 0] = key[0]
         out.iat[0, 1] = n
         out.iat[0, 2] = total
-        out.iat[0, 3] = pd.Timestamp(last_ns)
+        out.iat[0, 3] = last_us
         yield out
 
     return _update_ttl
@@ -123,20 +142,30 @@ def running_user_totals(stream: DataFrame, ttl_ms: int | None = None,
     timers, multiple state variables) — this operator's contract (update +
     event-time TTL) maps 1:1 onto it when we bump the minimum Spark version.
     """
+    back = [F.col("user_id"), F.col("n_events"), F.col("total_value"),
+            F.timestamp_micros("last_us").alias("last_ts")]
     if ttl_ms is None:
-        return (stream.groupBy("user_id")
-                .applyInPandasWithState(
-                    _update, OUTPUT_SCHEMA, STATE_SCHEMA,
-                    "update", GroupStateTimeout.NoTimeout))
-    return (stream.withWatermark("ts", watermark_delay)
-            .groupBy("user_id")
-            .applyInPandasWithState(
-                _make_ttl_update(ttl_ms), OUTPUT_SCHEMA, STATE_SCHEMA,
-                "update", GroupStateTimeout.EventTimeTimeout))
+        out = (stream
+               .select("user_id", F.unix_micros("ts").alias("ts_us"),
+                       "value")
+               .groupBy("user_id")
+               .applyInPandasWithState(
+                   _update, _TOTALS_RAW_SCHEMA, STATE_SCHEMA,
+                   "update", GroupStateTimeout.NoTimeout))
+        return out.select(*back)
+    out = (stream.withWatermark("ts", watermark_delay)
+           .select("user_id", "ts", "value")
+           .groupBy("user_id")
+           .applyInPandasWithState(
+               _make_ttl_update(ttl_ms), _TOTALS_RAW_SCHEMA, STATE_SCHEMA,
+               "update", GroupStateTimeout.EventTimeTimeout))
+    return out.select(*back)
 
 
 KEYED_TTL_SCHEMA = ("state_key string, n_events long, total_cents long, "
                     "last_ts timestamp")
+_KEYED_TTL_RAW_SCHEMA = ("state_key string, n_events long, "
+                         "total_cents long, last_us long")
 KEYED_TTL_STATE = "n long, cents long"
 
 
@@ -153,21 +182,21 @@ def _make_keyed_ttl_update(ttl_ms: int):
             return
             yield  # pragma: no cover — keeps this a generator
         n, cents = state.get if state.exists else (0, 0)
-        last_ns = None
+        last_us = None
         for pdf in pdfs:
             n += len(pdf)
             cents += int(pdf["cents"].values.sum())
-            mx = pdf["ts"].values.max()
-            last_ns = mx if last_ns is None else max(last_ns, mx)
+            mx = int(pdf["ts"].values.max()) // 1_000  # dt64 ns -> us
+            last_us = mx if last_us is None else max(last_us, mx)
         state.update((n, cents))
-        event_ms = int(last_ns) // 1_000_000
+        event_ms = last_us // 1_000
         state.setTimeoutTimestamp(
             max(event_ms, state.getCurrentWatermarkMs()) + ttl_ms)
         out = _KEYED_TTL_TMPL.copy()
         out.iat[0, 0] = key[0]
         out.iat[0, 1] = n
         out.iat[0, 2] = cents
-        out.iat[0, 3] = pd.Timestamp(last_ns)
+        out.iat[0, 3] = last_us
         yield out
 
     return _fn
@@ -179,17 +208,22 @@ def keyed_ttl_totals(stream: DataFrame, ttl_ms: int,
     TTL eviction — the generic form of `running_user_totals(ttl_ms=...)`
     for composite/unbounded key spaces, where eviction is what keeps the
     state store tracking the LIVE key set instead of history."""
-    return (stream.withWatermark("ts", watermark_delay)
-            .groupBy("state_key")
-            .applyInPandasWithState(
-                _make_keyed_ttl_update(ttl_ms), KEYED_TTL_SCHEMA,
-                KEYED_TTL_STATE, "update",
-                GroupStateTimeout.EventTimeTimeout))
+    out = (stream.withWatermark("ts", watermark_delay)
+           .select("state_key", "ts", "cents")
+           .groupBy("state_key")
+           .applyInPandasWithState(
+               _make_keyed_ttl_update(ttl_ms), _KEYED_TTL_RAW_SCHEMA,
+               KEYED_TTL_STATE, "update",
+               GroupStateTimeout.EventTimeTimeout))
+    return out.select("state_key", "n_events", "total_cents",
+                      F.timestamp_micros("last_us").alias("last_ts"))
 
 
 SESSION_CLOSE_SCHEMA = ("state_key string, session_start timestamp, "
                         "session_end timestamp, n_events long, "
                         "total_cents long")
+_SESSION_RAW_SCHEMA = ("state_key string, start_ms long, end_ms long, "
+                       "n_events long, total_cents long")
 SESSION_STATE = "start long, end long, n long, cents long"
 
 
@@ -209,8 +243,8 @@ def _make_session_close_update(gap_ms: int):
             state.remove()
             out = _SESSION_TMPL.copy()
             out.iat[0, 0] = key[0]
-            out.iat[0, 1] = pd.Timestamp(start, unit="ms")
-            out.iat[0, 2] = pd.Timestamp(end, unit="ms")
+            out.iat[0, 1] = start
+            out.iat[0, 2] = end
             out.iat[0, 3] = n
             out.iat[0, 4] = cents
             yield out
@@ -220,9 +254,9 @@ def _make_session_close_update(gap_ms: int):
         for pdf in pdfs:
             n += len(pdf)
             cents += int(pdf["cents"].values.sum())
-            ts_ns = pdf["ts"].values
-            lo = int(ts_ns.min()) // 1_000_000
-            hi = int(ts_ns.max()) // 1_000_000
+            ns = pdf["ts"].values
+            lo = int(ns.min()) // 1_000_000  # dt64 ns -> epoch ms
+            hi = int(ns.max()) // 1_000_000
             start = lo if start is None else min(start, lo)
             end = hi if end is None else max(end, hi)
         state.update((start, end, n, cents))
@@ -240,9 +274,14 @@ def session_close_stream(stream: DataFrame, gap_ms: int,
     the state store holds exactly the open sessions, the sink receives
     exactly the closed ones — the streaming shape of gaps-and-islands
     sessionization (q22/q45's batch twin)."""
-    return (stream.withWatermark("ts", watermark_delay)
-            .groupBy("state_key")
-            .applyInPandasWithState(
-                _make_session_close_update(gap_ms), SESSION_CLOSE_SCHEMA,
-                SESSION_STATE, "update",
-                GroupStateTimeout.EventTimeTimeout))
+    out = (stream.withWatermark("ts", watermark_delay)
+           .select("state_key", "ts", "cents")
+           .groupBy("state_key")
+           .applyInPandasWithState(
+               _make_session_close_update(gap_ms), _SESSION_RAW_SCHEMA,
+               SESSION_STATE, "update",
+               GroupStateTimeout.EventTimeTimeout))
+    return out.select("state_key",
+                      F.timestamp_millis("start_ms").alias("session_start"),
+                      F.timestamp_millis("end_ms").alias("session_end"),
+                      "n_events", "total_cents")
