@@ -102,6 +102,13 @@ def d71_fuzzy_dedup_depth2(spark: SparkSession, sf: str) -> DataFrame:
                           "substring(k1, p2 + 1)) ELSE k1 END")
                    .alias("key")))
     corpus = base.unionByName(aliases)
+    # spread the ~(1 + L + C(L,2))-fold variant generation across the
+    # session's full width: customer at gate scale is a one-split scan,
+    # so the whole explode+substring cascade below otherwise runs in a
+    # single task before the checkpoint (the d57 finding, optimization
+    # r12). 8-byte ids + 16-char keys — a trivial exchange.
+    corpus = corpus.repartition(
+        spark.sparkContext.defaultParallelism, F.col("id"))
     # depth-<=2 deletion neighborhood, generated CANONICALLY as ordered
     # original-position pairs p < q (plus p=0 single/identity forms):
     # 1 + L + C(L,2) rows per key instead of the (L+1)^2 grid of

@@ -330,7 +330,14 @@ def q94_variant_battery(spark: SparkSession, sf: str) -> DataFrame:
             .cast("bigint").alias("price_c")).alias("it"))
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_list("it")).alias("items")))
+    # Same fix as q96: orders broadcasts, so the JSON build + VARIANT
+    # parse otherwise run at the items-aggregate's AQE-coalesced width
+    # (bytes are the coalescer's proxy, not expression CPU). The derived
+    # key survives static elimination (o_orderkey itself is equivalent
+    # to the child's l_orderkey hash partitioning). (optimization r12)
     docs = (orders.join(items, orders.o_orderkey == items.l_orderkey)
+            .repartition(spark.sparkContext.defaultParallelism,
+                         F.pmod(F.col("o_orderkey"), F.lit(1 << 20)))
             .select(F.to_json(F.struct(
                 F.col("o_orderkey").alias("okey"),
                 F.col("o_orderpriority").alias("prio"),

@@ -66,7 +66,14 @@ def q95_variant_persistence(spark: SparkSession, sf: str) -> DataFrame:
             .cast("bigint").alias("qty")).alias("it"))
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_list("it")).alias("items")))
+    # Same coalesced-width finding as q96/q94: without the explicit
+    # exchange the variant ENCODE and the parquet write both run at the
+    # items-aggregate's AQE-coalesced width (one task at gate scale —
+    # the docstring's "parallel parquet write" was not actually
+    # parallel). (optimization r12)
     docs = (orders.join(items, orders.o_orderkey == items.l_orderkey)
+            .repartition(spark.sparkContext.defaultParallelism,
+                         F.pmod(F.col("o_orderkey"), F.lit(1 << 20)))
             .select(F.expr(
                 "to_variant_object(named_struct("
                 "'okey', o_orderkey, 'prio', o_orderpriority, "
@@ -576,7 +583,19 @@ def q96_xml_battery(spark: SparkSession, sf: str) -> DataFrame:
             .cast("bigint").alias("qty")).alias("it"))
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_list("it")).alias("items")))
+    # The XML build + double parse below is the workload (~40 µs/row of
+    # expression CPU); orders broadcasts, so the whole battery runs at
+    # the items-aggregate's AQE-coalesced width — measured ONE task at
+    # gate scale (identical 6.6 s wall at 8 and at 32 cores: bytes are
+    # the coalescer's proxy and a terrible one for parse CPU). A
+    # repartition ON o_orderkey is statically eliminated (the join
+    # output already carries the equivalent l_orderkey hash
+    # partitioning), so spread on a derived deterministic key instead —
+    # explicit-n repartitions are exempt from AQE coalescing.
+    # (optimization r12)
     docs = (orders.join(items, orders.o_orderkey == items.l_orderkey)
+            .repartition(spark.sparkContext.defaultParallelism,
+                         F.pmod(F.col("o_orderkey"), F.lit(1 << 20)))
             .select(F.expr(
                 "to_xml(named_struct('okey', o_orderkey, "
                 "'prio', o_orderpriority, 'items', items))").alias("x")))
